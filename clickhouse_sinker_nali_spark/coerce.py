@@ -1,0 +1,152 @@
+"""Lenient type-coercion expression builders — the engine's core "operator".
+
+The reference NEVER drops a row for a bad field; it fills type defaults
+instead (reference docs/dev/introduction.md:40-56, parser/fastjson.go:278-300):
+
+- missing / null / incompatible value, non-nullable target -> type default:
+  Int 0, Float 0.0, String "", DateTime Epoch (1970-01-01 UTC)
+- same but nullable target -> NULL
+- bool -> Int 1/0
+- int target with float value -> default 0 (NOT truncation)
+- string target with non-string value -> raw JSON text of the value
+- numeric datetime -> epoch seconds * time_unit, clamped to [Epoch, 2^32 s)
+- int overflow -> clamp to the declared ClickHouse type's borders
+- array targets: null array -> [], null elements -> element default
+
+All of this is expressed as Catalyst column expressions (whole-stage
+codegen'd, no Python in the hot path). The byte-faithful JSON-getter
+variant lives in parsers.py (``parse_json(..., faithful=True)``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .datetimes import epoch, parse_datetime_any
+from .schema import INT_BORDERS, ColumnSpec, InternalType
+
+ZERO_UUID = "00000000-0000-0000-0000-000000000000"
+
+
+def default_literal(spec: ColumnSpec) -> Column:
+    """The reference's per-type default value as a literal column."""
+    it = spec.internal
+    if it in (InternalType.INT, InternalType.ELASTIC_DATETIME):
+        return F.lit(0).cast("long")
+    if it in (InternalType.FLOAT, InternalType.DECIMAL):
+        return F.lit(0.0)
+    if it == InternalType.STRING:
+        return F.lit(ZERO_UUID) if spec.base_type == "UUID" else F.lit("")
+    if it == InternalType.DATETIME:
+        return epoch()
+    if it == InternalType.INT_ARRAY:
+        return F.array().cast(T.ArrayType(T.LongType(), True))
+    if it == InternalType.FLOAT_ARRAY:
+        return F.array().cast(T.ArrayType(T.DoubleType(), True))
+    if it == InternalType.STRING_ARRAY:
+        return F.array().cast(T.ArrayType(T.StringType(), True))
+    if it == InternalType.DATETIME_ARRAY:
+        return F.array().cast(T.ArrayType(T.TimestampType(), True))
+    return F.lit(None).cast("string")
+
+
+def clamp_int(col: Column, ch_base_type: str) -> Column:
+    """Clamp an integer to the declared CH type's borders (overflow rule)."""
+    borders = INT_BORDERS.get(ch_base_type)
+    if borders is None:
+        return col
+    lo, hi = borders
+    c = col.cast("long")
+    return F.when(c < F.lit(lo), F.lit(lo)).when(c > F.lit(hi), F.lit(hi)).otherwise(c)
+
+
+def _scalar_coercion(raw: Column, spec: ColumnSpec, time_unit: float) -> Column:
+    """Coerce one already-extracted (string-ish) value to the target type.
+
+    ``raw`` is the value as produced by a permissive JSON/CSV read: a string
+    for scalar fields (raw JSON text for objects/arrays feeding a String
+    target), or NULL when missing.
+    """
+    it = spec.internal
+    if it == InternalType.INT:
+        s = F.trim(raw.cast("string"))
+        num = (
+            F.when(s == "true", F.lit(1).cast("long"))
+            .when(s == "false", F.lit(0).cast("long"))
+            # float-valued input for an Int target -> NULL (-> default), the
+            # reference rejects rather than truncates (parser/gjson.go:93-99)
+            .when(s.rlike(r"^-?\d+$"), F.try_to_number(s, F.lit("S" + "9" * 30)).cast("long"))
+        )
+        return clamp_int(num, spec.base_type)
+    if it in (InternalType.FLOAT, InternalType.DECIMAL):
+        return raw.cast("string").cast("double")
+    if it == InternalType.STRING:
+        return raw.cast("string")
+    if it == InternalType.DATETIME:
+        return parse_datetime_any(raw, time_unit)
+    if it == InternalType.ELASTIC_DATETIME:
+        return F.unix_timestamp(parse_datetime_any(raw, time_unit))
+    raise ValueError(f"not a scalar type: {it}")
+
+
+def _elem_spec(spec: ColumnSpec) -> ColumnSpec:
+    elem_internal = {
+        InternalType.INT_ARRAY: "Int64",
+        InternalType.FLOAT_ARRAY: "Float64",
+        InternalType.STRING_ARRAY: "String",
+        InternalType.DATETIME_ARRAY: "DateTime",
+    }[spec.internal]
+    return ColumnSpec(name=spec.name, ch_type=elem_internal)
+
+
+def coerce_expr(raw: Column, spec: ColumnSpec, time_unit: float = 1.0) -> Column:
+    """Full lenient coercion for one column: cast + default-fill.
+
+    Array targets coerce each element with ``transform`` (JVM-side lambda),
+    defaulting NULL elements — array elements are never null in the
+    reference's model (parser/fastjson.go:170-206).
+    """
+    if spec.internal in (
+        InternalType.INT_ARRAY,
+        InternalType.FLOAT_ARRAY,
+        InternalType.STRING_ARRAY,
+        InternalType.DATETIME_ARRAY,
+    ):
+        espec = _elem_spec(spec)
+        edefault = default_literal(espec)
+        arr = F.transform(
+            raw,
+            lambda x: F.coalesce(
+                _scalar_coercion(x, espec, time_unit), edefault
+            ),
+        )
+        return F.coalesce(arr, default_literal(spec)).alias(spec.name)
+
+    coerced = _scalar_coercion(raw, spec, time_unit)
+    if spec.nullable:
+        return coerced.alias(spec.name)
+    return F.coalesce(coerced, default_literal(spec)).alias(spec.name)
+
+
+# Kafka virtual columns: any target column named __kafka*_topic/_partition/
+# _offset(/_key/_timestamp) is filled from message metadata
+# (reference model/message.go:183-190).
+_KAFKA_VIRTUAL_SUFFIXES = {
+    "_topic": "topic",
+    "_partition": "partition",
+    "_offset": "offset",
+    "_key": "key",
+    "_timestamp": "timestamp",
+}
+
+
+def kafka_virtual_source(name: str) -> str | None:
+    """Map a __kafka* column name to its Kafka metadata source column."""
+    if not name.startswith("__kafka"):
+        return None
+    for suffix, source in _KAFKA_VIRTUAL_SUFFIXES.items():
+        if name.endswith(suffix):
+            return source
+    return None

@@ -1,0 +1,216 @@
+"""Message parsing: raw Kafka ``value`` strings -> typed DataFrames.
+
+Covers the reference's parser surface (SURVEY.md §2.1 P1-P6):
+
+- JSON (fastjson/gjson semantics)  -> ``parse_json``
+- CSV (RFC-4180, configurable sep) -> ``parse_csv``
+- DateTime layout cascade          -> datetimes.py
+- per-key type inference for dynamic schema -> ``infer_internal_type``
+
+Design: ONE ``from_json``/``from_csv`` with an all-string schema (objects
+and arrays surface as raw JSON text — matching the reference's
+"string target gets raw JSON" rule), then the lenient coercion expressions
+from coerce.py. Everything stays inside whole-stage codegen; there is no
+Python in the hot path.
+
+Dotted source names address nested JSON (gjson path syntax, reference
+parser/gjson.go) and are extracted with ``get_json_object``. A literal dot
+in a field name is escaped as ``\\.`` (reference util/common.go:98-101).
+
+The bug-level-faithful Python reimplementation of the getter semantics
+(used by the parity test-suite, not the hot path) lives in faithful.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .coerce import coerce_expr, kafka_virtual_source
+from .schema import ColumnSpec, InternalType, TableSchema
+
+_ARRAY_TYPES = {
+    InternalType.INT_ARRAY,
+    InternalType.FLOAT_ARRAY,
+    InternalType.STRING_ARRAY,
+    InternalType.DATETIME_ARRAY,
+}
+
+
+def _split_source_path(source: str) -> list[str]:
+    """Split a dotted source path honoring ``\\.`` escapes."""
+    parts: list[str] = []
+    cur: list[str] = []
+    i = 0
+    while i < len(source):
+        ch = source[i]
+        if ch == "\\" and i + 1 < len(source) and source[i + 1] == ".":
+            cur.append(".")
+            i += 2
+        elif ch == ".":
+            parts.append("".join(cur))
+            cur = []
+            i += 1
+        else:
+            cur.append(ch)
+            i += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _raw_string_schema(specs: list[ColumnSpec]) -> T.StructType:
+    """All-string extraction schema: arrays as array<string>, rest string."""
+    fields = []
+    seen: set[str] = set()
+    for spec in specs:
+        src = _split_source_path(spec.source_name)[0]
+        if src in seen:
+            continue
+        seen.add(src)
+        if spec.internal in _ARRAY_TYPES and "." not in spec.source_name.replace("\\.", ""):
+            fields.append(T.StructField(src, T.ArrayType(T.StringType()), True))
+        else:
+            fields.append(T.StructField(src, T.StringType(), True))
+    return T.StructType(fields)
+
+
+def _raw_value_expr(parsed: Column, value_col: Column, spec: ColumnSpec) -> Column:
+    """Pick the raw (string-ish) value for one target column."""
+    parts = _split_source_path(spec.source_name)
+    if len(parts) == 1:
+        return parsed.getField(parts[0])
+    # nested path: re-extract from the original message text (gjson path)
+    path = "$." + ".".join(f"['{p}']" if "." in p else p for p in parts)
+    raw = F.get_json_object(value_col, path)
+    if spec.internal in _ARRAY_TYPES:
+        return F.from_json(raw, T.ArrayType(T.StringType()))
+    return raw
+
+
+def parse_json(
+    df: DataFrame,
+    schema: TableSchema,
+    value_col: str = "value",
+    time_unit: float = 1.0,
+    keep_value: bool = False,
+) -> DataFrame:
+    """Parse a JSON ``value`` column into the target table schema.
+
+    Rows whose value is not valid JSON produce all-default rows in the
+    reference only when *fields* are bad; a wholly unparseable message is
+    dropped-but-acked (reference task/task.go:280-287). Use
+    ``with_parse_errors`` to split those out.
+    """
+    specs = list(schema)
+    value = F.col(value_col)
+    raw_schema = _raw_string_schema(specs)
+    parsed = F.from_json(value, raw_schema)
+
+    out_cols: list[Column] = []
+    for spec in specs:
+        ksrc = kafka_virtual_source(spec.name)
+        if ksrc is not None and ksrc in df.columns:
+            out_cols.append(F.col(ksrc).cast(spec.spark_type).alias(spec.name))
+            continue
+        raw = _raw_value_expr(parsed, value, spec)
+        out_cols.append(coerce_expr(raw, spec, time_unit))
+    if keep_value:
+        out_cols.append(value.alias("__raw_value"))
+    passthrough = [c for c in df.columns if c != value_col and not c.startswith("__")]
+    keep = [F.col(c) for c in passthrough if c in {"topic", "partition", "offset"}]
+    return df.select(*keep, *out_cols) if keep else df.select(*out_cols)
+
+
+def with_parse_errors(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Add ``__parse_error`` true when the message is not a JSON object.
+
+    Mirrors PR4: unparseable message -> excluded from the batch but still
+    acked + counted (reference task/ring.go:196-200). Downstream:
+    ``df.filter(~F.col('__parse_error'))`` and observe the error count.
+    """
+    probe = F.try_parse_json(F.col(value_col))
+    return df.withColumn("__parse_error", probe.isNull())
+
+
+def parse_csv(
+    df: DataFrame,
+    schema: TableSchema,
+    csv_format: list[str],
+    delimiter: str = ",",
+    value_col: str = "value",
+    time_unit: float = 1.0,
+) -> DataFrame:
+    """Parse a CSV ``value`` column (one record per message).
+
+    ``csv_format`` is the ordered column list of the CSV record (reference
+    config ``csvFormat``); array-typed targets are embedded JSON strings
+    inside the cell (reference parser/csv.go:41-230).
+    """
+    ddl = ", ".join(f"`{name}` STRING" for name in csv_format)
+    # escape='"' gives RFC-4180 doubled-quote semantics (reference
+    # parser/csv.go uses encoding/csv, which is RFC-4180)
+    parsed = F.from_csv(
+        F.col(value_col),
+        F.lit(ddl),
+        {"sep": delimiter, "mode": "PERMISSIVE", "escape": '"'},
+    )
+    by_source = {s: i for i, s in enumerate(csv_format)}
+    out_cols = []
+    for spec in schema:
+        ksrc = kafka_virtual_source(spec.name)
+        if ksrc is not None and ksrc in df.columns:
+            out_cols.append(F.col(ksrc).cast(spec.spark_type).alias(spec.name))
+            continue
+        if spec.source_name not in by_source:
+            out_cols.append(coerce_expr(F.lit(None).cast("string"), spec, time_unit))
+            continue
+        cell = parsed.getField(spec.source_name)
+        if spec.internal in _ARRAY_TYPES:
+            raw = F.from_json(cell, T.ArrayType(T.StringType()))
+        else:
+            raw = cell
+        out_cols.append(coerce_expr(raw, spec, time_unit))
+    return df.select(*out_cols)
+
+
+# ---------------------------------------------------------------------------
+# P6: per-key type inference (dynamic schema mode)
+# ---------------------------------------------------------------------------
+
+def infer_internal_type(value) -> InternalType:
+    """Infer the internal type of one JSON value, with the reference's
+    priority rules (reference parser/fastjson.go:302-340):
+
+    bool -> Int; integral number -> Int; other number -> Float;
+    string parseable as datetime -> DateTime else String;
+    object -> String (serialized); array -> elem-type array (first
+    non-null element decides; empty/all-null -> Unknown).
+    """
+    from .faithful import parse_datetime_python  # lazy: avoids cycle
+
+    if value is None:
+        return InternalType.UNKNOWN
+    if isinstance(value, bool):
+        return InternalType.INT
+    if isinstance(value, int):
+        return InternalType.INT
+    if isinstance(value, float):
+        return InternalType.INT if float(value).is_integer() else InternalType.FLOAT
+    if isinstance(value, str):
+        if parse_datetime_python(value) is not None:
+            return InternalType.DATETIME
+        return InternalType.STRING
+    if isinstance(value, dict):
+        return InternalType.STRING
+    if isinstance(value, list):
+        elem = next((v for v in value if v is not None), None)
+        it = infer_internal_type(elem)
+        return {
+            InternalType.INT: InternalType.INT_ARRAY,
+            InternalType.FLOAT: InternalType.FLOAT_ARRAY,
+            InternalType.STRING: InternalType.STRING_ARRAY,
+            InternalType.DATETIME: InternalType.DATETIME_ARRAY,
+            InternalType.UNKNOWN: InternalType.UNKNOWN,
+        }.get(it, InternalType.STRING_ARRAY)
+    return InternalType.STRING

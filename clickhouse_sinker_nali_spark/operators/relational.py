@@ -1,0 +1,550 @@
+"""Relational analytics operators (joins / aggregations / windows / set ops).
+
+The reference engine has **no** relational surface (SURVEY.md §2.3-2.7: no
+joins, group-bys, windows, sorts, or set ops — it is a streaming ETL daemon).
+This module is the "free capabilities" analytics layer the Spark build adds:
+every operator is expressed declaratively on the DataFrame API so Catalyst
+does predicate pushdown / column pruning / join selection, and each comes
+with a DuckDB-oracle SQL twin in ``ORACLE_SQL``.
+
+Scale notes (100 TB, ~1000 executors):
+
+- Dimension tables (region/nation/supplier, any side < ~1 GB) are explicitly
+  ``broadcast()`` — no shuffle for the dim side of the star joins.
+- Fact-fact joins (orders ⋈ lineitem) shuffle on the join key; both sides are
+  keyed on the same column so AQE coalesces post-shuffle partitions. On a real
+  deployment the tables would be bucketed by orderkey to skip this shuffle
+  entirely (`spark.sql.sources.bucketing.enabled`).
+- Aggregations are partial (map-side combine) automatically for all
+  algebraic aggs used here (sum/count/min/max/avg).
+- Monetary aggregates run over DECIMAL(12,4) — exact arithmetic, so results
+  are bit-identical regardless of partition/add order (a float sum would be
+  order-dependent and non-reproducible across cluster sizes), then surfaced
+  as DOUBLE (both engines round-to-nearest identically).
+- Top-k uses ``ORDER BY ... LIMIT`` which Spark executes as TakeOrdered
+  (per-partition heap + driver merge of k rows), never a full global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from ..session import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# Exact-arithmetic aggregation discipline: inputs are cast to DECIMAL(12,4)
+# once, and products are summed WITHOUT intermediate re-casts.  Two 4-dp
+# factors give an exact 8-dp product (Spark: (12,4)×(12,4)→(25,8); a third
+# factor lands exactly at the 38-digit cap: (25,8)×(12,4)→(38,12)) — both
+# Spark and DuckDB compute the identical exact decimal, so the final
+# cast-to-double is bit-identical.  Re-casting an 8-dp product back to 4 dp
+# would instead expose HALF_UP (Spark) vs HALF_EVEN (DuckDB) rounding and
+# drift the totals.
+DEC = "decimal(12,4)"
+
+
+# --------------------------------------------------------------------------
+# Q1: pricing summary — the flagship aggregation (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-heavy group-by over lineitem.
+
+    Plan shape to verify with .explain(): parquet scan with
+    PushedFilters=[LessThanOrEqual(l_shipdate,...)], ReadSchema limited to the
+    7 referenced columns, partial_ + final HashAggregate, WholeStageCodegen
+    throughout.  At 100 TB this is embarrassingly parallel: ~4 output rows,
+    map-side combine collapses each input partition to ≤4 rows pre-shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    tax = F.col("l_tax").cast(DEC)
+    one = F.lit(1).cast(DEC)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+            * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+            * (1 - CAST(l_discount AS DECIMAL(12,4)))
+            * (1 + CAST(l_tax AS DECIMAL(12,4)))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Q3: shipping priority — fact-fact join + agg + top-k
+# --------------------------------------------------------------------------
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem, revenue per order, top 10.
+
+    customer is small relative to the facts → broadcast; orders ⋈ lineitem
+    shuffles on orderkey (bucket both by orderkey in a real deployment).
+    Top-k via TakeOrdered with a full deterministic tiebreak.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    return (
+        li.join(
+            orders.join(broadcast(cust), orders.o_custkey == cust.c_custkey),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * (F.lit(1).cast(DEC) - disc)).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+            * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, o_orderkey
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Q5: local supplier volume — 6-way star join
+# --------------------------------------------------------------------------
+
+
+def q5_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region.
+
+    All dims broadcast (nation 25 rows, region 5, supplier tiny relative to
+    facts); only the orders ⋈ lineitem edge shuffles.  Catalyst reorders the
+    dim joins below the fact join automatically.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(price * (F.lit(1).cast(DEC) - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+            * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+
+def window_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + analytic windows over the events stream table.
+
+    row_number / lag / running sum per user ordered by (ts, event_id) — the
+    tiebreak makes frames deterministic.  Single shuffle on user_id; at scale
+    user_id skew is handled by AQE skew-split (enabled in session.py).
+    """
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+            F.lag("value", 1).over(w).alias("prev_value"),
+            F.sum(F.col("value").cast(DEC))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            .alias("running_value"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+WINDOW_SQL = """
+SELECT user_id, event_id, event_type, rn, prev_value, running_value
+FROM (
+    SELECT user_id, event_id, event_type,
+           ROW_NUMBER() OVER w AS rn,
+           LAG(value, 1) OVER w AS prev_value,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE rn <= 5
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity) via window functions.
+
+    The classic batch sessionizer: lag(ts) per user → gap > threshold marks a
+    session start → running sum of markers is the session id.  Two window
+    passes over one shuffle partition-by user_id.  (The streaming twin of
+    this operator is ``session_window`` in streaming/pipeline.py.)
+    """
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_start"),
+    )
+    sess = marked.select(
+        "user_id",
+        "event_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH marked AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch(ts) - epoch(LAG(ts, 1) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                    THEN 1
+                WHEN LAG(ts, 1) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1
+                ELSE 0 END AS is_start
+    FROM events
+), sess AS (
+    SELECT user_id, event_id,
+           SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM marked
+)
+SELECT user_id, session_id, COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+# --------------------------------------------------------------------------
+
+
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (orderpriority, orderstatus) with exact decimal totals."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+"""
+
+
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+
+
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT of customer vs supplier nation keys.
+
+    Each set op is a shuffle-dedup on the key; at scale these are cheap
+    (25 distinct keys) after map-side partial distinct.
+    """
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = cust.intersect(supp).withColumn("which", F.lit("both"))
+    cust_only = cust.distinct().exceptAll(supp.distinct()).withColumn("which", F.lit("customer_only"))
+    supp_only = supp.distinct().exceptAll(cust.distinct()).withColumn("which", F.lit("supplier_only"))
+    return both.unionByName(cust_only).unionByName(supp_only).orderBy("which", "nationkey")
+
+
+SET_OPS_SQL = """
+WITH cust AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     supp AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT nationkey, 'both' AS which FROM (SELECT nationkey FROM cust INTERSECT SELECT nationkey FROM supp)
+UNION ALL
+SELECT nationkey, 'customer_only' AS which FROM (SELECT nationkey FROM cust EXCEPT SELECT nationkey FROM supp)
+UNION ALL
+SELECT nationkey, 'supplier_only' AS which FROM (SELECT nationkey FROM supp EXCEPT SELECT nationkey FROM cust)
+ORDER BY which, nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Sorts / top-k / distinct
+# --------------------------------------------------------------------------
+
+
+def topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 15 parts by retail price — TakeOrdered, not a global sort."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .limit(15)
+    )
+
+
+TOPK_SQL = """
+SELECT p_partkey, p_name, p_brand, p_retailprice
+FROM part
+ORDER BY p_retailprice DESC, p_partkey
+LIMIT 15
+"""
+
+
+def distinct_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (map-side partial distinct at scale)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+DISTINCT_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct (no exact oracle — sketch values
+    are engine-specific; the driver records a rows-only check).
+
+    At 100 TB this replaces countDistinct wherever a ±2% answer is
+    acceptable: it is a fixed-size sketch (no distinct shuffle explosion).
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join (custom operator: Spark has no native ASOF)
+# --------------------------------------------------------------------------
+
+
+def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event, the most recent order of the same customer at ts.
+
+    Composition strategy (SURVEY §2.3 'absent joins'): equality join on the
+    entity key + time filter + row_number()=1 — fully declarative, so
+    Catalyst picks broadcast vs shuffle join by stats.  At 100 TB the
+    union-merge formulation (union both streams, one window pass with
+    last_value(ignore nulls)) avoids the join fan-out entirely; that variant
+    is ``asof_join_merge`` in tests.  Deterministic tiebreak on o_orderkey.
+    """
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    orders = _t(spark, sf_dir, "orders")
+    joined = ev.join(
+        orders,
+        (ev.user_id == orders.o_custkey) & (orders.o_orderdate <= ev.ts),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc_nulls_last(), F.col("o_orderkey").desc_nulls_last()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+        .orderBy("event_id")
+    )
+
+
+ASOF_SQL = """
+SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+FROM (
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+           ROW_NUMBER() OVER (PARTITION BY e.event_id
+                ORDER BY o.o_orderdate DESC NULLS LAST,
+                         o.o_orderkey DESC NULLS LAST) AS rn
+    FROM events e
+    LEFT JOIN orders o
+      ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    WHERE e.event_type = 'purchase'
+)
+WHERE rn = 1
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Range join (the GeoIP-join shape: point-in-interval lookup)
+# --------------------------------------------------------------------------
+
+# Deterministic synthetic value-bucket dimension (the same shape as a GeoIP
+# ip-range table: [lo, hi) -> attributes).  Shared by the Spark builder and
+# the SQL oracle below.
+_VALUE_BUCKETS = [
+    (0.0, 10.0, "tiny"),
+    (10.0, 50.0, "small"),
+    (50.0, 120.0, "medium"),
+    (120.0, 250.0, "large"),
+    (250.0, 1e9, "huge"),
+]
+
+
+def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval broadcast range join (GeoIP lookup shape, SURVEY J1).
+
+    The interval dim is tiny → ``broadcast`` makes this a BroadcastNestedLoop
+    with a range predicate — exactly the plan a 100 TB GeoIP enrichment
+    wants (the geo table is ~1 M ranges ≈ 50 MB, broadcastable).
+    """
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(_VALUE_BUCKETS, "lo double, hi double, bucket string")
+    return (
+        ev.join(broadcast(dim), (ev.value >= dim.lo) & (ev.value < dim.hi), "left")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_BUCKETS_VALUES = ", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in _VALUE_BUCKETS)
+
+RANGE_JOIN_SQL = f"""
+WITH dim(lo, hi, bucket) AS (VALUES {_BUCKETS_VALUES})
+SELECT bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+FROM events e
+LEFT JOIN dim ON e.value >= dim.lo AND e.value < dim.hi
+GROUP BY bucket
+ORDER BY bucket
+"""

@@ -61,5 +61,25 @@ def get_spark(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one of the driver's parquet tables."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one of the driver's parquet tables.
+
+    The ``events`` table is written with nanosecond timestamps, which the
+    Spark parquet reader rejects by default (PARQUET_TYPE_ILLEGAL).  We read
+    nanos as long (``spark.sql.legacy.parquet.nanosAsLong``) and convert to
+    microsecond TimestampType JVM-side — truncation toward zero matches how
+    DuckDB/pyarrow narrow ns → µs.  Conversion is a pure projection: no
+    shuffle, fully codegen'd, negligible at 100 TB.
+    """
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        # integer `div`, not `/`: float division would round ns/1000 up at
+        # 1e18 magnitudes (doubles have 53-bit mantissas) instead of
+        # truncating like pyarrow/DuckDB do.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df

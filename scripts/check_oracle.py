@@ -1,0 +1,127 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry from ``__spark_entry__`` and compares it to
+``oracle_sql()`` via DuckDB on the same parquet tables: row count, column
+names, and an order-insensitive value hash (columns sorted by name, rows
+sorted, values canonicalized).
+
+Usage: python scripts/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(round(v, 6))
+    if isinstance(v, Decimal):
+        return repr(round(float(v), 6))
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.strftime("%Y-%m-%d")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as mod
+    from clickhouse_sinker_nali_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            srows = df.collect()
+            scols = df.columns
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            failed.append(name)
+            continue
+        if name not in oracles:
+            print(f"weak  {name}: rows={len(srows)} (no oracle, rows-only check)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failed.append(name)
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} != {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+        else:
+            sh = value_hash(scols, [tuple(r) for r in srows])
+            oh = value_hash(ocols, orows)
+            if sh != oh:
+                problems.append(f"value hash {sh} != {oh}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            failed.append(name)
+            # dump a few rows to debug
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_o = sorted(range(len(ocols)), key=lambda i: ocols[i]) if sorted(scols) == sorted(ocols) else None
+            s_lines = sorted("|".join(canon(r[i]) for i in order_s) for r in [tuple(x) for x in srows])
+            if order_o is not None:
+                o_lines = sorted("|".join(canon(r[i]) for i in order_o) for r in orows)
+                for a, b in list(zip(s_lines, o_lines))[:40]:
+                    if a != b:
+                        print(f"      spark : {a}\n      duckdb: {b}")
+        else:
+            print(f"ok    {name}: rows={len(srows)}")
+    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

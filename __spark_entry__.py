@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
+from clickhouse_sinker_nali_spark.operators import dedup as D
+from clickhouse_sinker_nali_spark.operators import ingest as I
+from clickhouse_sinker_nali_spark.operators import multimodal as M
 from clickhouse_sinker_nali_spark.operators import relational as R
+from clickhouse_sinker_nali_spark.operators import similarity as S
+from clickhouse_sinker_nali_spark.operators import text as T
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -42,6 +47,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": R.approx_distinct_users,
         "asof_join_events_orders": R.asof_join_events_orders,
         "range_join_buckets": R.range_join_buckets,
+        # dedup family (documents / embeddings)
+        "dedup_exact": D.dedup_exact,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "minhash_signatures": D.minhash_signatures,
+        "dedup_minhash_lsh": D.dedup_minhash_lsh,
+        "simhash_signatures": D.simhash_signatures,
+        "dedup_simhash": D.dedup_simhash,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        # similarity search
+        "ann_bruteforce_topk": S.ann_bruteforce_topk,
+        "ann_lsh_topk": S.ann_lsh_topk,
+        # text analysis
+        "lang_id": T.lang_id,
+        "token_stats": T.token_stats,
+        "quality_score": T.quality_score,
+        "doc_fingerprint": T.doc_fingerprint,
+        # multimodal (Pandas-UDF plumbing, deterministic fake decode)
+        "multimodal_decode_meta": M.multimodal_decode_meta,
+        "multimodal_frame_sample": M.multimodal_frame_sample,
+        # ingest-engine parity (parsers / coercion / datetime / shard / enrich)
+        "ingest_json_coerce": I.ingest_json_coerce,
+        "ingest_csv_parse": I.ingest_csv_parse,
+        "ingest_datetime_layouts": I.ingest_datetime_layouts,
+        "shard_routing": I.shard_routing,
+        "geoip_enrich": I.geoip_enrich,
+        "class_normalize": I.class_normalize,
+        "prometheus_series_split": I.prometheus_series_split,
     }
 
 
@@ -60,4 +92,26 @@ def oracle_sql() -> dict[str, str]:
         # approx_distinct_users: sketch-valued, rows-only check by design
         "asof_join_events_orders": R.ASOF_SQL,
         "range_join_buckets": R.RANGE_JOIN_SQL,
+        "dedup_exact": D.DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": D.DEDUP_JACCARD_SQL,
+        "minhash_signatures": D.MINHASH_SIG_SQL,
+        "dedup_minhash_lsh": D.DEDUP_MINHASH_SQL,
+        "simhash_signatures": D.SIMHASH_SIG_SQL,
+        "dedup_simhash": D.DEDUP_SIMHASH_SQL,
+        "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,
+        "ann_bruteforce_topk": S.ANN_BRUTEFORCE_SQL,
+        "ann_lsh_topk": S.ANN_LSH_SQL,
+        "lang_id": T.LANG_ID_SQL,
+        "token_stats": T.TOKEN_STATS_SQL,
+        "quality_score": T.QUALITY_SQL,
+        "doc_fingerprint": T.DOC_FINGERPRINT_SQL,
+        "multimodal_decode_meta": M.MULTIMODAL_DECODE_SQL,
+        "multimodal_frame_sample": M.MULTIMODAL_FRAMES_SQL,
+        "ingest_json_coerce": I.INGEST_JSON_SQL,
+        "ingest_csv_parse": I.INGEST_CSV_SQL,
+        "ingest_datetime_layouts": I.INGEST_DATETIME_SQL,
+        "shard_routing": I.SHARD_SQL,
+        "geoip_enrich": I.GEOIP_SQL,
+        "class_normalize": I.CLASS_NORMALIZE_SQL,
+        "prometheus_series_split": I.PROMETHEUS_SQL,
     }

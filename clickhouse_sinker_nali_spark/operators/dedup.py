@@ -1,0 +1,438 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash, and
+embedding-cosine near-dup — the operator family a 100 TB pretraining-data
+pipeline runs over its ``documents`` table.  The reference engine's only
+dedup is the Prometheus series first-occurrence-wins distinct
+(reference ``output/clickhouse.go:110-130``); everything here is the
+beyond-reference layer.
+
+All hashes are the portable md5-based 60-bit hash (functions/__init__.py) so
+every result is reproducible in the DuckDB oracle.
+
+Scale notes (100 TB, ~1000 executors):
+
+- **Exact dedup** is one hash-shuffle on a 60-bit digest — not the document
+  text — so shuffle payload is ~16 bytes/row regardless of doc size.
+- **Pairwise Jaccard** (the naive quadratic verifier) is only run on
+  *candidate pairs* produced by the shingle inverted index (docs sharing ≥1
+  shingle); at 100 TB you run MinHash+LSH instead — candidates come from
+  banded signature buckets (tiny), and exact Jaccard verifies only those.
+- **SimHash** reduces each doc to one 16-bit signature (map-side), and the
+  pigeonhole band join (4 chunks of 4 bits; hamming ≤ 3 ⇒ ≥ 1 identical
+  chunk) finds all close pairs with an equi-join — no quadratic blowup.
+- **Embedding near-dup** blocks on the cluster label (in production: an IVF
+  coarse quantizer / LSH bucket) so the quadratic verify runs per-block.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import (
+    portable_hash64,
+    portable_hash64_sql,
+    word_shingles,
+    word_shingles_sql,
+)
+from ..session import load_table
+
+MINHASH_K = 16  # signature length
+# 2 bands × 8 rows: collision probability j^8 per band.  With 4-row bands
+# this corpus (tiny shared vocabulary → globally-minimal shingle hashes
+# recur across docs) produced near-quadratic candidate sets at sf0.1;
+# 8-row bands keep candidates ∝ true near-dups while still catching
+# everything with jaccard ≳ 0.7 w.h.p. — the right operating point when
+# the downstream verify is exact anyway.
+MINHASH_BANDS = 2
+MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
+JACCARD_THRESHOLD = 0.1
+SIMHASH_BITS = 16
+SIMHASH_CHUNKS = 4  # pigeonhole: hamming<=3 → >=1 identical 4-bit chunk
+COSINE_THRESHOLD = 0.4
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(word_shingles("text", k)).alias("shingle")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a content digest; survivor = min doc_id.
+
+    groupBy on the 60-bit digest (map-side partial agg → one narrow
+    shuffle).  Returns one row per distinct content with the surviving id
+    and the duplicate count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(portable_hash64("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("survivor_doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT {portable_hash64_sql('text')} AS content_hash,
+       MIN(doc_id) AS survivor_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY content_hash
+ORDER BY survivor_doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup (inverted-index candidates + exact verify)
+# --------------------------------------------------------------------------
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by 3-word-shingle Jaccard ≥ 0.1.
+
+    Candidates from the shingle inverted index (self-equi-join on shingle —
+    only docs sharing a shingle ever meet), then exact Jaccard on the
+    candidate set.  The shingle join is the scale hazard: hot shingles fan
+    out quadratically, which is why the LSH variant below is the 100 TB
+    path; here the vocabulary is small and AQE skew-split handles it.
+    """
+    sh = _shingle_df(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_JACCARD_SQL = f"""
+WITH sh AS ({word_shingles_sql('documents', 'doc_id', 'text', 3)}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.doc_a = sa.doc_id
+JOIN sizes sb ON inter.doc_b = sb.doc_id
+WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# --------------------------------------------------------------------------
+
+
+_MINHASH_MOD = 1 << 31
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=16 MinHash signature per doc via the 2-hash affine family:
+    h_i(s) = hA(s) + i·hB(s), with hA/hB = portable 31-bit hashes.
+
+    Two md5s per shingle instead of K (the classic Broder construction);
+    the 16 affine combinations are integer arithmetic.  One
+    groupBy(doc_id) with 16 min-aggregates — a single narrow shuffle with
+    map-side combine; 31-bit bases keep hA + 15·hB far from int64 overflow
+    (DuckDB would raise on overflow; Spark would silently wrap —
+    divergence either way).
+    """
+    sh = _shingle_df(spark, sf_dir)
+    ha = F.pmod(portable_hash64(F.concat(F.lit("a:"), F.col("shingle"))), F.lit(_MINHASH_MOD))
+    hb = F.pmod(portable_hash64(F.concat(F.lit("b:"), F.col("shingle"))), F.lit(_MINHASH_MOD))
+    based = sh.select("doc_id", ha.alias("ha"), hb.alias("hb"))
+    aggs = [
+        F.min(F.col("ha") + F.lit(i) * F.col("hb")).alias(f"h{i}")
+        for i in range(MINHASH_K)
+    ]
+    return based.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+_HA_SQL = f"({portable_hash64_sql(chr(39) + 'a:' + chr(39) + ' || shingle')} % {_MINHASH_MOD})"
+_HB_SQL = f"({portable_hash64_sql(chr(39) + 'b:' + chr(39) + ' || shingle')} % {_MINHASH_MOD})"
+
+MINHASH_SIG_SQL = (
+    "WITH sh AS (" + word_shingles_sql("documents", "doc_id", "text", 3) + "),\n"
+    f"based AS (SELECT doc_id, {_HA_SQL} AS ha, {_HB_SQL} AS hb FROM sh)\n"
+    "SELECT doc_id, "
+    + ", ".join(f"MIN(ha + {i} * hb) AS h{i}" for i in range(MINHASH_K))
+    + "\nFROM based GROUP BY doc_id ORDER BY doc_id"
+)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded MinHash near-dup: candidates from band buckets, then exact
+    Jaccard verify on candidates only.
+
+    Bands: 4 bands × 4 signature rows; band key = md5 of the 4 values.
+    Docs landing in the same (band, key) bucket become candidates — an
+    equi-join, never quadratic in corpus size.  This is THE 100 TB dedup
+    path: signature generation is map-side, banding is an exact-key shuffle,
+    and the expensive Jaccard runs only on bucket collisions.
+    """
+    sigs = minhash_signatures(spark, sf_dir)
+    band_cols = []
+    for b in range(MINHASH_BANDS):
+        cols = [
+            F.col(f"h{b * MINHASH_ROWS + r}").cast("string")
+            for r in range(MINHASH_ROWS)
+        ]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("key"))
+        )
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verify on candidates only
+    sh = _shingle_df(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    inter = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _band_key_sql(b: int) -> str:
+    cols = " || ',' || ".join(
+        f"h{b * MINHASH_ROWS + r}::VARCHAR" for r in range(MINHASH_ROWS)
+    )
+    return f"md5({cols})"
+
+
+DEDUP_MINHASH_SQL = (
+    "WITH sh AS (" + word_shingles_sql("documents", "doc_id", "text", 3) + "),\n"
+    f"based AS (SELECT doc_id, {_HA_SQL} AS ha, {_HB_SQL} AS hb FROM sh),\n"
+    "sigs AS (SELECT doc_id, "
+    + ", ".join(f"MIN(ha + {i} * hb) AS h{i}" for i in range(MINHASH_K))
+    + " FROM based GROUP BY doc_id),\n"
+    "banded AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS key FROM sigs"
+        for b in range(MINHASH_BANDS)
+    )
+    + "),\n"
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+    "         FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key\n"
+    "          AND a.doc_id < b.doc_id),\n"
+    "sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),\n"
+    "inter AS (SELECT doc_a, doc_b, COUNT(*) AS n_common\n"
+    "          FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b\n"
+    "           AND a.shingle = b.shingle GROUP BY 1, 2)\n"
+    "SELECT doc_a, doc_b,\n"
+    "       n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard\n"
+    "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id\n"
+    f"WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}\n"
+    "ORDER BY doc_a, doc_b"
+)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per doc over word hashes weighted by occurrence count.
+
+    bit b of the signature = sign of Σ_words (±count), + if word-hash bit b
+    is set.  Entirely map-reducible: one groupBy(doc_id, word), one
+    groupBy(doc_id) with 16 conditional sums.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
+    )
+    wc = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("wh", portable_hash64("word"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"(wh div {1 << b}) % 2") == 1, F.col("cnt")).otherwise(-F.col("cnt"))
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = wc.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("doc_id", sig.cast("bigint").alias("simhash")).orderBy("doc_id")
+
+
+SIMHASH_SIG_SQL = (
+    "WITH wc AS (\n"
+    "  SELECT doc_id, word, COUNT(*) AS cnt, "
+    + portable_hash64_sql("word")
+    + " AS wh\n"
+    "  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)\n"
+    "  GROUP BY doc_id, word\n"
+    "),\n"
+    "sums AS (SELECT doc_id, "
+    + ", ".join(
+        f"SUM(CASE WHEN (wh // {1 << b}) % 2 = 1 THEN cnt ELSE -cnt END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    + " FROM wc GROUP BY doc_id)\n"
+    "SELECT doc_id, ("
+    + " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS))
+    + ")::BIGINT AS simhash FROM sums ORDER BY doc_id"
+)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance ≤ 3 on 16-bit signatures.
+
+    Pigeonhole banding: split the signature into 4 chunks of 4 bits; any
+    pair within hamming 3 shares ≥ 1 identical chunk, so an equi-join on
+    (chunk_idx, chunk_value) finds ALL such pairs exactly — no quadratic
+    scan.  This is how simhash dedup runs over billions of docs.
+    """
+    sigs = simhash_signatures(spark, sf_dir)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("idx"),
+                F.expr(f"(simhash div {1 << (c * 4)}) % 16").alias("val"),
+            )
+            for c in range(SIMHASH_CHUNKS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", "simhash", F.explode(chunks).alias("ck")
+    ).select("doc_id", "simhash", F.col("ck.idx").alias("idx"), F.col("ck.val").alias("val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.idx") == F.col("b.idx"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.expr("a.simhash ^ b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )
+    return pairs
+
+
+DEDUP_SIMHASH_SQL = (
+    "WITH sigs AS ("
+    + SIMHASH_SIG_SQL.replace("ORDER BY doc_id", "")
+    + "),\n"
+    "banded AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS idx, (simhash // {1 << (c * 4)}) % 16 AS val FROM sigs"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    + ")\n"
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+    "       bit_count(xor(a.simhash, b.simhash)) AS hamming\n"
+    "FROM banded a JOIN banded b ON a.idx = b.idx AND a.val = b.val AND a.doc_id < b.doc_id\n"
+    "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3\n"
+    "ORDER BY doc_a, doc_b"
+)
+
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup vector pairs: cosine ≥ 0.4 within a blocking key (label).
+
+    Blocking on the coarse cluster label keeps the pairwise verify
+    per-block (in production the block key is an IVF/LSH bucket, same
+    shape).  Cosine is the JVM-side zip_with/aggregate fold — doubles, no
+    Python, deterministic.
+    """
+    from ..functions import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("label"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("label", "vec_a", "vec_b", cosine("ea", "eb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""
+SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       (list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) AS cos_sim
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE (list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+           * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) >= {COSINE_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""

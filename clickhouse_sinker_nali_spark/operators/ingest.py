@@ -1,0 +1,381 @@
+"""Ingest-engine parity queries: the reference's dataflow stages exercised
+as oracle-checked batch operators over the driver's test tables.
+
+Each query routes real engine code (parsers.parse_json / parse_csv,
+coerce.coerce_expr, datetimes cascade, functions.shard_*, enrich.*) over
+synthesized message payloads derived deterministically from the test
+tables, with a DuckDB twin that recomputes the expected result from first
+principles.  This is how the streaming hot path (SURVEY.md §3.2) gets a
+correctness oracle without a Kafka broker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datetimes import parse_datetime_str
+from ..enrich import (
+    GEO_BASE,
+    GEO_BLOCK,
+    GEO_BLOCKS,
+    GEO_ISPS,
+    GEO_LOCS,
+    GEO_UNKNOWN,
+    SERVICE_MAP,
+    build_geo_ranges,
+    enrich_ips,
+    normalize_class,
+)
+from ..functions import portable_hash64_sql, shard_hash, shard_stripe
+from ..parsers import parse_csv, parse_json
+from ..schema import TableSchema
+from ..session import load_table
+
+
+# --------------------------------------------------------------------------
+# P1 + §1.2 coercion: JSON parse with lenient defaults + virtual columns
+# --------------------------------------------------------------------------
+
+
+def ingest_json_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.props through the real JSON parse/coerce pipeline.
+
+    Schema: ``k`` Int64 (missing/bad → 0), ``s`` String sourced from an
+    absent field (→ ''), ``f`` Nullable(Float64) from an absent field
+    (→ NULL), plus the ``__kafka_offset`` virtual column (filled from the
+    message offset — here the event id).  Exercises P1, PR1-PR2, and the
+    §1.2 default-value semantics end-to-end, all inside whole-stage codegen.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    msgs = ev.select(
+        F.col("event_id").alias("offset"), F.col("props").alias("value")
+    )
+    schema = TableSchema.from_dims(
+        [
+            {"name": "__kafka_offset", "type": "Int64"},
+            {"name": "k", "type": "Int64"},
+            {"name": "s", "type": "String", "sourcename": "missing_str"},
+            {"name": "f", "type": "Nullable(Float64)", "sourcename": "missing_f"},
+        ]
+    )
+    out = parse_json(msgs, schema).drop("offset")
+    return out.withColumnRenamed("__kafka_offset", "event_id").orderBy("event_id")
+
+
+INGEST_JSON_SQL = """
+SELECT event_id,
+       COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), 0) AS k,
+       '' AS s,
+       NULL::DOUBLE AS f
+FROM events
+ORDER BY event_id
+"""
+
+
+# --------------------------------------------------------------------------
+# P3: CSV parse round-trip
+# --------------------------------------------------------------------------
+
+
+def ingest_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders rendered as CSV messages, re-parsed by the real CSV pipeline.
+
+    Round-trip property: parse(render(row)) == row.  The oracle just reads
+    the original columns, so any drift in the parser or coercion shows up
+    as a hash mismatch.  Doubles survive because Spark's double→string is
+    shortest-roundtrip (Ryu).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    value = F.concat_ws(
+        ",",
+        F.col("o_orderkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+    )
+    msgs = orders.select(value.alias("value"))
+    schema = TableSchema.from_dims(
+        [
+            {"name": "o_orderkey", "type": "Int64"},
+            {"name": "o_orderstatus", "type": "String"},
+            {"name": "o_totalprice", "type": "Float64"},
+            {"name": "o_orderdate", "type": "DateTime"},
+        ]
+    )
+    out = parse_csv(
+        msgs, schema, ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    )
+    return out.orderBy("o_orderkey")
+
+
+INGEST_CSV_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# P4: multi-layout datetime cascade
+# --------------------------------------------------------------------------
+
+
+def ingest_datetime_layouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """o_orderdate rendered in 3 different layouts (keyed by orderkey % 3),
+    re-parsed through the 27-layout cascade.
+
+    Round-trip property: the cascade must recover the original timestamp
+    regardless of which layout each row used — including the RFC1123 form
+    with a day-name prefix and GMT zone (the cascade strips day names;
+    SURVEY §2.1 P4).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    branch = F.col("o_orderkey") % 3
+    rendered = (
+        F.when(branch == 0, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .when(branch == 1, F.date_format("o_orderdate", "dd/MM/yyyy HH:mm:ss"))
+        .otherwise(F.date_format("o_orderdate", "EEE, dd MMM yyyy HH:mm:ss 'GMT'"))
+    )
+    msgs = orders.select("o_orderkey", rendered.alias("raw_ts"))
+    return msgs.select(
+        "o_orderkey",
+        "raw_ts",
+        parse_datetime_str(F.col("raw_ts")).alias("parsed_ts"),
+    ).orderBy("o_orderkey")
+
+
+INGEST_DATETIME_SQL = """
+SELECT o_orderkey,
+       CASE o_orderkey % 3
+            WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+            WHEN 1 THEN strftime(o_orderdate, '%d/%m/%Y %H:%M:%S')
+            ELSE strftime(o_orderdate, '%a, %d %b %Y %H:%M:%S GMT')
+       END AS raw_ts,
+       o_orderdate AS parsed_ts
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# K2/F5: shard routing
+# --------------------------------------------------------------------------
+
+
+def shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stripe + hash shard assignment over orders, summarized per shard.
+
+    stripe: (o_custkey / 8) % 4 (reference task/sharding.go:62-76);
+    hash: portable_hash64(orderkey string) % 4 (:91-98, portable variant —
+    see functions module docstring for the xxhash64 parity note).
+    In the sink these exprs feed ``df.repartition(n, expr)`` so each writer
+    partition maps 1:1 to a ClickHouse shard connection.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    assigned = orders.select(
+        shard_stripe("o_custkey", 8, 4).alias("stripe_shard"),
+        shard_hash(F.col("o_orderkey"), 4).alias("hash_shard"),
+        "o_orderkey",
+    )
+    return (
+        assigned.groupBy("stripe_shard", "hash_shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("stripe_shard", "hash_shard")
+    )
+
+
+SHARD_SQL = f"""
+SELECT (o_custkey // 8) % 4 AS stripe_shard,
+       {portable_hash64_sql("o_orderkey::VARCHAR")} % 4 AS hash_shard,
+       COUNT(*) AS n_rows,
+       MIN(o_orderkey) AS min_key,
+       MAX(o_orderkey) AS max_key
+FROM orders
+GROUP BY 1, 2
+ORDER BY stripe_shard, hash_shard
+"""
+
+
+# --------------------------------------------------------------------------
+# J1/F1: GeoIP interval enrichment
+# --------------------------------------------------------------------------
+
+
+def geoip_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic-IP GeoIP enrichment via the broadcast interval join.
+
+    ip = GEO_BASE + (user_id·97777) % (blocks·block + spill) — the spill
+    keeps ~6% of IPs outside every interval to exercise the 未知 default.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    span = GEO_BLOCKS * GEO_BLOCK
+    ip_int = (F.lit(GEO_BASE) + (F.col("user_id") * 97777) % int(span * 1.0625)).alias(
+        "ip_int"
+    )
+    df = ev.select("event_id", "user_id", ip_int)
+    out = enrich_ips(df, build_geo_ranges(spark), "ip_int")
+    return (
+        out.groupBy("loc", "isp")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("loc", "isp")
+    )
+
+
+_LOCS_SQL = "[" + ", ".join(f"'{x}'" for x in GEO_LOCS) + "]"
+_ISPS_SQL = "[" + ", ".join(f"'{x}'" for x in GEO_ISPS) + "]"
+
+GEOIP_SQL = f"""
+WITH ips AS (
+    SELECT event_id,
+           (user_id * 97777) % CAST({GEO_BLOCKS * GEO_BLOCK} * 1.0625 AS BIGINT)
+               AS off
+    FROM events
+), tagged AS (
+    SELECT event_id,
+           CASE WHEN off < {GEO_BLOCKS * GEO_BLOCK}
+                THEN ({_LOCS_SQL})[(off // {GEO_BLOCK}) % {len(GEO_LOCS)} + 1]
+                ELSE '{GEO_UNKNOWN}' END AS loc,
+           CASE WHEN off < {GEO_BLOCKS * GEO_BLOCK}
+                THEN ({_ISPS_SQL})[(off // {GEO_BLOCK}) % {len(GEO_ISPS)} + 1]
+                ELSE '{GEO_UNKNOWN}' END AS isp
+    FROM ips
+)
+SELECT loc, isp, COUNT(*) AS n_events
+FROM tagged
+GROUP BY loc, isp
+ORDER BY loc, isp
+"""
+
+
+# --------------------------------------------------------------------------
+# J2/F2: serviceMap class normalization
+# --------------------------------------------------------------------------
+
+
+def class_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nali class-normalization pipeline on synthetic flow rows.
+
+    proto/ports/class derived deterministically from events; the
+    normalization applies the reference's actual rules, including the
+    keep-ClassList[1] quirk for 'A/B' classes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    proto = F.when(F.col("event_id") % 2 == 0, "tcp").otherwise("udp")
+    port_src = F.when(F.col("user_id") % 3 == 0, 80).otherwise(
+        F.col("user_id") % 1024
+    )
+    port_dst = F.when(F.col("user_id") % 5 == 0, 53).otherwise(
+        (F.col("user_id") * 7) % 1024
+    )
+    cls = (
+        F.when(F.col("value") < 50, "Unknown/Unknown")
+        .when(F.col("value") < 150, "HTTP/HTTPS")
+        .otherwise("SSH/SSH")
+    )
+    flows = ev.select(
+        "event_id",
+        proto.alias("proto"),
+        port_src.alias("port_src"),
+        port_dst.alias("port_dst"),
+        cls.alias("class"),
+    )
+    out = flows.withColumn(
+        "class_norm",
+        normalize_class(
+            F.col("class"), F.col("proto"), F.col("port_src"), F.col("port_dst")
+        ),
+    )
+    return (
+        out.groupBy("proto", "class", "class_norm")
+        .agg(F.count(F.lit(1)).alias("n_flows"))
+        .orderBy("proto", "class", "class_norm")
+    )
+
+
+_SVC_VALUES = ", ".join(f"('{k}', '{v}')" for k, v in sorted(SERVICE_MAP.items()))
+
+CLASS_NORMALIZE_SQL = f"""
+WITH svc(key, service) AS (VALUES {_SVC_VALUES}),
+flows AS (
+    SELECT event_id,
+           CASE WHEN event_id % 2 = 0 THEN 'tcp' ELSE 'udp' END AS proto,
+           CASE WHEN user_id % 3 = 0 THEN 80 ELSE user_id % 1024 END AS port_src,
+           CASE WHEN user_id % 5 = 0 THEN 53 ELSE (user_id * 7) % 1024 END AS port_dst,
+           CASE WHEN value < 50 THEN 'Unknown/Unknown'
+                WHEN value < 150 THEN 'HTTP/HTTPS'
+                ELSE 'SSH/SSH' END AS class
+    FROM events
+), norm AS (
+    SELECT f.proto, f.class,
+           CASE WHEN f.class = 'Unknown/Unknown'
+                THEN COALESCE(s1.service, s2.service, f.class)
+                WHEN string_split(f.class, '/')[1] <> string_split(f.class, '/')[2]
+                THEN string_split(f.class, '/')[2]
+                ELSE f.class END AS class_norm
+    FROM flows f
+    LEFT JOIN svc s1 ON s1.key = f.proto || ':' || f.port_src
+    LEFT JOIN svc s2 ON s2.key = f.proto || ':' || f.port_dst
+)
+SELECT proto, class, class_norm, COUNT(*) AS n_flows
+FROM norm
+GROUP BY proto, class, class_norm
+ORDER BY proto, class, class_norm
+"""
+
+
+# --------------------------------------------------------------------------
+# Prometheus mode: metric/series split with deduped series ids
+# --------------------------------------------------------------------------
+
+
+def prometheus_series_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Prometheus-schema split (reference model/message.go:171-212):
+    string dims become a deduplicated series table keyed by a hash of the
+    sorted ``###name###value`` label pairs; numeric dims + the series id go
+    to the metric table.
+
+    Here: labels = (event_type, user_id) over events; the query returns the
+    deduplicated series table (first-occurrence-wins ≡ min event_id, the
+    reference's CheckedAdd bitmap semantics).  Series id uses the portable
+    hash (see functions module for the xxhash64 parity note).
+    """
+    from ..functions import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    label_str = F.concat(
+        F.lit("###event_type###"),
+        F.col("event_type"),
+        F.lit("###user_id###"),
+        F.col("user_id").cast("string"),
+    )
+    tagged = ev.select(
+        portable_hash64(label_str).alias("series_id"),
+        "event_type",
+        "user_id",
+        "event_id",
+    )
+    return (
+        tagged.groupBy("series_id", "event_type", "user_id")
+        .agg(F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("n_points"))
+        .orderBy("series_id")
+    )
+
+
+_SERIES_HASH = portable_hash64_sql(
+    "'###event_type###' || event_type || '###user_id###' || user_id::VARCHAR"
+)
+
+PROMETHEUS_SQL = f"""
+SELECT {_SERIES_HASH} AS series_id,
+       event_type, user_id,
+       MIN(event_id) AS first_event_id,
+       COUNT(*) AS n_points
+FROM events
+GROUP BY series_id, event_type, user_id
+ORDER BY series_id
+"""

@@ -1,0 +1,184 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with typed metadata
+structs; decode / feature-extract / frame-sample run as Arrow-batched
+Pandas UDFs over ``mapInPandas`` — the only sane shape for Python media
+libs at scale (one Python worker per partition, Arrow zero-copy batches,
+no per-row serialization).
+
+The container has no image/audio libraries, so the actual decoders are
+STUBBED: ``decode_image_meta`` tries PIL and falls back to a clearly-marked
+deterministic fake (md5-derived dimensions).  The Spark-side plumbing —
+binary schema, mapInPandas signature, Arrow batch shape, partition
+behavior — is real and tested.  The fake decode is md5-based so the DuckDB
+oracle reproduces it exactly (a real decoder would be checked rows-only).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..session import load_table
+
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_hash", LongType()),
+    ]
+)
+
+
+def attach_binary(docs: DataFrame) -> DataFrame:
+    """Materialize an opaque binary payload column (here: utf-8 of text).
+
+    In a real pipeline this column arrives from the source (parquet BINARY /
+    a blob-store pointer resolved by a reader UDF); everything downstream
+    only assumes ``blob: binary``.
+    """
+    return docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("blob"))
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, str]:
+    """Deterministic fake image decode (md5-derived dims).
+
+    STUB: the real implementation would be e.g.::
+
+        from PIL import Image
+        img = Image.open(io.BytesIO(payload)); return img.width, img.height, img.format
+
+    md5-derived so the DuckDB oracle can verify the plumbing end-to-end.
+    """
+    h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+    return (h % 1920 + 1, h % 1080 + 1, ["jpeg", "png", "webp"][h % 3])
+
+
+def decode_image_meta(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched 'decode' of binary payloads → typed metadata.
+
+    mapInPandas: each Arrow batch arrives as a pandas DataFrame; the UDF
+    appends decoded metadata columns.  Partitioning is preserved — no
+    shuffle; Python cost is one round-trip per batch, not per row.
+    """
+    try:  # real decoder unavailable in this container — gate the import
+        import PIL.Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["blob"]
+            if have_pil:
+                raise NotImplementedError(
+                    "real PIL decode path not exercised in this container"
+                )
+            decoded = [_fake_decode(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": payloads.map(len).astype("int32"),
+                    "width": pd.Series([d[0] for d in decoded], dtype="int32"),
+                    "height": pd.Series([d[1] for d in decoded], dtype="int32"),
+                    "format": [d[2] for d in decoded],
+                }
+            )
+
+    return blobs.mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → binary payloads → Pandas-UDF decode → metadata table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_meta(attach_binary(docs)).orderBy("doc_id")
+
+
+# DuckDB twin of the md5-derived fake decode (text is ASCII in the corpus,
+# so md5(text) == md5(utf8 bytes) and strlen == byte length).
+_H = "(('0x' || substr(md5(text), 1, 15))::BIGINT)"
+
+MULTIMODAL_DECODE_SQL = f"""
+SELECT doc_id,
+       strlen(text)::INTEGER AS byte_len,
+       ({_H} % 1920 + 1)::INTEGER AS width,
+       ({_H} % 1080 + 1)::INTEGER AS height,
+       (['jpeg', 'png', 'webp'])[{_H} % 3 + 1] AS format
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def sample_frames(blobs: DataFrame, max_frames: int = 4) -> DataFrame:
+    """Frame-sampling stub for video payloads: 1 row per sampled frame.
+
+    Real implementation would pyav/ffmpeg-decode and emit keyframes; the
+    deterministic fake emits ``(hash % max_frames) + 1`` frames whose hash
+    chains the payload hash with the frame index.  mapInPandas emitting a
+    *different* row count than the input demonstrates the explode-shaped
+    UDF contract (output need not align 1:1 with input rows).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_hash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["blob"]):
+                h = int(hashlib.md5(bytes(payload)).hexdigest()[:15], 16)
+                n = h % max_frames + 1
+                for i in range(n):
+                    fh = int(
+                        hashlib.md5(f"{h}:{i}".encode()).hexdigest()[:15], 16
+                    )
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_hash"].append(fh)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int32"),
+                    "frame_hash": pd.Series(out["frame_hash"], dtype="int64"),
+                }
+            )
+
+    return blobs.mapInPandas(gen, FRAME_SCHEMA)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(attach_binary(docs)).orderBy("doc_id", "frame_idx")
+
+
+MULTIMODAL_FRAMES_SQL = f"""
+WITH base AS (
+    SELECT doc_id, {_H} AS h, {_H} % 4 + 1 AS n_frames FROM documents
+)
+SELECT doc_id, i::INTEGER AS frame_idx,
+       (('0x' || substr(md5(h::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT)
+           AS frame_hash
+FROM base, LATERAL (SELECT unnest(range(0, n_frames)) AS i)
+ORDER BY doc_id, frame_idx
+"""

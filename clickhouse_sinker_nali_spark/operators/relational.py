@@ -524,7 +524,23 @@ def range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     wants (the geo table is ~1 M ranges ≈ 50 MB, broadcastable).
     """
     ev = _t(spark, sf_dir, "events")
-    dim = spark.createDataFrame(_VALUE_BUCKETS, "lo double, hi double, bucket string")
+    # literal inline table (LocalTableScan) instead of createDataFrame:
+    # keeps the broadcast side inside Catalyst/codegen (an ExistingRDD scan
+    # would fence off whole-stage codegen around the join)
+    dim = spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lo).alias("lo"),
+                        F.lit(hi).alias("hi"),
+                        F.lit(b).alias("bucket"),
+                    )
+                    for lo, hi, b in _VALUE_BUCKETS
+                ]
+            )
+        )
+    )
     return (
         ev.join(broadcast(dim), (ev.value >= dim.lo) & (ev.value < dim.hi), "left")
         .groupBy("bucket")

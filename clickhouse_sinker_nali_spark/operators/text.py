@@ -1,0 +1,200 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+All per-row column expressions (JVM-side, whole-stage-codegen'd — no UDFs),
+so at 100 TB these run at parquet-scan speed and reduce to narrow outputs.
+Every computed value is double/long arithmetic on deterministic inputs, so
+the DuckDB oracle reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import portable_hash64, portable_hash64_sql
+from ..session import load_table
+
+# n-gram-heuristic language ID: per-language stopword marker sets.
+# Deterministic argmax with a fixed precedence order (en > es > de > fr).
+_MARKERS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "un"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "fr": ["le", "les", "et", "une", "est", "dans"],
+}
+
+# BPE-ish tokenizer regex: letter runs, digit runs, single non-space symbols.
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+_STOPWORDS = _MARKERS["en"]
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), r"\s+")
+
+
+def _hits(words, markers: list[str]):
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID with strict-precedence argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    hits = {lang: _hits(w, ms).alias(f"hits_{lang}") for lang, ms in _MARKERS.items()}
+    scored = docs.select("doc_id", "lang", *hits.values())
+    he, hs, hd, hf = (F.col(f"hits_{x}") for x in ("en", "es", "de", "fr"))
+    pred = (
+        F.when((he >= hs) & (he >= hd) & (he >= hf) & (he > 0), "en")
+        .when((hs >= hd) & (hs >= hf) & (hs > 0), "es")
+        .when((hd >= hf) & (hd > 0), "de")
+        .when(hf > 0, "fr")
+        .otherwise("unknown")
+    )
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("pred_lang"),
+        *[F.col(f"hits_{x}") for x in ("en", "es", "de", "fr")],
+    ).orderBy("doc_id")
+
+
+def _hits_sql(markers: list[str]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return (
+        "len(list_filter(regexp_split_to_array(text, '\\s+'), "
+        f"w -> w IN ({inlist})))"
+    )
+
+
+LANG_ID_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, lang AS labeled_lang,
+           {_hits_sql(_MARKERS['en'])} AS hits_en,
+           {_hits_sql(_MARKERS['es'])} AS hits_es,
+           {_hits_sql(_MARKERS['de'])} AS hits_de,
+           {_hits_sql(_MARKERS['fr'])} AS hits_fr
+    FROM documents
+)
+SELECT doc_id, labeled_lang,
+       CASE WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr
+                 AND hits_en > 0 THEN 'en'
+            WHEN hits_es >= hits_de AND hits_es >= hits_fr AND hits_es > 0 THEN 'es'
+            WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+            WHEN hits_fr > 0 THEN 'fr'
+            ELSE 'unknown' END AS pred_lang,
+       hits_en, hits_es, hits_de, hits_fr
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace-token and BPE-ish-regex-token counts per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_words()).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0)).alias("n_re_tokens"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len(regexp_split_to_array(text, '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_re_tokens,
+       length(text) AS n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length, mean word length, stopword ratio.
+
+    score = 0.4·min(1, n_words/64) + 0.3·stopword_ratio·4 (capped at 0.3)
+          + 0.3·(1 − |mean_word_len − 4.5|/4.5, floored at 0)
+    Pure double arithmetic — same IEEE ops in both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    n_words = F.size(w).cast("double")
+    total_len = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    ).cast("double")
+    mean_wl = total_len / n_words
+    stop_ratio = _hits(w, _STOPWORDS).cast("double") / n_words
+    score = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_words / F.lit(64.0))
+        + F.least(F.lit(0.3), F.lit(0.3) * stop_ratio * F.lit(4.0))
+        + F.lit(0.3)
+        * F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.abs(mean_wl - F.lit(4.5)) / F.lit(4.5)
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality"),
+    ).orderBy("doc_id")
+
+
+_STOP_LIST = ", ".join(f"'{m}'" for m in _STOPWORDS)
+
+QUALITY_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           len(regexp_split_to_array(text, '\\s+'))::DOUBLE AS n_words,
+           list_sum(list_transform(regexp_split_to_array(text, '\\s+'),
+                                   w -> length(w)))::DOUBLE AS total_len,
+           len(list_filter(regexp_split_to_array(text, '\\s+'),
+                           w -> w IN ({_STOP_LIST})))::DOUBLE AS n_stop
+    FROM documents
+)
+SELECT doc_id, n_words,
+       total_len / n_words AS mean_word_len,
+       n_stop / n_words AS stopword_ratio,
+       0.4 * least(1.0, n_words / 64.0)
+       + least(0.3, 0.3 * (n_stop / n_words) * 4.0)
+       + 0.3 * greatest(0.0, 1.0 - abs(total_len / n_words - 4.5) / 4.5)
+           AS quality
+FROM base
+ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash content fingerprint over char 8-grams (stride 4).
+
+    min-hash of the sampled k-gram hash stream (a winnowing-style content
+    signature robust to small edits).  ``sequence``/``transform`` keep it
+    JVM-side; per-row, order-independent.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(1, greatest(1, length(text) - 7), 4), "
+        "i -> substring(text, i, 8))"
+    )
+    hashes = F.transform(grams, lambda g: portable_hash64(g))
+    return docs.select(
+        "doc_id",
+        F.array_min(hashes).alias("fingerprint"),
+        F.size(grams).alias("n_grams"),
+    ).orderBy("doc_id")
+
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       list_min(list_transform(
+           list_transform(range(1, greatest(1, length(text) - 7) + 1, 4),
+                          i -> substring(text, i, 8)),
+           g -> {portable_hash64_sql('g')})) AS fingerprint,
+       len(range(1, greatest(1, length(text) - 7) + 1, 4)) AS n_grams
+FROM documents
+ORDER BY doc_id
+"""

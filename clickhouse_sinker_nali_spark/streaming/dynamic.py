@@ -1,0 +1,150 @@
+"""Dynamic-schema mode: detect new JSON keys → ALTER TABLE → restart query.
+
+Re-expresses the reference's §3.3 DDL path (SURVEY.md): a parse worker
+noticing unknown keys quiesces the pipeline, flushes in-flight data, issues
+``ALTER TABLE ... ADD COLUMN IF NOT EXISTS`` for each new key (type
+inferred from the first value), and restarts the task with the widened
+schema (reference parser/fastjson.go:213-237,302-340;
+task/task.go:119-137,300-322,364-377; output/clickhouse.go:369-460).
+
+Spark shape: inside ``foreachBatch``, diff a sampled key-set against the
+known schema; on new keys, stop the query after the epoch completes, apply
+DDL, rebuild the parse projection, restart from the checkpoint — no data
+loss because offsets for the quiesced epoch were never committed.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..parsers import infer_internal_type
+from ..schema import DYNAMIC_NEWKEY_CH_TYPE, InternalType, TableSchema
+
+
+@dataclass
+class NewKeyDetector:
+    """White/black-regexp-filtered new-key detection with a maxDims cap
+    (reference config/config.go:130-140, parser/fastjson.go:222-233)."""
+
+    known: set[str]
+    white_list: str = ""
+    black_list: str = ""
+    max_dims: int = 0  # 0 = unlimited
+
+    def __post_init__(self) -> None:
+        self._white = re.compile(self.white_list) if self.white_list else None
+        self._black = re.compile(self.black_list) if self.black_list else None
+
+    def admit(self, key: str) -> bool:
+        if key in self.known:
+            return False
+        if self._white and not self._white.search(key):
+            return False
+        if self._black and self._black.search(key):
+            return False
+        if self.max_dims and len(self.known) >= self.max_dims:
+            return False
+        return True
+
+    def detect(self, df: DataFrame, value_col: str = "value", sample: int = 1024) -> dict[str, InternalType]:
+        """Sample messages from a micro-batch and infer types for new keys.
+
+        First-value-wins type inference, the reference's rule.  The sample
+        is a ``limit`` — executed distributed, only ``sample`` rows ever
+        reach the driver.
+        """
+        rows = df.select(value_col).limit(sample).collect()
+        found: dict[str, InternalType] = {}
+        for row in rows:
+            try:
+                obj = json.loads(row[0])
+            except (TypeError, ValueError):
+                continue
+            if not isinstance(obj, dict):
+                continue
+            for k, v in obj.items():
+                if k in found or not self.admit(k):
+                    continue
+                it = infer_internal_type(v)
+                if it is not InternalType.UNKNOWN:
+                    found[k] = it
+        return found
+
+
+def alter_statements(
+    db: str,
+    table: str,
+    new_keys: dict[str, InternalType],
+    on_cluster: str = "",
+    dist_tables: list[str] | None = None,
+) -> list[str]:
+    """Sorted ALTER DDL for the new keys (reference output/clickhouse.go:369-460).
+
+    Distributed-table recreation is emitted as DROP+CREATE AS pattern
+    statements (the reference drops and recreates Distributed wrappers,
+    output/clickhouse_util.go:123-139).
+    """
+    cluster = f" ON CLUSTER {on_cluster}" if on_cluster else ""
+    stmts = []
+    for key in sorted(new_keys):
+        ch_type = DYNAMIC_NEWKEY_CH_TYPE[new_keys[key]]
+        stmts.append(
+            f"ALTER TABLE `{db}`.`{table}`{cluster} "
+            f"ADD COLUMN IF NOT EXISTS `{key}` {ch_type}"
+        )
+    for dist in dist_tables or []:
+        stmts.append(f"DROP TABLE IF EXISTS `{db}`.`{dist}`{cluster}")
+        stmts.append(
+            f"CREATE TABLE `{db}`.`{dist}`{cluster} "
+            f"AS `{db}`.`{table}` ENGINE = Distributed(`{on_cluster or 'default'}`, `{db}`, `{table}`)"
+        )
+    return stmts
+
+
+@dataclass
+class DynamicSchemaController:
+    """Orchestrates detect → quiesce → DDL → restart across epochs.
+
+    ``on_ddl`` executes statements (JDBC in production; recorded in tests);
+    ``on_restart`` rebuilds + restarts the streaming query with the widened
+    dims.  The controller is called from foreachBatch; when new keys are
+    found the current epoch still writes with the OLD schema (the reference
+    also flushes in-flight rows pre-ALTER) and the restart happens after.
+    """
+
+    schema: TableSchema
+    detector: NewKeyDetector
+    db: str
+    table: str
+    on_ddl: object = None
+    on_restart: object = None
+    pending: dict[str, InternalType] = field(default_factory=dict)
+
+    def check_batch(self, raw_df: DataFrame) -> bool:
+        """Returns True when a schema change was triggered."""
+        new_keys = self.detector.detect(raw_df)
+        if not new_keys:
+            return False
+        self.pending = new_keys
+        stmts = alter_statements(self.db, self.table, new_keys)
+        if self.on_ddl is not None:
+            self.on_ddl(stmts)
+        for key, it in sorted(new_keys.items()):
+            self.detector.known.add(key)
+            self.schema.columns.append(
+                _newkey_spec(key, it)
+            )
+        if self.on_restart is not None:
+            self.on_restart(self.schema)
+        return True
+
+
+def _newkey_spec(key: str, it: InternalType):
+    from ..schema import ColumnSpec
+
+    return ColumnSpec(name=key, ch_type=DYNAMIC_NEWKEY_CH_TYPE[it])

@@ -1,0 +1,169 @@
+"""Batch sinks for the streaming pipeline: sharded, batched, retrying.
+
+Re-expresses the reference's output layer (SURVEY.md §2.8):
+
+- K1 batched INSERT    → JDBC ``df.write.jdbc`` with ``batchsize`` (or any
+                         per-partition writer)
+- K2 shard routing     → ``repartition(n, shard_expr)`` so each write
+                         partition maps 1:1 to one shard's endpoint
+- K3 replica failover  → per-shard replica list, rotate on failure with
+                         bounded retries + backoff (reference
+                         pool/conn.go:75-126, output/clickhouse.go:162-194)
+- K5 offset commit     → NOT done here: Spark's checkpoint owns offsets
+
+The JDBC driver jar for ClickHouse isn't bundled in this container, so the
+JDBC sink is exercised structurally (URL/property assembly, retry loop) and
+``ParquetSink`` provides the end-to-end test path with identical semantics.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Protocol
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import shard_hash, shard_stripe
+
+
+class BatchSink(Protocol):
+    def write(self, df: DataFrame, epoch_id: int) -> None: ...
+
+
+def shard_expr(policy: str, key: str, shards: int) -> Column:
+    """Shard expression from the reference's policy string syntax:
+    ``"stripe,<size>"`` or ``"hash"`` (reference task/sharding.go:51-101).
+    Empty policy → offset-stable round-robin is handled by the caller
+    (epoch_id % shards), matching the reference's default BatchIdx routing.
+    """
+    if policy.startswith("stripe"):
+        _, _, size = policy.partition(",")
+        return shard_stripe(key, int(size or 1), shards)
+    if policy == "hash":
+        return shard_hash(F.col(key).cast("string"), shards)
+    raise ValueError(f"unknown sharding policy {policy!r}")
+
+
+def with_retries(
+    fn: Callable[[int], None],
+    replicas: int,
+    retry_times: int = 3,
+    backoff_s: float = 0.1,
+    sleep: Callable[[float], None] = time.sleep,
+) -> int:
+    """Replica-rotating retry loop (K3).
+
+    Calls ``fn(replica_idx)``; on failure rotates to the next replica with
+    backoff, up to ``retry_times`` full rotations (retry_times <= 0 →
+    infinite, the reference's default).  Returns the replica index that
+    succeeded.  The reference reconnects only on connectivity-class errors
+    (CH codes 242/319/1000) — callers can pre-filter by re-raising
+    non-retryable exceptions from ``fn``.
+    """
+    attempt = 0
+    while True:
+        replica = attempt % replicas
+        try:
+            fn(replica)
+            return replica
+        except Exception:
+            attempt += 1
+            if retry_times > 0 and attempt >= retry_times * replicas:
+                raise
+            sleep(backoff_s)
+
+
+@dataclass
+class JdbcClickHouseSink:
+    """Sharded JDBC writer: one endpoint (with replicas) per shard.
+
+    ``urls[shard] = [replica_url, ...]``.  Each micro-batch is routed by
+    the shard expression, then each shard's rows are written with
+    ``batchsize`` tuned to the reference's insert-block sizing
+    (DSN block_size = 2 × MaxBufferSize, reference pool/conn.go:134-135).
+
+    At scale: ``repartition(shards, expr)`` is the only shuffle; writes to
+    distinct shards proceed in parallel (independent jobs), and replays of
+    a failed epoch re-route rows identically (deterministic expr), so a
+    ReplacingMergeTree target yields exactly-once.
+    """
+
+    urls: list[list[str]]
+    table: str
+    user: str = "default"
+    password: str = ""
+    batchsize: int = 1 << 19
+    retry_times: int = 3
+    sharding_policy: str = ""
+    sharding_key: str = ""
+    properties: dict[str, str] = field(default_factory=dict)
+
+    def _props(self) -> dict[str, str]:
+        return {
+            "user": self.user,
+            "password": self.password,
+            "batchsize": str(self.batchsize),
+            "driver": "com.clickhouse.jdbc.ClickHouseDriver",
+            **self.properties,
+        }
+
+    def write(self, df: DataFrame, epoch_id: int) -> None:
+        shards = len(self.urls)
+        if self.sharding_policy:
+            routed = df.repartition(
+                shards, shard_expr(self.sharding_policy, self.sharding_key, shards)
+            )
+            parts = [
+                routed.filter(
+                    shard_expr(self.sharding_policy, self.sharding_key, shards)
+                    == F.lit(s)
+                )
+                for s in range(shards)
+            ]
+        else:
+            # reference default: whole batch to one shard, stable by epoch
+            parts = [None] * shards
+            parts[epoch_id % shards] = df
+        for s, part in enumerate(parts):
+            if part is None:
+                continue
+            replicas = self.urls[s]
+            with_retries(
+                lambda r: part.write.mode("append").jdbc(
+                    replicas[r], self.table, properties=self._props()
+                ),
+                replicas=len(replicas),
+                retry_times=self.retry_times,
+            )
+
+
+@dataclass
+class ParquetSink:
+    """Test/backfill sink with the same routing semantics, writing parquet.
+
+    Partitions by ``__shard`` so tests can assert routing; append mode per
+    epoch mirrors the idempotent-append contract.
+    """
+
+    path: str
+    shards: int = 1
+    sharding_policy: str = ""
+    sharding_key: str = ""
+    epochs: list[int] = field(default_factory=list)
+
+    def write(self, df: DataFrame, epoch_id: int) -> None:
+        self.epochs.append(epoch_id)
+        if self.sharding_policy:
+            out = df.withColumn(
+                "__shard", shard_expr(self.sharding_policy, self.sharding_key, self.shards)
+            )
+        else:
+            out = df.withColumn("__shard", F.lit(epoch_id % self.shards))
+        (
+            out.repartition(self.shards, F.col("__shard"))
+            .write.mode("append")
+            .partitionBy("__shard")
+            .parquet(self.path)
+        )

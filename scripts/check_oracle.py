@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 from datetime import date, datetime
 from decimal import Decimal
@@ -59,6 +60,16 @@ def value_hash(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # Spark's JVM shares the stdout fd and can clobber buffered Python
+    # output when both are redirected to one file — mirror every result
+    # line to a dedicated report file.
+    report_path = os.environ.get("CHECK_ORACLE_REPORT", "/tmp/check_oracle_report.txt")
+    report = open(report_path, "w")
+
+    def emit(line: str) -> None:
+        print(line, flush=True)
+        report.write(line + "\n")
+        report.flush()
 
     import __spark_entry__ as mod
     from clickhouse_sinker_nali_spark.session import get_spark
@@ -81,18 +92,18 @@ def main():
             srows = df.collect()
             scols = df.columns
         except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
+            emit(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
             continue
         if name not in oracles:
-            print(f"weak  {name}: rows={len(srows)} (no oracle, rows-only check)")
+            emit(f"weak  {name}: rows={len(srows)} (no oracle, rows-only check)")
             continue
         try:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {e}")
+            emit(f"FAIL  {name}: duckdb error: {e}")
             failed.append(name)
             continue
         problems = []
@@ -106,7 +117,7 @@ def main():
             if sh != oh:
                 problems.append(f"value hash {sh} != {oh}")
         if problems:
-            print(f"FAIL  {name}: {'; '.join(problems)}")
+            emit(f"FAIL  {name}: {'; '.join(problems)}")
             failed.append(name)
             # dump a few rows to debug
             order_s = sorted(range(len(scols)), key=lambda i: scols[i])
@@ -116,10 +127,10 @@ def main():
                 o_lines = sorted("|".join(canon(r[i]) for i in order_o) for r in orows)
                 for a, b in list(zip(s_lines, o_lines))[:40]:
                     if a != b:
-                        print(f"      spark : {a}\n      duckdb: {b}")
+                        emit(f"      spark : {a}\n      duckdb: {b}")
         else:
-            print(f"ok    {name}: rows={len(srows)}")
-    print(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
+            emit(f"ok    {name}: rows={len(srows)}")
+    emit(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))
     sys.exit(1 if failed else 0)
 
 

@@ -1,0 +1,238 @@
+"""Operator-layer tests: dedup / similarity / text / multimodal / ingest
+parity queries on the sf0.001 test tables.
+
+The oracle harness (scripts/check_oracle.py) covers value-level parity with
+DuckDB; these tests pin down structural properties and edge-case semantics
+that a value hash alone wouldn't explain when it breaks.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import clickhouse_sinker_nali_spark.operators.dedup as D
+import clickhouse_sinker_nali_spark.operators.ingest as I
+import clickhouse_sinker_nali_spark.operators.multimodal as M
+import clickhouse_sinker_nali_spark.operators.relational as R
+import clickhouse_sinker_nali_spark.operators.similarity as S
+import clickhouse_sinker_nali_spark.operators.text as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+def test_dedup_exact_identity_corpus(spark):
+    # sf0.001 corpus has no exact duplicates: every doc survives itself
+    out = D.dedup_exact(spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) == 500
+    assert all(r.n_copies == 1 for r in rows)
+
+
+def test_dedup_exact_finds_planted_duplicates(spark, tmp_path):
+    import shutil
+
+    # plant duplicates: copy the corpus and union it with itself, ids shifted
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 10_000)
+    planted_dir = str(tmp_path / "planted")
+    os.makedirs(planted_dir)
+    docs.unionByName(dup).write.parquet(f"{planted_dir}/documents.parquet")
+    out = D.dedup_exact(spark, planted_dir)
+    rows = out.collect()
+    assert len(rows) == 500  # every content now has exactly 2 copies
+    assert all(r.n_copies == 2 for r in rows)
+    # survivor is always the lower (original) id
+    assert all(r.survivor_doc_id < 10_000 for r in rows)
+    shutil.rmtree(planted_dir)
+
+
+def test_minhash_lsh_is_subset_of_exhaustive_jaccard(spark):
+    # LSH candidates that verify >= threshold must be a subset of the
+    # exhaustive pair list (LSH can miss, never invent)
+    lsh = {(r.doc_a, r.doc_b) for r in D.dedup_minhash_lsh(spark, SF_DIR).collect()}
+    full = {(r.doc_a, r.doc_b) for r in D.dedup_ngram_jaccard(spark, SF_DIR).collect()}
+    assert lsh <= full
+    # ...and at this corpus' similarity profile it finds the high-sim pairs
+    assert len(lsh) > 0
+
+
+def test_simhash_close_pairs_have_close_signatures(spark):
+    sigs = {r.doc_id: r.simhash for r in D.simhash_signatures(spark, SF_DIR).collect()}
+    assert all(0 <= s < (1 << 16) for s in sigs.values())
+    for r in D.dedup_simhash(spark, SF_DIR).limit(50).collect():
+        assert bin(sigs[r.doc_a] ^ sigs[r.doc_b]).count("1") == r.hamming
+        assert r.hamming <= 3
+
+
+# -- similarity -------------------------------------------------------------
+
+
+def test_ann_bruteforce_ranks_are_dense_and_sorted(spark):
+    rows = S.ann_bruteforce_topk(spark, SF_DIR).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(S.N_QUERIES))
+    for q, rs in by_q.items():
+        assert [r.rank for r in rs] == list(range(1, S.TOP_K + 1))
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0001 <= s <= 1.0001 for s in sims)
+
+
+def test_ann_lsh_within_bucket_results_match_bruteforce_order(spark):
+    # every LSH result must score identically to brute force for the same
+    # (query, neighbor) pair — LSH only restricts the candidate set
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in S.ann_bruteforce_topk(spark, SF_DIR).collect()
+    }
+    for r in S.ann_lsh_topk(spark, SF_DIR).collect():
+        if (r.query_id, r.neighbor_id) in bf:
+            assert abs(bf[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-12
+
+
+# -- text -------------------------------------------------------------------
+
+
+def test_token_stats_consistency(spark):
+    for r in T.token_stats(spark, SF_DIR).limit(100).collect():
+        assert r.n_ws_tokens >= 1
+        # corpus is space-separated words: regex tokens == ws tokens here
+        assert r.n_re_tokens == r.n_ws_tokens
+        assert r.n_chars > 0
+
+
+def test_quality_score_bounds(spark):
+    for r in T.quality_score(spark, SF_DIR).collect():
+        assert 0.0 <= r.quality <= 1.0 + 1e-9
+        assert r.n_words >= 1
+
+
+def test_lang_id_emits_known_labels(spark):
+    preds = {r.pred_lang for r in T.lang_id(spark, SF_DIR).collect()}
+    assert preds <= {"en", "es", "de", "fr", "unknown"}
+
+
+def test_fingerprint_is_stable_and_content_keyed(spark):
+    a = {r.doc_id: r.fingerprint for r in T.doc_fingerprint(spark, SF_DIR).collect()}
+    b = {r.doc_id: r.fingerprint for r in T.doc_fingerprint(spark, SF_DIR).collect()}
+    assert a == b  # deterministic across runs
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def test_multimodal_meta_schema_and_dims(spark):
+    out = M.multimodal_decode_meta(spark, SF_DIR)
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "byte_len", "width", "height", "format",
+    ]
+    for r in out.limit(50).collect():
+        assert 1 <= r.width <= 1920 and 1 <= r.height <= 1080
+        assert r.format in ("jpeg", "png", "webp")
+        assert r.byte_len > 0
+
+
+def test_frame_sample_explodes_rows(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    frames = M.multimodal_frame_sample(spark, SF_DIR)
+    n_docs = docs.count()
+    n_frames = frames.count()
+    assert n_frames >= n_docs  # >=1 frame per doc
+    per_doc = frames.groupBy("doc_id").count().collect()
+    assert len(per_doc) == n_docs
+    assert all(1 <= r["count"] <= 4 for r in per_doc)
+
+
+# -- ingest parity ----------------------------------------------------------
+
+
+def test_ingest_json_defaults(spark):
+    rows = I.ingest_json_coerce(spark, SF_DIR).collect()
+    assert all(r.s == "" for r in rows)  # absent string -> ''
+    assert all(r.f is None for r in rows)  # absent nullable float -> NULL
+    assert all(r.k is not None for r in rows)  # int default 0, never null
+
+
+def test_datetime_layouts_roundtrip(spark):
+    out = I.ingest_datetime_layouts(spark, SF_DIR)
+    bad = out.filter(F.col("parsed_ts").isNull()).count()
+    assert bad == 0  # the cascade recovers every rendered layout
+
+
+def test_shard_routing_covers_all_shards(spark):
+    rows = I.shard_routing(spark, SF_DIR).collect()
+    stripes = {r.stripe_shard for r in rows}
+    hashes = {r.hash_shard for r in rows}
+    assert stripes == {0, 1, 2, 3}
+    assert hashes == {0, 1, 2, 3}
+
+
+def test_geoip_unknown_bucket_exists(spark):
+    rows = I.geoip_enrich(spark, SF_DIR).collect()
+    locs = {r.loc for r in rows}
+    assert "未知" in locs  # spill IPs fall outside every interval
+    assert locs & set(I.GEO_LOCS)
+
+
+def test_class_normalize_quirk_keeps_second_component(spark):
+    rows = I.class_normalize(spark, SF_DIR).collect()
+    by_class = {(r["class"], r.class_norm) for r in rows}
+    # A/B with A!=B keeps B (the reference quirk)
+    assert ("HTTP/HTTPS", "HTTPS") in by_class
+    # A/A stays
+    assert ("SSH/SSH", "SSH/SSH") in by_class
+
+
+def test_asof_join_matches_merge_formulation(spark):
+    # independent implementation: union-merge with last_value over a single
+    # event-time-ordered window per user (the at-scale formulation)
+    from pyspark.sql.window import Window
+
+    from clickhouse_sinker_nali_spark.session import load_table
+
+    events = load_table(spark, SF_DIR, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    orders = load_table(spark, SF_DIR, "orders")
+    left = events.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("okey"),
+        F.lit(1).alias("is_event"),
+    )
+    right = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(0).alias("is_event"),
+    )
+    merged = left.unionByName(right)
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "is_event", F.col("okey").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = merged.withColumn("last_okey", F.last("okey", ignorenulls=True).over(w))
+    merge_result = {
+        r.event_id: r.last_okey
+        for r in filled.filter(F.col("is_event") == 1).collect()
+    }
+    join_result = {
+        r.event_id: r.o_orderkey
+        for r in R.asof_join_events_orders(spark, SF_DIR).collect()
+    }
+    assert merge_result == join_result

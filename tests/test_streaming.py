@@ -1,0 +1,227 @@
+"""Streaming pipeline tests: the go.test.sh regime on a file source.
+
+The reference's E2E gate (go.test.sh:1-103) produces 100k JSON messages in
+5 regimes (base fields / new int key / float+string+datetime+object keys /
+array keys / base again), runs the sinker, and asserts count==100000 plus
+the exact dynamic-schema DESC.  No Kafka broker exists in this container,
+so the file source stands in — the pipeline from parse to sharded sink is
+identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_sinker_nali_spark.schema import InternalType, TableSchema
+from clickhouse_sinker_nali_spark.streaming.dynamic import (
+    DynamicSchemaController,
+    NewKeyDetector,
+    alter_statements,
+)
+from clickhouse_sinker_nali_spark.streaming.pipeline import (
+    TaskConfig,
+    build_file_source,
+    start_pipeline,
+    transform,
+)
+from clickhouse_sinker_nali_spark.streaming.sinks import (
+    ParquetSink,
+    shard_expr,
+    with_retries,
+)
+
+N_MSGS = 10_000  # scaled-down go.test.sh regime (100k at full size)
+
+DIMS = [
+    {"name": "time", "type": "DateTime"},
+    {"name": "name", "type": "String"},
+    {"name": "value", "type": "Float64"},
+    {"name": "price", "type": "Float64"},
+]
+
+
+def _write_messages(path: str, n: int = N_MSGS) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.txt"), "w") as f:
+        for i in range(n):
+            msg = {
+                "time": f"2024-03-0{i % 9 + 1} 10:11:{i % 60:02d}",
+                "name": f"name{i % 7}",
+                "value": i * 0.5,
+                # every 5th message omits price -> default 0.0
+                **({"price": i * 1.25} if i % 5 else {}),
+            }
+            f.write(json.dumps(msg) + "\n")
+
+
+def test_file_pipeline_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "msgs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_messages(src)
+
+    cfg = TaskConfig(name="t1", topic="file", table="test_fixed_schema", dims=DIMS)
+    sink = ParquetSink(path=out, shards=4, sharding_policy="hash", sharding_key="name")
+    q = start_pipeline(
+        spark, cfg, build_file_source(spark, src), sink, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+
+    result = spark.read.parquet(out)
+    assert result.count() == N_MSGS
+    # lenient defaults: missing price -> 0.0, never null
+    assert result.filter(F.col("price").isNull()).count() == 0
+    n_defaulted = result.filter(F.col("price") == 0.0).count()
+    assert n_defaulted == N_MSGS // 5
+    # typed output
+    dtypes = dict(result.dtypes)
+    assert dtypes["time"] == "timestamp"
+    assert dtypes["value"] == "double"
+    # hash sharding spread the 7 distinct keys over multiple shards
+    shards = {r["__shard"] for r in result.select("__shard").distinct().collect()}
+    assert shards <= {0, 1, 2, 3} and len(shards) >= 2
+    # 7 names across 4 shards: each name maps to exactly one shard
+    name_shards = result.groupBy("name").agg(F.countDistinct("__shard").alias("ns"))
+    assert name_shards.filter(F.col("ns") != 1).count() == 0
+
+
+def test_pipeline_restart_is_idempotent_per_epoch(spark, tmp_path):
+    """Replaying from the checkpoint must not duplicate committed epochs."""
+    src = str(tmp_path / "msgs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_messages(src, 1000)
+    cfg = TaskConfig(name="t2", topic="file", table="t", dims=DIMS)
+    sink = ParquetSink(path=out, shards=2)
+    q = start_pipeline(
+        spark, cfg, build_file_source(spark, src), sink, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 1000
+
+    # restart with no new data: checkpoint says everything is committed
+    q2 = start_pipeline(
+        spark, cfg, build_file_source(spark, src), sink, ckpt, available_now=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 1000
+
+
+def test_transform_batch_mode_matches_reference_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            ('{"time":"2024-01-02 03:04:05","name":"a","value":"7","price":true}',),
+            ("not json at all",),
+            ('{"name":null,"value":1e3}',),
+        ],
+        "value string",
+    )
+    cfg = TaskConfig(name="t", topic="x", table="y", dims=DIMS)
+    rows = transform(df, cfg).collect()
+    assert len(rows) == 3  # never drop a row
+    ok, bad, partial = rows
+    # bool for a Float target -> default 0.0 (fastjson Float64() rejects
+    # bool tokens; reference parser/fastjson.go:94-97 maps bool only to Int)
+    assert ok.name == "a" and ok.value == 7.0 and ok.price == 0.0
+    assert bad.name == "" and bad.value == 0.0  # whole-message defaults
+    assert partial.name == "" and partial.value == 1000.0
+
+
+# -- dynamic schema ---------------------------------------------------------
+
+
+def test_newkey_detection_and_ddl(spark):
+    det = NewKeyDetector(known={"time", "name", "value", "price"})
+    df = spark.createDataFrame(
+        [
+            ('{"time":"t","name":"a","newkey01":7}',),
+            ('{"newkey02":1.5,"newkey03":"s","newkey04":"2024-01-02 03:04:05"}',),
+            ('{"newkey05":{"a":1},"newkey06":[1,2],"newkey07":[1.5],"newkey08":["x"]}',),
+        ],
+        "value string",
+    )
+    found = det.detect(df)
+    assert found == {
+        "newkey01": InternalType.INT,
+        "newkey02": InternalType.FLOAT,
+        "newkey03": InternalType.STRING,
+        "newkey04": InternalType.DATETIME,
+        "newkey05": InternalType.STRING,  # object -> serialized string
+        "newkey06": InternalType.INT_ARRAY,
+        "newkey07": InternalType.FLOAT_ARRAY,
+        "newkey08": InternalType.STRING_ARRAY,
+    }
+    stmts = alter_statements("db", "tbl", found)
+    # go.test.sh asserts this exact dynamic-schema outcome shape
+    assert stmts[0] == (
+        "ALTER TABLE `db`.`tbl` ADD COLUMN IF NOT EXISTS `newkey01` Nullable(Int64)"
+    )
+    assert any("`newkey08` Array(String)" in s for s in stmts)
+
+
+def test_newkey_white_black_lists():
+    det = NewKeyDetector(known=set(), white_list=r"^newkey", black_list=r"05$")
+    assert det.admit("newkey01")
+    assert not det.admit("other")
+    assert not det.admit("newkey05")
+    det2 = NewKeyDetector(known={"a", "b"}, max_dims=2)
+    assert not det2.admit("c")  # cap reached
+
+
+def test_dynamic_controller_widens_schema(spark):
+    schema = TableSchema.from_dims(DIMS)
+    det = NewKeyDetector(known=set(schema.names()))
+    executed: list[list[str]] = []
+    restarted: list[TableSchema] = []
+    ctl = DynamicSchemaController(
+        schema=schema,
+        detector=det,
+        db="db",
+        table="tbl",
+        on_ddl=executed.append,
+        on_restart=restarted.append,
+    )
+    batch = spark.createDataFrame([('{"time":"t","brand_new":3}',)], "value string")
+    assert ctl.check_batch(batch)
+    assert executed and "brand_new" in executed[0][0]
+    assert restarted and "brand_new" in restarted[0].names()
+    # second batch with the same key: no-op
+    assert not ctl.check_batch(batch)
+
+
+# -- sink mechanics ---------------------------------------------------------
+
+
+def test_with_retries_rotates_replicas():
+    calls: list[int] = []
+
+    def flaky(replica: int) -> None:
+        calls.append(replica)
+        if len(calls) < 3:
+            raise RuntimeError("replica down")
+
+    got = with_retries(flaky, replicas=2, retry_times=3, sleep=lambda s: None)
+    assert calls == [0, 1, 0]
+    assert got == 0
+
+
+def test_with_retries_exhausts():
+    def always_down(replica: int) -> None:
+        raise RuntimeError("down")
+
+    with pytest.raises(RuntimeError):
+        with_retries(always_down, replicas=2, retry_times=2, sleep=lambda s: None)
+
+
+def test_shard_expr_policies(spark):
+    df = spark.range(100).select(F.col("id").alias("k"))
+    stripe = df.select(shard_expr("stripe,10", "k", 4).alias("s")).distinct()
+    assert {r.s for r in stripe.collect()} == {0, 1, 2, 3}
+    hashed = df.select(shard_expr("hash", "k", 4).alias("s")).distinct()
+    assert {r.s for r in hashed.collect()} <= {0, 1, 2, 3}
+    with pytest.raises(ValueError):
+        shard_expr("bogus", "k", 4)

@@ -72,6 +72,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     """
     from pyspark.sql import functions as F
 
+    # Load-bearing session confs, (re)applied defensively because the
+    # driver's verify harness may hand us a session we didn't build:
+    # non-ANSI (lenient casts are the engine's coercion contract) and UTC
+    # (timestamps must collect as the same wall time DuckDB reports).
+    # All three are runtime-settable.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)

@@ -1,0 +1,91 @@
+"""Plan-shape regression tests: the physical strategy IS the contract.
+
+Each assertion here encodes a property that keeps a query viable at 100 TB;
+a refactor that keeps results correct but breaks one of these would be a
+silent order-of-magnitude regression on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import clickhouse_sinker_nali_spark.operators.dedup as D
+import clickhouse_sinker_nali_spark.operators.relational as R
+import clickhouse_sinker_nali_spark.operators.similarity as S
+import clickhouse_sinker_nali_spark.operators.text as T
+from clickhouse_sinker_nali_spark.plans import (
+    count_exchanges,
+    has_pushed_filter,
+    has_whole_stage_codegen,
+    partial_aggregation_present,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def test_q1_pushdown_pruning_partial_agg(spark):
+    df = R.q1_pricing_summary(spark, SF_DIR)
+    # shipdate filter reaches the parquet scan
+    assert has_pushed_filter(df, "l_shipdate")
+    # only the 7 referenced columns are read, not all 11
+    scans = read_schema_columns(df)
+    assert scans and scans[0] <= {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    }
+    assert partial_aggregation_present(df)
+    assert has_whole_stage_codegen(df)
+
+
+def test_q3_broadcasts_customer_side(spark):
+    df = R.q3_shipping_priority(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    assert has_pushed_filter(df, "c_mktsegment")
+
+
+def test_q5_star_join_single_fact_shuffle(spark):
+    df = R.q5_star_join(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    # only the fact-fact edge (orders⋈lineitem) plus agg/sort shuffles;
+    # the 4 dim joins must not add exchanges
+    assert count_exchanges(df) <= 4
+
+
+def test_range_join_is_broadcast_nested_loop(spark):
+    df = R.range_join_buckets(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    scans = read_schema_columns(df)
+    assert scans and scans[0] == {"value"}  # 1-column read of events
+
+
+def test_text_ops_are_scan_plus_project(spark):
+    # per-row column expressions: no shuffle except the final sort
+    df = T.token_stats(spark, SF_DIR)
+    assert count_exchanges(df) <= 1
+    assert has_whole_stage_codegen(df)
+
+
+def test_minhash_signature_agg_is_single_shuffle(spark):
+    df = D.minhash_signatures(spark, SF_DIR)
+    # explode → groupBy(doc_id): one aggregate exchange + one sort exchange
+    assert count_exchanges(df) <= 2
+    assert partial_aggregation_present(df)
+
+
+def test_ann_bruteforce_broadcasts_queries(spark):
+    df = S.ann_bruteforce_topk(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+
+
+def test_dedup_exact_reads_two_columns(spark):
+    df = D.dedup_exact(spark, SF_DIR)
+    scans = read_schema_columns(df)
+    assert scans and scans[0] == {"doc_id", "text"}

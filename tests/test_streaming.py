@@ -225,3 +225,51 @@ def test_shard_expr_policies(spark):
     assert {r.s for r in hashed.collect()} <= {0, 1, 2, 3}
     with pytest.raises(ValueError):
         shard_expr("bogus", "k", 4)
+
+
+# -- metrics ----------------------------------------------------------------
+
+
+def test_observed_metrics_count_parse_errors(spark, tmp_path):
+    from clickhouse_sinker_nali_spark.parsers import with_parse_errors
+    from clickhouse_sinker_nali_spark.streaming.statistics import (
+        MetricsListener,
+        observed_metrics,
+    )
+
+    src = str(tmp_path / "msgs")
+    os.makedirs(src)
+    with open(os.path.join(src, "p.txt"), "w") as f:
+        for i in range(50):
+            f.write('{"time":"2024-01-01 00:00:00","name":"x","value":1}\n')
+        for i in range(7):
+            f.write("THIS IS NOT JSON\n")
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        raw = build_file_source(spark, src)
+        flagged = observed_metrics(with_parse_errors(raw))
+        q = (
+            flagged.writeStream.format("noop")
+            .queryName("metrics_probe")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        import time as _t
+
+        for _ in range(40):  # listener events are async
+            s = listener.stats.get("metrics_probe")
+            if s and s.observed:
+                break
+            _t.sleep(0.25)
+        s = listener.stats.get("metrics_probe")
+        assert s is not None and s.input_rows == 57
+        m = s.observed.get("sinker_metrics", {})
+        assert m.get("rows_total") == 57
+        assert m.get("parse_errors_total") == 7
+        assert m.get("flush_rows_total") == 50
+    finally:
+        spark.streams.removeListener(listener)

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
+from clickhouse_sinker_nali_spark.operators import advanced as A
 from clickhouse_sinker_nali_spark.operators import dedup as D
 from clickhouse_sinker_nali_spark.operators import ingest as I
 from clickhouse_sinker_nali_spark.operators import multimodal as M
@@ -74,6 +75,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoip_enrich": I.geoip_enrich,
         "class_normalize": I.class_normalize,
         "prometheus_series_split": I.prometheus_series_split,
+        # second wave: nested paths, anti-join dedup, pivot, subqueries,
+        # percentiles
+        "nested_json_paths": A.nested_json_paths,
+        "series_antijoin_dedup": A.series_antijoin_dedup,
+        "pivot_event_types": A.pivot_event_types,
+        "customers_semi_anti": A.customers_semi_anti,
+        "price_percentiles": A.price_percentiles,
     }
 
 
@@ -114,4 +122,9 @@ def oracle_sql() -> dict[str, str]:
         "geoip_enrich": I.GEOIP_SQL,
         "class_normalize": I.CLASS_NORMALIZE_SQL,
         "prometheus_series_split": I.PROMETHEUS_SQL,
+        "nested_json_paths": A.NESTED_JSON_SQL,
+        "series_antijoin_dedup": A.SERIES_ANTIJOIN_SQL,
+        "pivot_event_types": A.PIVOT_SQL,
+        "customers_semi_anti": A.SEMI_ANTI_SQL,
+        "price_percentiles": A.PERCENTILES_SQL,
     }

@@ -1,19 +1,30 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+     "ingest_rows_per_sec": N, "ingest_parse_rows_per_sec": N}
 
 ``value`` is the total wall time of all headline queries (each executed to
 completion with a count/collect action).  Queries are the representative
 mix: scan-agg, star join, window, as-of, dedup (exact + MinHash LSH),
 similarity (brute force + LSH), text analysis.
+
+The two ingest figures map onto the reference's published baseline
+(BASELINE.md: 142K rows/s, 1 Kafka partition → 1 sinker on 11 cpus):
+
+- ``ingest_parse_rows_per_sec``: parse+coerce engine throughput (JSON
+  message → typed row, noop sink) — the sinker's CPU-bound stage
+- ``ingest_rows_per_sec``: full streaming pipeline throughput including a
+  parquet sink (stands in for the JDBC insert; no ClickHouse here)
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -41,6 +52,63 @@ HEADLINE = {
 }
 
 
+INGEST_N = 500_000
+
+INGEST_DIMS = [
+    {"name": "time", "type": "DateTime"},
+    {"name": "name", "type": "String"},
+    {"name": "value", "type": "Float64"},
+    {"name": "price", "type": "Float64"},
+    {"name": "status", "type": "Int64"},
+    {"name": "tags", "type": "Array(String)"},
+]
+
+
+def _gen_messages(spark, n: int):
+    """Deterministic JSON messages of the go.test.sh shape, generated
+    distributed (no driver-side loop)."""
+    from pyspark.sql import functions as F
+
+    return spark.range(n).select(
+        F.to_json(
+            F.struct(
+                F.concat(
+                    F.lit("2024-03-0"), (F.col("id") % 9 + 1).cast("string"),
+                    F.lit(" 10:11:"), F.lpad((F.col("id") % 60).cast("string"), 2, "0"),
+                ).alias("time"),
+                F.concat(F.lit("name"), (F.col("id") % 997).cast("string")).alias("name"),
+                (F.col("id") * 0.5).alias("value"),
+                (F.col("id") * 1.25).alias("price"),
+                (F.col("id") % 7).alias("status"),
+                F.array(F.lit("a"), (F.col("id") % 3).cast("string")).alias("tags"),
+            )
+        ).alias("value")
+    )
+
+
+def bench_ingest(spark) -> tuple[float, float]:
+    from clickhouse_sinker_nali_spark.streaming.pipeline import TaskConfig, transform
+
+    cfg = TaskConfig(name="bench_ingest", topic="bench", table="t", dims=INGEST_DIMS)
+    msgs = _gen_messages(spark, INGEST_N).cache()
+    msgs.count()  # materialize inputs so we time the engine, not the generator
+
+    typed = transform(msgs, cfg)
+    t0 = time.perf_counter()
+    typed.write.format("noop").mode("overwrite").save()
+    parse_rps = INGEST_N / (time.perf_counter() - t0)
+
+    out = tempfile.mkdtemp(prefix="bench_ingest_")
+    try:
+        t0 = time.perf_counter()
+        transform(msgs, cfg).write.mode("overwrite").parquet(out)
+        full_rps = INGEST_N / (time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    msgs.unpersist()
+    return parse_rps, full_rps
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -57,6 +125,8 @@ def main() -> None:
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    parse_rps, full_rps = bench_ingest(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -66,6 +136,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ingest_parse_rows_per_sec": round(parse_rps),
+                "ingest_rows_per_sec": round(full_rps),
             }
         )
     )

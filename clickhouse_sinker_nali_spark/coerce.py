@@ -30,6 +30,21 @@ from .schema import INT_BORDERS, ColumnSpec, InternalType
 ZERO_UUID = "00000000-0000-0000-0000-000000000000"
 
 
+def let(col: Column, fn) -> Column:
+    """Expression-level ``let``: evaluate ``col`` once, reference it many
+    times via a bound lambda variable.
+
+    Spark's whole-stage-codegen subexpression elimination deliberately skips
+    conditionally-evaluated branches (``coalesce``/``when``), so an
+    expensive source expression referenced from each branch of a cascade —
+    e.g. ``from_json(value).field`` under the 16-attempt datetime layout
+    cascade — is re-evaluated per attempt, re-parsing the JSON every time
+    (measured 20×+ slowdown on the ingest path).  ``transform``'s lambda
+    variable is bound once per row, giving the missing sharing.
+    """
+    return F.transform(F.array(col), fn).getItem(0)
+
+
 def default_literal(spec: ColumnSpec) -> Column:
     """The reference's per-type default value as a literal column."""
     it = spec.internal
@@ -118,16 +133,22 @@ def coerce_expr(raw: Column, spec: ColumnSpec, time_unit: float = 1.0) -> Column
         edefault = default_literal(espec)
         arr = F.transform(
             raw,
+            # element values are transform-lambda variables: already bound
+            # once, no extra let needed
             lambda x: F.coalesce(
                 _scalar_coercion(x, espec, time_unit), edefault
             ),
         )
         return F.coalesce(arr, default_literal(spec)).alias(spec.name)
 
-    coerced = _scalar_coercion(raw, spec, time_unit)
     if spec.nullable:
-        return coerced.alias(spec.name)
-    return F.coalesce(coerced, default_literal(spec)).alias(spec.name)
+        return let(raw, lambda r: _scalar_coercion(r, spec, time_unit)).alias(spec.name)
+    return let(
+        raw,
+        lambda r: F.coalesce(
+            _scalar_coercion(r, spec, time_unit), default_literal(spec)
+        ),
+    ).alias(spec.name)
 
 
 # Kafka virtual columns: any target column named __kafka*_topic/_partition/

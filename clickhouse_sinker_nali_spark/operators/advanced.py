@@ -1,0 +1,225 @@
+"""Second-wave operators: nested-path extraction, anti-join series dedup,
+pivot, semi/anti subqueries, percentiles.
+
+Fills the remaining SURVEY.md §2 inventory lines (P2 gjson nested paths,
+J3 series left-anti dedup) and rounds out the analytics layer's
+free-capability surface (pivot, EXISTS/NOT EXISTS, exact percentiles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import portable_hash64, portable_hash64_sql
+from ..parsers import parse_json
+from ..schema import TableSchema
+from ..session import load_table
+
+DEC = "decimal(12,4)"
+
+
+# --------------------------------------------------------------------------
+# P2: gjson-style nested path extraction through the real parser
+# --------------------------------------------------------------------------
+
+
+def nested_json_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dotted source names address nested JSON (gjson path semantics,
+    reference parser/gjson.go:37-316): build a nested message from orders,
+    re-extract scalars via the engine's dotted-path dims.
+
+    The nested extraction compiles to ``get_json_object`` — still JVM-side.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    value = F.to_json(
+        F.struct(
+            F.col("o_orderkey").alias("key"),
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.struct(F.col("o_totalprice").alias("amount")).alias("money"),
+            ).alias("meta"),
+        )
+    )
+    msgs = orders.select(value.alias("value"))
+    schema = TableSchema.from_dims(
+        [
+            {"name": "okey", "type": "Int64", "sourcename": "key"},
+            {"name": "status", "type": "String", "sourcename": "meta.status"},
+            {"name": "amount", "type": "Float64", "sourcename": "meta.money.amount"},
+            {"name": "absent", "type": "Nullable(String)", "sourcename": "meta.nope.x"},
+        ]
+    )
+    return parse_json(msgs, schema).orderBy("okey")
+
+
+NESTED_JSON_SQL = """
+SELECT o_orderkey AS okey,
+       o_orderstatus AS status,
+       o_totalprice AS amount,
+       NULL::VARCHAR AS absent
+FROM orders
+ORDER BY okey
+"""
+
+
+# --------------------------------------------------------------------------
+# J3: series dedup as a left-anti join against the preloaded series set
+# --------------------------------------------------------------------------
+
+
+def series_antijoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-only-new-series semantics (reference output/clickhouse.go:110-130):
+    the reference preloads existing ``__series_id``s into a roaring bitmap
+    and CheckedAdd-filters; Spark shape = left-anti join of the batch's
+    distinct series against the existing series table.
+
+    'Existing' here: series first seen by user_id < 10 (a deterministic
+    stand-in for the preload scan S6).  At scale the anti-join shuffles
+    only distinct series ids — tiny relative to the metric stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    label_str = F.concat(
+        F.lit("###event_type###"),
+        F.col("event_type"),
+        F.lit("###user_id###"),
+        F.col("user_id").cast("string"),
+    )
+    tagged = ev.select(
+        portable_hash64(label_str).alias("series_id"), "event_type", "user_id"
+    )
+    batch_series = tagged.distinct()
+    existing = tagged.filter(F.col("user_id") < 10).select("series_id").distinct()
+    return (
+        batch_series.join(existing, "series_id", "left_anti")
+        .orderBy("series_id")
+    )
+
+
+_SERIES_HASH = portable_hash64_sql(
+    "'###event_type###' || event_type || '###user_id###' || user_id::VARCHAR"
+)
+
+SERIES_ANTIJOIN_SQL = f"""
+WITH tagged AS (
+    SELECT DISTINCT {_SERIES_HASH} AS series_id, event_type, user_id
+    FROM events
+), existing AS (
+    SELECT DISTINCT {_SERIES_HASH} AS series_id
+    FROM events WHERE user_id < 10
+)
+SELECT t.series_id, t.event_type, t.user_id
+FROM tagged t
+ANTI JOIN existing e ON t.series_id = e.series_id
+ORDER BY t.series_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Pivot
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type into columns, exact decimal sums per user bucket.
+
+    Explicit pivot values (no discovery pass) keep this a single
+    aggregate — with values listed, Spark skips the extra distinct job.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.col("user_id") % 10).alias("user_bucket")
+    return (
+        ev.select(bucket, "event_type", F.col("value").cast(DEC).alias("v"))
+        .groupBy("user_bucket")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum("v").cast("double"))
+        .orderBy("user_bucket")
+    )
+
+
+PIVOT_SQL = f"""
+SELECT (user_id % 10) AS user_bucket,
+       {', '.join(
+           "CAST(SUM(CASE WHEN event_type = '" + t + "' THEN CAST(value AS DECIMAL(12,4)) END) AS DOUBLE) AS " + t
+           for t in _EVENT_TYPES
+       )}
+FROM events
+GROUP BY user_bucket
+ORDER BY user_bucket
+"""
+
+
+# --------------------------------------------------------------------------
+# Semi / anti subqueries
+# --------------------------------------------------------------------------
+
+
+def customers_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS shapes: customers with vs without orders.
+
+    left_semi / left_anti joins — the planner's native form for correlated
+    EXISTS; both are single hash joins on custkey (broadcastable dim).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = (
+        cust.join(keys, "c_custkey", "left_semi")
+        .select("c_custkey", "c_name", F.lit("active").alias("status"))
+    )
+    without = (
+        cust.join(keys, "c_custkey", "left_anti")
+        .select("c_custkey", "c_name", F.lit("dormant").alias("status"))
+    )
+    return with_orders.unionByName(without).orderBy("c_custkey")
+
+
+SEMI_ANTI_SQL = """
+SELECT c_custkey, c_name, 'active' AS status
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, c_name, 'dormant' AS status
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Percentiles (exact, interpolated)
+# --------------------------------------------------------------------------
+
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median/p90 per order priority.
+
+    ``percentile`` (exact, sort-based) matches DuckDB's ``quantile_cont``
+    definition: linear interpolation a + (b−a)·f over the sorted set — the
+    same IEEE arithmetic in both engines.  At 100 TB you'd swap in
+    ``approx_percentile`` (t-digest sketch, no global sort) and accept the
+    rows-only check, like approx_count_distinct.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+PERCENTILES_SQL = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

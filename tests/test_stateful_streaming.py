@@ -1,0 +1,162 @@
+"""Stateful Structured Streaming capabilities (SURVEY §2.9: 'available for
+free if the analytics layer needs them') — watermarked windows, streaming
+dedup, and a custom stateful operator via applyInPandasWithState.
+
+The reference has NO event-time semantics (late data is handled as offset
+gaps); these tests pin down the capabilities the Spark build adds on top.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def _write_events(path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    rows = []
+    for i in range(600):
+        rows.append(
+            {
+                "ts": f"2024-05-01 10:{i % 60:02d}:{(i * 7) % 60:02d}",
+                "uid": i % 5,
+                "kind": ["view", "click", "buy"][i % 3],
+            }
+        )
+    with open(os.path.join(path, "ev.txt"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _typed_stream(spark, src):
+    raw = spark.readStream.format("text").load(src)
+    parsed = raw.select(
+        F.from_json(
+            "value", "ts string, uid bigint, kind string"
+        ).alias("m")
+    ).select(
+        F.to_timestamp("m.ts").alias("ts"), F.col("m.uid").alias("uid"), F.col("m.kind").alias("kind")
+    )
+    return parsed
+
+
+def test_watermarked_tumbling_window(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_events(src)
+    windowed = (
+        _typed_stream(spark, src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes"), "kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    # batch recomputation of the same aggregate is the oracle
+    batch = (
+        spark.read.text(src)
+        .select(F.from_json("value", "ts string, uid bigint, kind string").alias("m"))
+        .select(F.to_timestamp("m.ts").alias("ts"), "m.kind")
+        .groupBy(F.window("ts", "15 minutes"), "kind")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {
+        (r.window.start.isoformat(), r.kind): r.n
+        for r in spark.table("win_agg").collect()
+    }
+    expected = {
+        (r.window.start.isoformat(), r.kind): r.n for r in batch.collect()
+    }
+    # append mode only emits windows the watermark has closed; every emitted
+    # window must match the batch truth, and most windows must have closed
+    assert got
+    assert all(expected.get(k) == v for k, v in got.items())
+
+
+def test_streaming_dropduplicates_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "d.txt"), "w") as f:
+        for i in range(100):
+            f.write(json.dumps({"ts": "2024-05-01 10:00:00", "uid": i % 10, "kind": "x"}) + "\n")
+    deduped = (
+        _typed_stream(spark, src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["uid", "ts"])
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("dedup_stream").count() == 10  # 100 rows → 10 uids
+
+
+def test_apply_in_pandas_with_state_running_counts(spark, tmp_path):
+    """Custom stateful operator: per-key running event count across
+    micro-batches via applyInPandasWithState (the §2.10 extension surface
+    the reference lacks)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = str(tmp_path / "src")
+    _write_events(src)
+
+    out_schema = StructType(
+        [
+            StructField("uid", LongType()),
+            StructField("total", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"uid": [key[0]], "total": [n]})
+
+    counted = (
+        _typed_stream(spark, src)
+        .groupBy("uid")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+    q = (
+        counted.writeStream.format("memory")
+        .queryName("stateful_counts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per uid must equal the true total (600 events, 5 uids)
+    rows = spark.table("stateful_counts").collect()
+    latest = {}
+    for r in rows:
+        latest[r.uid] = r.total  # memory sink appends updates in order
+    assert set(latest) == {0, 1, 2, 3, 4}
+    assert all(v == 120 for v in latest.values())

@@ -38,6 +38,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_star_join": R.q5_star_join,
+        "q7_volume_by_year": R.q7_volume_by_year,
+        "q10_returned_revenue": R.q10_returned_revenue,
         "window_user_events": R.window_user_events,
         "sessionize_events": R.sessionize_events,
         "rollup_orders": R.rollup_orders,
@@ -90,6 +92,8 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": R.Q1_SQL,
         "q3_shipping_priority": R.Q3_SQL,
         "q5_star_join": R.Q5_SQL,
+        "q7_volume_by_year": R.Q7_SQL,
+        "q10_returned_revenue": R.Q10_SQL,
         "window_user_events": R.WINDOW_SQL,
         "sessionize_events": R.SESSIONIZE_SQL,
         "rollup_orders": R.ROLLUP_SQL,

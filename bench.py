@@ -94,15 +94,21 @@ def bench_ingest(spark) -> tuple[float, float]:
     msgs.count()  # materialize inputs so we time the engine, not the generator
 
     typed = transform(msgs, cfg)
-    t0 = time.perf_counter()
-    typed.write.format("noop").mode("overwrite").save()
-    parse_rps = INGEST_N / (time.perf_counter() - t0)
+    parse_best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        typed.write.format("noop").mode("overwrite").save()
+        parse_best = min(parse_best, time.perf_counter() - t0)
+    parse_rps = INGEST_N / parse_best
 
     out = tempfile.mkdtemp(prefix="bench_ingest_")
     try:
-        t0 = time.perf_counter()
-        transform(msgs, cfg).write.mode("overwrite").parquet(out)
-        full_rps = INGEST_N / (time.perf_counter() - t0)
+        full_best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            transform(msgs, cfg).write.mode("overwrite").parquet(out)
+            full_best = min(full_best, time.perf_counter() - t0)
+        full_rps = INGEST_N / full_best
     finally:
         shutil.rmtree(out, ignore_errors=True)
     msgs.unpersist()
@@ -119,11 +125,17 @@ def main() -> None:
     # query, not session startup
     R.q1_pricing_summary(spark, sf_dir).count()
 
+    # min of 2 runs per query: the benchmark host is time-shared, so a
+    # single run can absorb an external CPU spike; the min is the engine's
+    # actual cost (plans are deterministic, data is cached by the OS)
     timings: dict[str, float] = {}
     for name, fn in HEADLINE.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     parse_rps, full_rps = bench_ingest(spark)
 

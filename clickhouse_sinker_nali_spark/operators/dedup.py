@@ -198,7 +198,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     path: signature generation is map-side, banding is an exact-key shuffle,
     and the expensive Jaccard runs only on bucket collisions.
     """
-    sigs = minhash_signatures(spark, sf_dir)
+    sh = _shingle_df(spark, sf_dir).cache()  # shared by signatures + verify
+    ha = F.pmod(portable_hash64(F.concat(F.lit("a:"), F.col("shingle"))), F.lit(_MINHASH_MOD))
+    hb = F.pmod(portable_hash64(F.concat(F.lit("b:"), F.col("shingle"))), F.lit(_MINHASH_MOD))
+    based = sh.select("doc_id", ha.alias("ha"), hb.alias("hb"))
+    sigs = based.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("ha") + F.lit(i) * F.col("hb")).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
     band_cols = []
     for b in range(MINHASH_BANDS):
         cols = [
@@ -222,8 +231,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verify on candidates only
-    sh = _shingle_df(spark, sf_dir).cache()
+    # exact verify on candidates only (reuses the cached shingles)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))

@@ -564,3 +564,107 @@ LEFT JOIN dim ON e.value >= dim.lo AND e.value < dim.hi
 GROUP BY bucket
 ORDER BY bucket
 """
+
+
+# --------------------------------------------------------------------------
+# Q7-style: volume by year and nation pair
+# --------------------------------------------------------------------------
+
+
+def q7_volume_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly shipped volume per (customer nation, supplier nation) pair.
+
+    Two broadcast dim joins against the facts + a date-part group-by; shows
+    EXTRACT pushing into the aggregate key without materializing a column.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(broadcast(n1), cust.c_nationkey == F.col("c_nk"))
+        .join(broadcast(n2), supp.s_nationkey == F.col("s_nk"))
+        .groupBy(
+            F.year("l_shipdate").alias("ship_year"), "cust_nation", "supp_nation"
+        )
+        .agg(F.sum(price * (F.lit(1).cast(DEC) - disc)).cast("double").alias("volume"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .orderBy("ship_year", "cust_nation", "supp_nation")
+    )
+
+
+Q7_SQL = """
+SELECT EXTRACT(YEAR FROM l_shipdate)::INTEGER AS ship_year,
+       n1.n_name AS cust_nation,
+       n2.n_name AS supp_nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+            * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY ship_year, cust_nation, supp_nation
+ORDER BY ship_year, cust_nation, supp_nation
+"""
+
+
+# --------------------------------------------------------------------------
+# Q10-style: top customers by returned revenue
+# --------------------------------------------------------------------------
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 customers by revenue on returned items (l_returnflag='R').
+
+    The returnflag filter pushes to the lineitem scan; customer/nation
+    broadcast; TakeOrdered caps the output.
+    """
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(price * (F.lit(1).cast(DEC) - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+            * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""

@@ -148,3 +148,73 @@ def _newkey_spec(key: str, it: InternalType):
     from ..schema import ColumnSpec
 
     return ColumnSpec(name=key, ch_type=DYNAMIC_NEWKEY_CH_TYPE[it])
+
+
+class SchemaChanged(Exception):
+    """Raised inside foreachBatch to abort the epoch that discovered new
+    keys: the epoch never commits, so its offsets replay after the restart
+    and every row is (re)written with the widened schema — the Spark
+    equivalent of the reference quiescing rows while ``cntNewKeys != 0``
+    (reference task/task.go:323-329) instead of writing them pre-ALTER.
+    """
+
+
+def run_with_schema_evolution(
+    spark,
+    cfg,
+    source_factory,
+    sink,
+    checkpoint_dir: str,
+    controller: DynamicSchemaController,
+    max_restarts: int = 8,
+) -> int:
+    """Drive a streaming task through dynamic schema changes (§3.3 path).
+
+    Loop: run the pipeline (availableNow) with the CURRENT schema; when a
+    micro-batch surfaces new keys, fail that epoch via :class:`SchemaChanged`,
+    apply DDL + widen (already done by ``controller.check_batch``), and
+    restart from the checkpoint — the failed epoch replays under the new
+    schema.  Returns the number of restarts performed.
+
+    ``source_factory() -> DataFrame`` must build a fresh streaming source
+    each attempt (streaming DataFrames are single-use across restarts).
+    """
+    import os as _os
+
+    from .pipeline import transform
+
+    restarts = 0
+    while True:
+        tripped: dict[str, bool] = {"changed": False}
+
+        def write_batch(raw_df, epoch_id: int) -> None:
+            if controller.check_batch(raw_df):
+                tripped["changed"] = True
+                raise SchemaChanged(f"epoch {epoch_id}: new keys detected")
+            typed = transform(raw_df, cfg)
+            sink.write(typed, epoch_id)
+
+        raw = source_factory()
+        query = (
+            raw.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", _os.path.join(checkpoint_dir, cfg.name))
+            .queryName(cfg.name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            query.awaitTermination()
+            return restarts
+        except Exception:
+            query.stop()
+            if not tripped["changed"]:
+                raise
+            # controller already widened cfg's schema via on_restart wiring;
+            # sync the TaskConfig dims to the widened schema
+            cfg.dims = [
+                {"name": c.name, "type": c.ch_type, "sourcename": c.source_name}
+                for c in controller.schema.columns
+            ]
+            restarts += 1
+            if restarts > max_restarts:
+                raise RuntimeError("too many schema-change restarts")

@@ -273,3 +273,77 @@ def test_observed_metrics_count_parse_errors(spark, tmp_path):
         assert m.get("flush_rows_total") == 50
     finally:
         spark.streams.removeListener(listener)
+
+
+# -- dynamic schema evolution E2E (go.test.sh 5-regime shape) ---------------
+
+
+def test_schema_evolution_end_to_end(spark, tmp_path):
+    """The reference's E2E crown jewel (go.test.sh): messages grow new keys
+    mid-stream; the pipeline quiesces, ALTERs, restarts, and every row lands
+    exactly once under the widened schema."""
+    from clickhouse_sinker_nali_spark.streaming.dynamic import (
+        run_with_schema_evolution,
+    )
+
+    src = str(tmp_path / "msgs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    n_per = 2000
+    # regime 1: base keys; regime 2: +newkey01 int; regime 3: +newkey02 float
+    for regime in range(3):
+        with open(os.path.join(src, f"{regime}.txt"), "w") as f:
+            for i in range(n_per):
+                msg = {
+                    "time": f"2024-03-01 10:00:{i % 60:02d}",
+                    "name": f"n{i % 5}",
+                    "value": i * 0.5,
+                }
+                if regime >= 1:
+                    msg["newkey01"] = i
+                if regime >= 2:
+                    # never integral-valued: an integral first value would
+                    # (correctly) infer Int, the reference's priority rule
+                    msg["newkey02"] = i + 0.25
+                f.write(json.dumps(msg) + "\n")
+
+    base_dims = [
+        {"name": "time", "type": "DateTime"},
+        {"name": "name", "type": "String"},
+        {"name": "value", "type": "Float64"},
+    ]
+    cfg = TaskConfig(name="evo", topic="file", table="evo_tbl", dims=base_dims)
+    schema = TableSchema.from_dims(base_dims)
+    ddl_log: list[list[str]] = []
+    ctl = DynamicSchemaController(
+        schema=schema,
+        detector=NewKeyDetector(known=set(schema.names())),
+        db="default",
+        table="evo_tbl",
+        on_ddl=ddl_log.append,
+    )
+    sink = ParquetSink(path=out, shards=2)
+
+    restarts = run_with_schema_evolution(
+        spark,
+        cfg,
+        lambda: build_file_source(spark, src, max_files_per_trigger=1),
+        sink,
+        ckpt,
+        ctl,
+    )
+
+    assert restarts == 2  # one per regime boundary
+    flat_ddl = [s for batch in ddl_log for s in batch]
+    assert any("`newkey01` Nullable(Int64)" in s for s in flat_ddl)
+    assert any("`newkey02` Nullable(Float64)" in s for s in flat_ddl)
+
+    result = spark.read.option("mergeSchema", "true").parquet(out)
+    assert result.count() == 3 * n_per  # exactly once despite 2 replays
+    assert set(result.columns) >= {"time", "name", "value", "newkey01", "newkey02"}
+    # nullable new keys: NULL before their regime, typed values after
+    assert result.filter(F.col("newkey01").isNotNull()).count() == 2 * n_per
+    assert result.filter(F.col("newkey02").isNotNull()).count() == n_per
+    dtypes = dict(result.dtypes)
+    assert dtypes["newkey01"] == "bigint" and dtypes["newkey02"] == "double"

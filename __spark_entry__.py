@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_types": A.pivot_event_types,
         "customers_semi_anti": A.customers_semi_anti,
         "price_percentiles": A.price_percentiles,
+        "time_bucket_rollup": A.time_bucket_rollup,
+        "prometheus_metric_rows": A.prometheus_metric_rows,
     }
 
 
@@ -131,4 +133,6 @@ def oracle_sql() -> dict[str, str]:
         "pivot_event_types": A.PIVOT_SQL,
         "customers_semi_anti": A.SEMI_ANTI_SQL,
         "price_percentiles": A.PERCENTILES_SQL,
+        "time_bucket_rollup": A.TIME_BUCKET_SQL,
+        "prometheus_metric_rows": A.PROMETHEUS_METRIC_SQL,
     }

@@ -171,3 +171,108 @@ def kafka_virtual_source(name: str) -> str | None:
         if name.endswith(suffix):
             return source
     return None
+
+
+# ---------------------------------------------------------------------------
+# Variant-based coercion: token-type-faithful JSON semantics
+# ---------------------------------------------------------------------------
+#
+# ``from_json`` with an all-string schema cannot distinguish the JSON string
+# "7" from the number 7, but the reference's fastjson getters can — a string
+# token for an Int/Float target is REJECTED (→ default), a float token for
+# an Int target is rejected, a bool is 1/0 for Int but rejected for Float
+# (faithful.py encodes the full matrix).  Spark 4's VariantType preserves
+# token types: ``schema_of_variant`` reports BOOLEAN / BIGINT / DECIMAL(p,s)
+# / DOUBLE / STRING / ARRAY<VARIANT> / OBJECT<...> / VOID per value and per
+# array element, so the getter matrix becomes a column expression.
+#
+# Token-type mapping notes (verified empirically):
+# - int lexeme within int64          → BIGINT
+# - int lexeme beyond int64          → DECIMAL(p≥19, 0)   (clamp by sign)
+# - float lexeme, integral value     → DECIMAL(p<19, 0)   (reject for Int;
+#   string target re-appends the ".0" the variant normalizer dropped)
+# - float lexeme, fractional         → DECIMAL(p,s>0) or DOUBLE
+# ``try_variant_get`` casts are LENIENT (string "7" casts to 7), so every
+# branch checks the token type FIRST and only then casts.
+
+
+def _vtype(fv: Column) -> Column:
+    return F.schema_of_variant(fv)
+
+
+_OVERFLOW_DEC = r"^DECIMAL\((19|2[0-9]|3[0-8]),0\)$"
+_SMALL_INT_DEC = r"^DECIMAL\(([1-9]|1[0-8]),0\)$"
+
+
+def _variant_scalar(fv: Column, spec: ColumnSpec, time_unit: float) -> Column:
+    """fastjson getter matrix over one variant value; NULL = use default.
+
+    Top-level String targets do NOT come through here (parse_json routes
+    them to the raw-text path — the reference emits raw JSON text verbatim
+    and variant re-serialization normalizes it); the STRING branch below
+    only serves String *elements* of Array(String) targets, where the
+    per-element raw text is unrecoverable and normalized form is accepted.
+    """
+    vt = _vtype(fv)
+    it = spec.internal
+    is_num = (vt == "BIGINT") | (vt == "DOUBLE") | vt.startswith("DECIMAL")
+    if it == InternalType.INT:
+        lo, hi = INT_BORDERS.get(spec.base_type, INT_BORDERS["Int64"])
+        overflow = F.when(
+            F.try_variant_get(fv, "$", "double") < 0, F.lit(lo)
+        ).otherwise(F.lit(hi))
+        return (
+            F.when(vt == "BOOLEAN", F.try_variant_get(fv, "$", "boolean").cast("long"))
+            .when(vt == "BIGINT", clamp_int(F.try_variant_get(fv, "$", "bigint"), spec.base_type))
+            .when(vt.rlike(_OVERFLOW_DEC), overflow)
+        )
+    if it in (InternalType.FLOAT, InternalType.DECIMAL):
+        return F.when(is_num, F.try_variant_get(fv, "$", "double"))
+    if it == InternalType.STRING:
+        s = F.try_variant_get(fv, "$", "string")
+        if spec.base_type == "UUID":
+            return F.when(vt == "STRING", s)
+        return (
+            F.when(vt == "STRING", s)
+            # variant normalizes the "3.0" lexeme to decimal 3; the
+            # reference keeps the float-ness when serializing to a string
+            .when(vt.rlike(_SMALL_INT_DEC), F.concat(s, F.lit(".0")))
+            .when(vt.isNotNull() & (vt != "VOID"), s)
+        )
+    if it == InternalType.DATETIME:
+        from .datetimes import parse_datetime_num, parse_datetime_str
+
+        return F.when(
+            is_num, parse_datetime_num(F.try_variant_get(fv, "$", "double"), time_unit)
+        ).when(vt == "STRING", parse_datetime_str(F.try_variant_get(fv, "$", "string")))
+    if it == InternalType.ELASTIC_DATETIME:
+        from .datetimes import parse_datetime_num, parse_datetime_str
+
+        dt = F.when(
+            is_num, parse_datetime_num(F.try_variant_get(fv, "$", "double"), time_unit)
+        ).when(vt == "STRING", parse_datetime_str(F.try_variant_get(fv, "$", "string")))
+        return F.unix_timestamp(dt)
+    raise ValueError(f"not a scalar type: {it}")
+
+
+def coerce_variant_expr(fv: Column, spec: ColumnSpec, time_unit: float = 1.0) -> Column:
+    """Full lenient coercion from a variant field (flat-JSON hot path)."""
+    if spec.internal in (
+        InternalType.INT_ARRAY,
+        InternalType.FLOAT_ARRAY,
+        InternalType.STRING_ARRAY,
+        InternalType.DATETIME_ARRAY,
+    ):
+        espec = _elem_spec(spec)
+        edefault = default_literal(espec)
+        arr = F.try_variant_get(fv, "$", "array<variant>")
+        coerced = F.transform(
+            arr,
+            lambda e: F.coalesce(_variant_scalar(e, espec, time_unit), edefault),
+        )
+        return F.coalesce(coerced, default_literal(spec)).alias(spec.name)
+
+    coerced = let(fv, lambda f: _variant_scalar(f, spec, time_unit))
+    if spec.nullable:
+        return coerced.alias(spec.name)
+    return F.coalesce(coerced, default_literal(spec)).alias(spec.name)

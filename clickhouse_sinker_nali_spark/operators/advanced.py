@@ -223,3 +223,94 @@ FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+# --------------------------------------------------------------------------
+# Time-bucket rollup (hypertable-style continuous aggregate shape)
+# --------------------------------------------------------------------------
+
+
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup per event_type: count, exact sum, min/max.
+
+    ``date_trunc`` keys the aggregate directly — no materialized bucket
+    column, map-side combine collapses each partition to ≤ buckets×types
+    rows.  This is the continuous-aggregate building block: at 100 TB the
+    rollup runs incrementally per micro-batch and merges by (bucket, type),
+    which is exactly this aggregate re-run over the delta.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+TIME_BUCKET_SQL = """
+SELECT date_trunc('hour', ts) AS bucket,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY bucket, event_type
+ORDER BY bucket, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Prometheus metric-table side (the other half of the series split)
+# --------------------------------------------------------------------------
+
+
+def prometheus_metric_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-table rows (reference model/message.go:171-212): numeric dims
+    + the series id + the timestamp as epoch seconds (ElasticDateTime
+    internal type → int64 seconds, reference model/value.go:152).
+    Compact summary per series so the oracle is stable at any SF.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    label_str = F.concat(
+        F.lit("###event_type###"),
+        F.col("event_type"),
+        F.lit("###user_id###"),
+        F.col("user_id").cast("string"),
+    )
+    metric = ev.select(
+        portable_hash64(label_str).alias("series_id"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.col("value").cast(DEC).alias("v"),
+    )
+    return (
+        metric.groupBy("series_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("ts_epoch").alias("first_ts"),
+            F.max("ts_epoch").alias("last_ts"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .orderBy("series_id")
+    )
+
+
+PROMETHEUS_METRIC_SQL = f"""
+SELECT {portable_hash64_sql("'###event_type###' || event_type || '###user_id###' || user_id::VARCHAR")}
+           AS series_id,
+       COUNT(*) AS n_points,
+       MIN(floor(epoch(ts))::BIGINT) AS first_ts,
+       MAX(floor(epoch(ts))::BIGINT) AS last_ts,
+       CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY series_id
+ORDER BY series_id
+"""

@@ -88,6 +88,9 @@ def _raw_value_expr(parsed: Column, value_col: Column, spec: ColumnSpec) -> Colu
     return raw
 
 
+_IDENT_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
 def parse_json(
     df: DataFrame,
     schema: TableSchema,
@@ -97,21 +100,45 @@ def parse_json(
 ) -> DataFrame:
     """Parse a JSON ``value`` column into the target table schema.
 
+    Flat identifier-named fields go through the VariantType path
+    (``coerce_variant_expr``): token-type-faithful fastjson semantics — a
+    JSON *string* "7" is rejected for an Int target exactly like the
+    reference's fastjson getters, because the variant preserves the token
+    type.  Dotted/nested source names use ``get_json_object`` (gjson path
+    semantics, which are string-lenient — matching the reference's gjson
+    parser being the lenient one of the pair).
+
     Rows whose value is not valid JSON produce all-default rows in the
     reference only when *fields* are bad; a wholly unparseable message is
     dropped-but-acked (reference task/task.go:280-287). Use
     ``with_parse_errors`` to split those out.
     """
+    from .coerce import coerce_variant_expr
+
     specs = list(schema)
     value = F.col(value_col)
     raw_schema = _raw_string_schema(specs)
     parsed = F.from_json(value, raw_schema)
+    root = F.try_parse_json(value.cast("string"))
 
     out_cols: list[Column] = []
     for spec in specs:
         ksrc = kafka_virtual_source(spec.name)
         if ksrc is not None and ksrc in df.columns:
             out_cols.append(F.col(ksrc).cast(spec.spark_type).alias(spec.name))
+            continue
+        parts = _split_source_path(spec.source_name)
+        if (
+            len(parts) == 1
+            and _IDENT_RE.match(parts[0])
+            and spec.internal != InternalType.STRING
+        ):
+            # String targets take the raw-text path below instead: the
+            # reference emits the value's raw JSON text verbatim, while
+            # variant re-serialization normalizes it (sorts object keys,
+            # drops ".0" from integral floats inside arrays).
+            fv = F.try_variant_get(root, f"$.{parts[0]}", "variant")
+            out_cols.append(coerce_variant_expr(fv, spec, time_unit))
             continue
         raw = _raw_value_expr(parsed, value, spec)
         out_cols.append(coerce_expr(raw, spec, time_unit))

@@ -1,0 +1,153 @@
+"""Property-based coercion tests (hypothesis): the Spark expression layer
+must agree with faithful.py (the bug-level-faithful Python reimplementation
+of the reference's getters) on arbitrary JSON values.
+
+The reference has no property tests (SURVEY §5); this is the upgrade: any
+JSON value × any target type → identical results from two independent
+implementations, or the coercion contract is broken.
+
+Strategy: generate batches of random JSON messages driver-side, run BOTH
+implementations, compare row-by-row.  Hypothesis manages the value space;
+one Spark job per batch (not per example) keeps runtime sane.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from clickhouse_sinker_nali_spark.faithful import coerce_value
+from clickhouse_sinker_nali_spark.parsers import parse_json
+from clickhouse_sinker_nali_spark.schema import ColumnSpec, TableSchema
+
+# JSON scalar values the parser can meet, incl. hostile ones
+scalars = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2**70), max_value=2**70),
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.text(max_size=30),
+    st.sampled_from(
+        ["2024-03-05 10:11:12", "2024-03-05", "05/03/2024 10:11:12", "1700000000",
+         "not a date", "", "  7  ", "3.5", "-12", "true"]
+    ),
+)
+json_values = st.one_of(
+    scalars,
+    st.lists(scalars, max_size=5),
+    st.dictionaries(st.sampled_from(["a", "b"]), scalars, max_size=2),
+)
+
+# NOTE: one source field feeds either scalar OR array targets within a
+# single parse (the permissive raw schema picks one physical representation
+# per field), so the property runs as two passes.
+SCALAR_TARGETS = [
+    ("Int64", "i"),
+    ("UInt8", "u8"),
+    ("Nullable(Int64)", "ni"),
+    ("Float64", "f"),
+    ("Nullable(Float64)", "nf"),
+    ("String", "s"),
+    ("Nullable(String)", "ns"),
+]
+ARRAY_TARGETS = [
+    ("Array(Int64)", "ai"),
+    ("Array(Float64)", "af"),
+    ("Array(String)", "as_"),
+]
+
+
+import re as _re
+
+_UESC = _re.compile(r"\\u([0-9a-fA-F]{4})")
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == 0.0:
+            return 0.0  # collapse -0.0 (variant decimals drop the sign)
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    if isinstance(v, str):
+        # Serialized-JSON strings (object/array → String target) compare by
+        # parsed VALUE, not text: Jackson and Python both emit
+        # shortest-round-trip doubles but with different digit choices
+        # (4.5671926166590716E46 vs 4.567192616659072e+46 — same double),
+        # and faithful.py's json.dumps is itself only an approximation of
+        # Go strconv formatting.  Value equality is the honest oracle.
+        if v[:1] in "[{":
+            try:
+                return ("json", _canon(json.loads(v)))
+            except (ValueError, RecursionError):
+                pass
+        # float-literal strings: Spark renders 1.0E16, python 1e+16 —
+        # same double, cosmetic formatting
+        if _re.fullmatch(r"-?\d+(\.\d+)?([eE][+-]?\d+)?", v) and any(
+            c in v for c in ".eE"
+        ):
+            try:
+                f = float(v)
+                return repr(0.0 if f == 0.0 else f)  # "-0.0" ≡ "0.0", see above
+            except ValueError:
+                pass
+        # Spark serializes JSON \uXXXX escapes uppercase, python lowercase —
+        # same code point, cosmetic difference
+        return _UESC.sub(lambda m: "\\u" + m.group(1).lower(), v)
+    return v
+
+
+def _schema(targets):
+    return TableSchema(
+        columns=[
+            ColumnSpec(name=alias, ch_type=ch, source_name="v")
+            for ch, alias in targets
+        ]
+    )
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(values=st.lists(json_values, min_size=1, max_size=25))
+def test_spark_scalar_coercion_matches_faithful(spark, values):
+    _check(spark, _schema(SCALAR_TARGETS), values)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(values=st.lists(st.lists(scalars, max_size=5), min_size=1, max_size=15))
+def test_spark_array_coercion_matches_faithful(spark, values):
+    _check(spark, _schema(ARRAY_TARGETS), values)
+
+
+def _check(spark, schema, values):
+    msgs = [json.dumps({"v": v}) for v in values]
+    df = spark.createDataFrame([(m,) for m in msgs], "value string")
+    rows = parse_json(df, schema).collect()
+    assert len(rows) == len(values)
+    for msg, row in zip(msgs, rows):
+        obj = json.loads(msg)
+        for spec in schema:
+            expected = coerce_value(obj.get("v"), spec)
+            alias, ch_type = spec.name, spec.ch_type
+            got = row[alias]
+            # timestamps out of scope here (covered by golden tables);
+            # everything else must match exactly
+            assert _canon(got) == _canon(expected), (
+                f"value={obj['v']!r} target={ch_type}: spark={got!r} "
+                f"faithful={expected!r}"
+            )

@@ -124,9 +124,10 @@ def test_transform_batch_mode_matches_reference_semantics(spark):
     rows = transform(df, cfg).collect()
     assert len(rows) == 3  # never drop a row
     ok, bad, partial = rows
-    # bool for a Float target -> default 0.0 (fastjson Float64() rejects
-    # bool tokens; reference parser/fastjson.go:94-97 maps bool only to Int)
-    assert ok.name == "a" and ok.value == 7.0 and ok.price == 0.0
+    # string token "7" for a Float target -> default 0.0 (fastjson
+    # Float64() rejects string tokens), and bool for a Float target ->
+    # default 0.0 (reference parser/fastjson.go:94-97 maps bool only to Int)
+    assert ok.name == "a" and ok.value == 0.0 and ok.price == 0.0
     assert bad.name == "" and bad.value == 0.0  # whole-message defaults
     assert partial.name == "" and partial.value == 1000.0
 

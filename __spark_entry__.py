@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_bruteforce_topk": S.ann_bruteforce_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
+        "ann_ivf_topk": S.ann_ivf_topk,
         # text analysis
         "lang_id": T.lang_id,
         "token_stats": T.token_stats,
@@ -115,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,
         "ann_bruteforce_topk": S.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": S.ANN_LSH_SQL,
+        "ann_ivf_topk": S.ANN_IVF_SQL,
         "lang_id": T.LANG_ID_SQL,
         "token_stats": T.TOKEN_STATS_SQL,
         "quality_score": T.QUALITY_SQL,

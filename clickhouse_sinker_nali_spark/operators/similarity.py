@@ -191,3 +191,132 @@ FROM (
 WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
+
+
+# --------------------------------------------------------------------------
+# IVF-bucketed ANN (inverted-file index: nearest-centroid partitioning)
+# --------------------------------------------------------------------------
+
+K_CENTROIDS = 8  # corpus vec_id in [N_QUERIES, N_QUERIES + K) seed the cells
+NPROBE = 2  # queries probe their 2 nearest cells
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-centroid cells, query probes NPROBE cells, exact
+    re-rank inside probed cells.
+
+    Training is a deterministic seed pick (the first K corpus vectors serve
+    as centroids) so the DuckDB oracle can rebuild the identical index; a
+    production index would k-means these, which only changes the centroid
+    values, not the plan shape.  Scale design: the centroid set is tiny
+    (K×d floats), so it is collected once and enters the plan as literal
+    arrays — cell assignment is then a map-side argmax with NO shuffle over
+    the corpus (the LSH bucket expression's exact analogue).  The only
+    shuffles are the cell equi-join and the per-query rank, both keyed on
+    small keys.  At 100 TB with K=4096 cells the same plan holds: centroids
+    broadcast, assignment map-side, candidates = |corpus|·nprobe/K.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + K_CENTROIDS)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = sorted(
+        (int(r.vec_id) - N_QUERIES, [float(x) for x in r.embedding])
+        for r in cent_rows
+    )
+
+    def cell_scores(col: str):
+        """array<struct<cos,cid>> of similarity to every centroid literal."""
+        return F.array(
+            *[
+                F.struct(
+                    cosine(col, F.array(*[F.lit(v) for v in vec])).alias("cos"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, vec in cents
+            ]
+        )
+
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        # argmax by (cos, cid): struct max compares cos first, cid breaks ties
+        F.array_max(cell_scores("embedding")).getField("cid").alias("cid"),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.explode(
+            F.transform(
+                F.slice(F.reverse(F.array_sort(cell_scores("embedding"))), 1, NPROBE),
+                lambda s: s.getField("cid"),
+            )
+        ).alias("cid"),
+    )
+    scored = corpus.join(broadcast(queries), "cid").select(
+        "query_id", "neighbor_id", "cid", cosine("qe", "ce").alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cid", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _cos_pair(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+        f" / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+        f" * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))))"
+    )
+
+
+_COS_CT = _cos_pair("c.embedding", "t.embedding")
+_COS_QT = _cos_pair("q.embedding", "t.embedding")
+_COS_PC = _cos_pair("p.qe", "c.embedding")
+
+ANN_IVF_SQL = f"""
+WITH cent AS (
+    SELECT vec_id - {N_QUERIES} AS cid, embedding FROM embeddings
+    WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_CENTROIDS}
+),
+corpus AS (
+    SELECT neighbor_id, embedding, cid FROM (
+        SELECT c.vec_id AS neighbor_id, c.embedding, t.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                    ORDER BY {_COS_CT} DESC, t.cid DESC) AS rn
+        FROM embeddings c, cent t
+        WHERE c.vec_id >= {N_QUERIES}
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT query_id, qe, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qe, t.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY {_COS_QT} DESC, t.cid DESC) AS rn
+        FROM embeddings q, cent t
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rn <= {NPROBE}
+)
+SELECT query_id, rank, neighbor_id, cid, cos_sim
+FROM (
+    SELECT p.query_id, c.neighbor_id, c.cid,
+           {_COS_PC} AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                ORDER BY {_COS_PC} DESC, c.neighbor_id) AS rank
+    FROM probes p JOIN corpus c ON p.cid = c.cid
+)
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""

@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # Wide coercion projections (30+ column dynamic schemas) can exceed
+        # the default 64KB generated-method budget; Spark then abandons
+        # whole-stage codegen for the WHOLE projection and interpreted
+        # variant/regex evaluation is ~10-20× slower (measured on the
+        # ingest bench).  A JIT-unfriendly huge method still beats that.
+        .config("spark.sql.codegen.hugeMethodLimit", str(8 * 65535))
         # local[N] runs every task thread inside the driver JVM — size the
         # heap for N concurrent tasks or GC storms make wall times bimodal
         # (measured 0.4s..55s for the same job at 8g with 32 threads).

@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_signatures": D.simhash_signatures,
         "dedup_simhash": D.dedup_simhash,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        "dedup_clusters": D.dedup_clusters,
         # similarity search
         "ann_bruteforce_topk": S.ann_bruteforce_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_signatures": D.SIMHASH_SIG_SQL,
         "dedup_simhash": D.DEDUP_SIMHASH_SQL,
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,
+        "dedup_clusters": D.DEDUP_CLUSTERS_SQL,
         "ann_bruteforce_topk": S.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": S.ANN_LSH_SQL,
         "ann_ivf_topk": S.ANN_IVF_SQL,

@@ -93,9 +93,12 @@ def bench_ingest(spark) -> tuple[float, float]:
     msgs = _gen_messages(spark, INGEST_N).cache()
     msgs.count()  # materialize inputs so we time the engine, not the generator
 
+    # 5 reps, not 3: the host is time-shared and identical runs vary 2.7s..46s
+    # under external load spikes (measured) — more reps = better odds that at
+    # least one run lands in a quiet window, and min-of-N is the engine cost.
     typed = transform(msgs, cfg)
     parse_best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         typed.write.format("noop").mode("overwrite").save()
         parse_best = min(parse_best, time.perf_counter() - t0)
@@ -104,7 +107,7 @@ def bench_ingest(spark) -> tuple[float, float]:
     out = tempfile.mkdtemp(prefix="bench_ingest_")
     try:
         full_best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             transform(msgs, cfg).write.mode("overwrite").parquet(out)
             full_best = min(full_best, time.perf_counter() - t0)

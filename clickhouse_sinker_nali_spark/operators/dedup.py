@@ -260,8 +260,10 @@ def _band_key_sql(b: int) -> str:
     return f"md5({cols})"
 
 
-DEDUP_MINHASH_SQL = (
-    "WITH sh AS (" + word_shingles_sql("documents", "doc_id", "text", 3) + "),\n"
+# CTE chain shared by DEDUP_MINHASH_SQL and DEDUP_CLUSTERS_SQL (no leading
+# WITH so callers can prepend WITH / WITH RECURSIVE as needed).
+_MINHASH_PAIR_CTES = (
+    "sh AS (" + word_shingles_sql("documents", "doc_id", "text", 3) + "),\n"
     f"based AS (SELECT doc_id, {_HA_SQL} AS ha, {_HB_SQL} AS hb FROM sh),\n"
     "sigs AS (SELECT doc_id, "
     + ", ".join(f"MIN(ha + {i} * hb) AS h{i}" for i in range(MINHASH_K))
@@ -278,12 +280,18 @@ DEDUP_MINHASH_SQL = (
     "sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id),\n"
     "inter AS (SELECT doc_a, doc_b, COUNT(*) AS n_common\n"
     "          FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b\n"
-    "           AND a.shingle = b.shingle GROUP BY 1, 2)\n"
-    "SELECT doc_a, doc_b,\n"
-    "       n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard\n"
-    "FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id\n"
-    f"WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}\n"
-    "ORDER BY doc_a, doc_b"
+    "           AND a.shingle = b.shingle GROUP BY 1, 2),\n"
+    "pairs AS (\n"
+    "    SELECT doc_a, doc_b,\n"
+    "           n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard\n"
+    "    FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id\n"
+    f"    WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}\n"
+    ")"
+)
+
+DEDUP_MINHASH_SQL = (
+    "WITH " + _MINHASH_PAIR_CTES + "\n"
+    "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"
 )
 
 
@@ -444,3 +452,111 @@ WHERE (list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) >= {COSINE_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
+
+
+# --------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components over the near-dup graph)
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``nodes``: one column ``id`` (bigint); ``edges``: ``src``/``dst``
+    (undirected — one row per pair is enough, symmetrized here).  Returns
+    ``(id, component)`` where ``component`` is the minimum node id in the
+    component.
+
+    Each sweep sets ``label(v) = min(label(v), min over neighbors
+    label(u))`` — one equi-join shuffle on ``src`` plus one groupBy — and
+    stops when the global ``sum(label)`` is unchanged (labels only ever
+    decrease, so an equal sum IS the fixpoint; this makes the convergence
+    check a single agg rather than a self-join diff).  Iterations needed =
+    component diameter.  Near-dup clusters are shallow (diameter ≤ ~5 even
+    at web scale — dup graphs are star-shaped around template docs), so the
+    sweep count stays tiny while each sweep is one shuffle over the edge
+    list.  For adversarial long-chain graphs switch to pointer-jumping
+    (label(v) ← label(label(v)), O(log d) sweeps) — not needed for dedup.
+    ``localCheckpoint`` truncates lineage each sweep so the plan does not
+    grow with the iteration count (the classic iterative-algorithm trap:
+    without it, sweep k replays all k-1 prior joins and the DAG explodes).
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.repartition("src").localCheckpoint(eager=True)
+    labels = nodes.select(F.col("id"), F.col("id").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iterations):
+        nbr = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS (the step a real
+    pipeline needs before it can drop documents: pairs a~b, b~c must
+    collapse into one {a,b,c} cluster even though a~c was never emitted).
+
+    Edges = the MinHash-LSH verified pairs; components via min-label
+    propagation; every document gets a cluster id (singletons are their own
+    cluster) plus the cluster size — downstream keep-policy is then
+    ``filter(doc_id == cluster_id)`` (keep canonical) or sample-per-cluster.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    labels = connected_components(docs, edges)
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            "cluster_size",
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE " + _MINHASH_PAIR_CTES + ",\n"
+    "sym AS (SELECT doc_a AS src, doc_b AS dst FROM pairs\n"
+    "        UNION ALL SELECT doc_b, doc_a FROM pairs),\n"
+    "reach(doc_id, r) AS (\n"
+    "    SELECT doc_id, doc_id FROM documents\n"
+    "    UNION\n"
+    "    SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.doc_id\n"
+    "),\n"
+    "labels AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),\n"
+    "csz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id)\n"
+    "SELECT doc_id, labels.cluster_id, cluster_size\n"
+    "FROM labels JOIN csz ON labels.cluster_id = csz.cluster_id\n"
+    "ORDER BY doc_id"
+)

@@ -66,6 +66,30 @@ def test_minhash_lsh_is_subset_of_exhaustive_jaccard(spark):
     assert len(lsh) > 0
 
 
+def test_connected_components_chain_and_singleton(spark):
+    # pairs a~b, b~c, c~d must collapse into ONE cluster (transitivity the
+    # pair list alone can't express); untouched nodes stay singletons
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "id: bigint")
+    edges = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (6, 7)], "src: bigint, dst: bigint"
+    )
+    got = {
+        (r.id, r.component)
+        for r in D.connected_components(nodes, edges).collect()
+    }
+    assert got == {(1, 1), (2, 2), (3, 2), (4, 2), (5, 2), (6, 6), (7, 6)}
+
+
+def test_dedup_clusters_cover_all_docs_and_contain_lsh_pairs(spark):
+    labels = {r.doc_id: r.cluster_id for r in D.dedup_clusters(spark, SF_DIR).collect()}
+    assert len(labels) == 500  # every doc is assigned, singletons included
+    # every verified near-dup pair must share a cluster
+    for r in D.dedup_minhash_lsh(spark, SF_DIR).collect():
+        assert labels[r.doc_a] == labels[r.doc_b]
+    # cluster id is the canonical (minimum) member
+    assert all(cid <= d for d, cid in labels.items())
+
+
 def test_simhash_close_pairs_have_close_signatures(spark):
     sigs = {r.doc_id: r.simhash for r in D.simhash_signatures(spark, SF_DIR).collect()}
     assert all(0 <= s < (1 << 16) for s in sigs.values())

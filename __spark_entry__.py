@@ -88,6 +88,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentiles": A.price_percentiles,
         "time_bucket_rollup": A.time_bucket_rollup,
         "prometheus_metric_rows": A.prometheus_metric_rows,
+        # third wave: PII scrub, deterministic sampling / splits
+        "pii_redact": T.pii_redact,
+        "stratified_sample": A.stratified_sample,
+        "train_val_test_split": A.train_val_test_split,
     }
 
 
@@ -139,4 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "price_percentiles": A.PERCENTILES_SQL,
         "time_bucket_rollup": A.TIME_BUCKET_SQL,
         "prometheus_metric_rows": A.PROMETHEUS_METRIC_SQL,
+        "pii_redact": T.PII_REDACT_SQL,
+        "stratified_sample": A.STRATIFIED_SAMPLE_SQL,
+        "train_val_test_split": A.TRAIN_VAL_TEST_SQL,
     }

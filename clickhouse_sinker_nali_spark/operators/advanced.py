@@ -314,3 +314,96 @@ FROM events
 GROUP BY series_id
 ORDER BY series_id
 """
+
+
+# --------------------------------------------------------------------------
+# deterministic sampling / dataset splits (hash-gated, not RNG)
+# --------------------------------------------------------------------------
+
+# per-language keep rates (per-mille) for the stratified sample — downsample
+# the majority language, keep more of the tails (the standard data-mixing
+# move in pretraining pipelines)
+_STRATA_RATES = {"en": 300, "es": 600, "de": 600, "fr": 600, "zh": 900}
+_DEFAULT_RATE = 500
+_SPLIT_SALT = "split:"
+_SAMPLE_SALT = "sample:"
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stratified sample via a hash gate, not an RNG.
+
+    ``keep ⇔ hash(salt‖doc_id) mod 1000 < rate(lang)`` — a pure map-side
+    filter: no shuffle, no seed-state, reproducible row-for-row on any
+    cluster size and under task retries (Spark's ``sample()`` is
+    per-partition-seeded, so its row set changes with partitioning — a
+    silent non-determinism at 100 TB that hash gating removes; this is also
+    the only formulation a SQL oracle can replay exactly).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    gate = F.pmod(
+        portable_hash64(F.concat(F.lit(_SAMPLE_SALT), F.col("doc_id").cast("string"))),
+        F.lit(1000),
+    )
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", gate.alias("gate"), rate.alias("rate"))
+        .filter(F.col("gate") < F.col("rate"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+_RATE_CASE = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{lang}' THEN {r}" for lang, r in _STRATA_RATES.items())
+    + f" ELSE {_DEFAULT_RATE} END"
+)
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE ({portable_hash64_sql("'" + _SAMPLE_SALT + "' || doc_id::VARCHAR")}) % 1000
+      < {_RATE_CASE}
+ORDER BY doc_id
+"""
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by content-stable hash bucket,
+    reported as per-(split, lang) counts.
+
+    The split key hashes ``doc_id`` with a dedicated salt so it is
+    independent of every other hash gate in the pipeline (sampling with the
+    same hash would correlate: the sample's survivors would all land in the
+    same split region).  Assignment is map-side; only the tiny count
+    aggregation shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        portable_hash64(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+_SPLIT_BUCKET = f"({portable_hash64_sql(chr(39) + _SPLIT_SALT + chr(39) + ' || doc_id::VARCHAR')}) % 100"
+
+TRAIN_VAL_TEST_SQL = f"""
+SELECT CASE WHEN {_SPLIT_BUCKET} < 80 THEN 'train'
+            WHEN {_SPLIT_BUCKET} < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs
+FROM documents
+GROUP BY split, lang
+ORDER BY split, lang
+"""

@@ -198,3 +198,54 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 common dialect (no
+# backrefs, no lookaround) so Spark and the DuckDB oracle compile the SAME
+# expression.  Long digit runs stand in for phone/account numbers.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_LONGNUM = r"\b\d{9,}\b"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: replace emails / IPv4s / long digit runs with typed
+    placeholder tokens, and count each class per document.
+
+    Pure ``regexp_replace``/``regexp_extract_all`` column expressions —
+    per-row, JVM-side, runs at scan speed over 100 TB with no shuffle at
+    all (the orderBy here is presentation-only for the oracle compare; a
+    production scrub writes the projection straight back out).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_LONGNUM,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted_text"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all("text", F.lit(_PII_LONGNUM), 0)).alias("n_longnums"),
+    ).orderBy("doc_id")
+
+
+PII_REDACT_SQL = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g'),
+           '{_PII_LONGNUM}', '<NUM>', 'g') AS redacted_text,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ips,
+       len(regexp_extract_all(text, '{_PII_LONGNUM}')) AS n_longnums
+FROM documents
+ORDER BY doc_id
+"""

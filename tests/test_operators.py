@@ -13,6 +13,7 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+import clickhouse_sinker_nali_spark.operators.advanced as A
 import clickhouse_sinker_nali_spark.operators.dedup as D
 import clickhouse_sinker_nali_spark.operators.ingest as I
 import clickhouse_sinker_nali_spark.operators.multimodal as M
@@ -152,6 +153,46 @@ def test_fingerprint_is_stable_and_content_keyed(spark):
     a = {r.doc_id: r.fingerprint for r in T.doc_fingerprint(spark, SF_DIR).collect()}
     b = {r.doc_id: r.fingerprint for r in T.doc_fingerprint(spark, SF_DIR).collect()}
     assert a == b  # deterministic across runs
+
+
+def test_pii_redact_plants(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or 10.0.0.1 ref 123456789 end", "en"),
+            (2, "no pii here just words", "en"),
+        ],
+        "doc_id: bigint, text: string, lang: string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in T.pii_redact(spark, str(tmp_path)).collect()}
+    assert rows[1].redacted_text == "contact <EMAIL> or <IP> ref <NUM> end"
+    assert (rows[1].n_emails, rows[1].n_ips, rows[1].n_longnums) == (1, 1, 1)
+    assert rows[2].redacted_text == "no pii here just words"
+    assert (rows[2].n_emails, rows[2].n_ips, rows[2].n_longnums) == (0, 0, 0)
+
+
+def test_stratified_sample_is_partitioning_invariant(spark, tmp_path):
+    # the core claim vs .sample(): the surviving row set depends only on row
+    # CONTENT, not on how the data is partitioned
+    base = {r.doc_id for r in A.stratified_sample(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs.repartition(17).write.parquet(str(tmp_path / "documents.parquet"))
+    reparted = {r.doc_id for r in A.stratified_sample(spark, str(tmp_path)).collect()}
+    assert base == reparted
+    assert 0 < len(base) < 500
+
+
+def test_train_val_test_split_is_complete_partition(spark):
+    rows = A.train_val_test_split(spark, SF_DIR).collect()
+    total = sum(r.n_docs for r in rows)
+    assert total == 500  # every doc in exactly one split
+    by_split = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert set(by_split) == {"train", "val", "test"}
+    # 80/10/10 within hash-binomial tolerance
+    assert by_split["train"] > by_split["val"]
+    assert by_split["train"] > by_split["test"]
 
 
 # -- multimodal -------------------------------------------------------------

@@ -23,6 +23,7 @@ from clickhouse_sinker_nali_spark.operators import dedup as D
 from clickhouse_sinker_nali_spark.operators import ingest as I
 from clickhouse_sinker_nali_spark.operators import multimodal as M
 from clickhouse_sinker_nali_spark.operators import relational as R
+from clickhouse_sinker_nali_spark.operators import scale as SC
 from clickhouse_sinker_nali_spark.operators import similarity as S
 from clickhouse_sinker_nali_spark.operators import text as T
 
@@ -88,10 +89,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_percentiles": A.price_percentiles,
         "time_bucket_rollup": A.time_bucket_rollup,
         "prometheus_metric_rows": A.prometheus_metric_rows,
-        # third wave: PII scrub, deterministic sampling / splits
+        # third wave: PII scrub, deterministic sampling / splits, skew salting
         "pii_redact": T.pii_redact,
         "stratified_sample": A.stratified_sample,
         "train_val_test_split": A.train_val_test_split,
+        "skew_join_salted": SC.skew_join_salted,
     }
 
 
@@ -146,4 +148,5 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": T.PII_REDACT_SQL,
         "stratified_sample": A.STRATIFIED_SAMPLE_SQL,
         "train_val_test_split": A.TRAIN_VAL_TEST_SQL,
+        "skew_join_salted": SC.SKEW_JOIN_SQL,
     }

@@ -89,3 +89,51 @@ def test_dedup_exact_reads_two_columns(spark):
     df = D.dedup_exact(spark, SF_DIR)
     scans = read_schema_columns(df)
     assert scans and scans[0] == {"doc_id", "text"}
+
+
+# -- scale techniques: salting + bucketing ----------------------------------
+
+
+def test_salted_join_matches_plain_join(spark):
+    import clickhouse_sinker_nali_spark.operators.scale as SC
+    from clickhouse_sinker_nali_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    salted = SC.salted_join(li, orders, "l_orderkey", F.col("l_linenumber"))
+    plain = li.join(orders, "l_orderkey")
+    assert salted.count() == plain.count()
+    key = lambda r: (r.l_orderkey, r.l_linenumber)  # noqa: E731
+    assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+
+
+def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
+    import clickhouse_sinker_nali_spark.operators.scale as SC
+    from clickhouse_sinker_nali_spark.session import load_table
+
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    # force SMJ (not broadcast) so the exchange count is meaningful
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        SC.write_bucketed(orders, "bkt_orders", "o_orderkey", 8)
+        SC.write_bucketed(li, "bkt_lineitem", "o_orderkey", 8)
+        joined = SC.bucketed_join(spark, "bkt_orders", "bkt_lineitem", "o_orderkey")
+        # both sides pre-bucketed on the join key -> SMJ with NO shuffle
+        assert count_exchanges(joined) == 0
+        # the unbucketed same join DOES shuffle both sides — and agrees
+        plain = orders.join(li, "o_orderkey")
+        assert count_exchanges(plain) >= 2
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")

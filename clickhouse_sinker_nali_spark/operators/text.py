@@ -11,8 +11,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
-from ..functions import portable_hash64, portable_hash64_sql
+from ..functions import (
+    portable_hash64,
+    portable_hash64_sql,
+    word_shingles,
+    word_shingles_sql,
+)
 from ..session import load_table
 
 # n-gram-heuristic language ID: per-language stopword marker sets.
@@ -248,4 +254,156 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{_PII_LONGNUM}')) AS n_longnums
 FROM documents
 ORDER BY doc_id
+"""
+
+
+VOCAB_TOP_K = 100
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 words by occurrence count (tokenizer /
+    BPE-seed building block).
+
+    explode → two-level aggregate; the per-(doc, word) pre-count is NOT
+    needed because ``count`` is already map-combinable — one narrow shuffle
+    keyed on word carries (word, partial_count) pairs, then a tiny top-k.
+    At 100 TB the word-key space is Zipfian but the partial agg absorbs the
+    head: each map task emits 'the' ONCE, so the hot key receives
+    n_partitions rows, not n_occurrences.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
+    )
+    counts = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    w = W.orderBy(F.col("n_occurrences").desc(), F.col("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= VOCAB_TOP_K)
+        .select("rank", "word", "n_occurrences", "n_docs")
+        .orderBy("rank")
+    )
+
+
+VOCAB_TOPK_SQL = f"""
+SELECT rank, word, n_occurrences, n_docs
+FROM (
+    SELECT word, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rank
+    FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+          FROM documents)
+    GROUP BY word
+)
+WHERE rank <= {VOCAB_TOP_K}
+ORDER BY rank
+"""
+
+
+def ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of 3-gram occurrences that are
+    duplicates (the Gopher/RefinedWeb 'repetitious text' quality signal).
+
+    Whole computation is per-row array algebra (sequence/transform/
+    array_distinct) — scan-speed, no shuffle, no UDF.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    n = F.size(words)
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", words)))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        "doc_id",
+        total.alias("n_grams_total"),
+        distinct.alias("n_grams_distinct"),
+        ((total - distinct) / total.cast("double")).alias("dup_ratio"),
+    ).orderBy("doc_id")
+
+
+NGRAM_REPETITION_SQL = """
+WITH g AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 3
+                THEN list_transform(range(0, len(w) - 2),
+                                    i -> array_to_string(w[i + 1 : i + 3], ' '))
+                ELSE [array_to_string(w, ' ')] END AS grams
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents)
+)
+SELECT doc_id,
+       len(grams) AS n_grams_total,
+       len(list_distinct(grams)) AS n_grams_distinct,
+       (len(grams) - len(list_distinct(grams))) / len(grams)::DOUBLE AS dup_ratio
+FROM g
+ORDER BY doc_id
+"""
+
+
+# every 50th doc stands in for a held-out benchmark whose n-grams must not
+# leak into training data
+_BENCH_MOD = 50
+_CONTAM_K = 5
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any 5-gram
+    with the benchmark set (docs with ``doc_id % 50 == 0`` here).
+
+    The blocklist (distinct benchmark n-grams) is small relative to the
+    corpus — built once and BROADCAST, so the contamination check is a
+    map-side semi-join over the exploded training n-grams: no shuffle of
+    the corpus, exactly how benchmark-overlap filtering runs over 100 TB
+    (the real blocklist — MMLU/GSM8K/... n-grams — is a few MB).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % _BENCH_MOD == 0
+    bench_grams = (
+        docs.filter(is_bench)
+        .select(F.explode(word_shingles("text", _CONTAM_K)).alias("gram"))
+        .distinct()
+    )
+    train_grams = docs.filter(~is_bench).select(
+        "doc_id", F.explode(word_shingles("text", _CONTAM_K)).alias("gram")
+    )
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.filter(~is_bench)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH grams AS ({word_shingles_sql('documents', 'doc_id', 'text', _CONTAM_K)}),
+bench AS (SELECT DISTINCT shingle FROM grams WHERE doc_id % {_BENCH_MOD} = 0),
+hits AS (
+    SELECT g.doc_id, COUNT(*) AS n_hits
+    FROM grams g JOIN bench b ON g.shingle = b.shingle
+    WHERE g.doc_id % {_BENCH_MOD} <> 0
+    GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % {_BENCH_MOD} <> 0
+ORDER BY d.doc_id
 """

@@ -137,3 +137,16 @@ def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_decontaminate_broadcasts_blocklist(spark):
+    # the benchmark n-gram blocklist must enter as a broadcast, never a
+    # corpus-wide shuffle
+    assert uses_broadcast_join(T.decontaminate(spark, SF_DIR))
+
+
+def test_ngram_repetition_is_scan_plus_project(spark):
+    df = T.ngram_repetition(spark, SF_DIR)
+    # per-row array algebra: only the presentation sort may shuffle
+    assert count_exchanges(df) <= 1
+    assert read_schema_columns(df) == [{"doc_id", "text"}]

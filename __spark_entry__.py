@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": S.ann_bruteforce_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
         "ann_ivf_topk": S.ann_ivf_topk,
+        "embedding_quantize": S.embedding_quantize,
+        "ann_int8_topk": S.ann_int8_topk,
         # text analysis
         "lang_id": T.lang_id,
         "token_stats": T.token_stats,
@@ -129,6 +131,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_topk": S.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": S.ANN_LSH_SQL,
         "ann_ivf_topk": S.ANN_IVF_SQL,
+        "embedding_quantize": S.EMBEDDING_QUANTIZE_SQL,
+        "ann_int8_topk": S.ANN_INT8_SQL,
         "lang_id": T.LANG_ID_SQL,
         "token_stats": T.TOKEN_STATS_SQL,
         "quality_score": T.QUALITY_SQL,

@@ -320,3 +320,135 @@ FROM (
 WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
+
+
+# --------------------------------------------------------------------------
+# int8 quantization (the ANN memory-scale path: 4 B -> 1 B per dimension)
+# --------------------------------------------------------------------------
+
+_QEPS = 1e-12  # scale floor: keeps the all-zero vector finite
+
+
+def _quantize(e):
+    """(scale, q) for a float-array column: symmetric per-vector int8.
+
+    Rounding is ``floor(x + 0.5)`` in BOTH engines rather than ``round()``
+    — Spark and DuckDB agree on it bit-for-bit, whereas round() half-case
+    conventions are a classic cross-engine divergence.
+    """
+    d = F.transform(e, lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(d, F.abs)) / F.lit(127.0), F.lit(_QEPS)
+    )
+    q = F.transform(d, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    return scale, q
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization with reconstruction error.
+
+    Map-side only (no shuffle but the presentation sort): at 100 TB this is
+    the projection you write back out once, shrinking the ANN working set
+    4× so corpus shards fit in executor memory for the re-rank stage.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale, q = _quantize(F.col("embedding"))
+    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    err = F.aggregate(
+        F.zip_with(d, q, lambda x, qi: F.abs(x - qi.cast("double") * scale)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / F.size(q)
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        q.alias("q"),
+        err.alias("mean_abs_err"),
+    ).orderBy("vec_id")
+
+
+_D_SQL = "list_transform(embedding, x -> x::DOUBLE)"
+_SCALE_SQL = f"greatest(list_max(list_transform({_D_SQL}, x -> abs(x))) / 127.0, {_QEPS})"
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH base AS (
+    SELECT vec_id, {_D_SQL} AS d, {_SCALE_SQL} AS scale FROM embeddings
+)
+SELECT vec_id, scale,
+       list_transform(d, x -> floor(x / scale + 0.5)::INT) AS q,
+       list_sum(list_transform(d,
+           x -> abs(x - floor(x / scale + 0.5)::INT * scale))) / len(d)
+           AS mean_abs_err
+FROM base
+ORDER BY vec_id
+"""
+
+
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k on QUANTIZED vectors: integer dot products scaled
+    by the two per-vector scales.
+
+    Same join shape as the float brute force (broadcast queries, window
+    rank) but the corpus side streams int8 — the arithmetic a GPU-free
+    re-rank stage runs at scale.  The integer dot is exact in both engines,
+    so the oracle reproduces the ranking bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale, q = _quantize(F.col("embedding"))
+    quant = emb.select("vec_id", scale.alias("scale"), q.alias("q"))
+    queries = quant.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("scale").alias("qs"),
+        F.col("q").alias("qq"),
+    )
+    corpus = quant.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("scale").alias("cs"),
+        F.col("q").alias("cq"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with("qq", "cq", lambda a, b: (a * b).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    scored = corpus.join(broadcast(queries)).select(
+        "query_id",
+        "neighbor_id",
+        (int_dot.cast("double") * F.col("qs") * F.col("cs")).alias("approx_dot"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "approx_dot")
+        .orderBy("query_id", "rank")
+    )
+
+
+ANN_INT8_SQL = f"""
+WITH quant AS (
+    SELECT vec_id, scale, list_transform(d, x -> floor(x / scale + 0.5)::BIGINT) AS q
+    FROM (SELECT vec_id, {_D_SQL} AS d, {_SCALE_SQL} AS scale FROM embeddings)
+)
+SELECT query_id, rank, neighbor_id, approx_dot
+FROM (
+    SELECT qs.vec_id AS query_id, cs.vec_id AS neighbor_id,
+           list_sum(list_transform(range(1, len(qs.q) + 1),
+                                   i -> qs.q[i] * cs.q[i]))::DOUBLE
+               * qs.scale * cs.scale AS approx_dot,
+           ROW_NUMBER() OVER (
+               PARTITION BY qs.vec_id
+               ORDER BY list_sum(list_transform(range(1, len(qs.q) + 1),
+                                                i -> qs.q[i] * cs.q[i]))::DOUBLE
+                        * qs.scale * cs.scale DESC,
+                        cs.vec_id) AS rank
+    FROM quant qs, quant cs
+    WHERE qs.vec_id < {N_QUERIES} AND cs.vec_id >= {N_QUERIES}
+)
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""

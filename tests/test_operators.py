@@ -301,3 +301,27 @@ def test_asof_join_matches_merge_formulation(spark):
         for r in R.asof_join_events_orders(spark, SF_DIR).collect()
     }
     assert merge_result == join_result
+
+
+def test_int8_ann_recall_vs_float_bruteforce(spark):
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_bruteforce_topk(spark, SF_DIR).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_int8_topk(spark, SF_DIR).collect()
+    }
+    # int8 is approximate in VALUES but must stay close in RANKING: >=60%
+    # of the exact top-5 sets survive quantization on this corpus
+    assert len(exact & quant) / len(exact) >= 0.6
+
+
+def test_embedding_quantize_bounds(spark):
+    rows = S.embedding_quantize(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        assert all(-127 <= qi <= 127 for qi in r.q)
+        assert r.scale > 0
+        # reconstruction error is bounded by half a quantization step
+        assert r.mean_abs_err <= r.scale * 0.5 + 1e-9

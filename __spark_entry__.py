@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, "/root/repo")
 
 from clickhouse_sinker_nali_spark.operators import advanced as A
+from clickhouse_sinker_nali_spark.operators import curation as C
 from clickhouse_sinker_nali_spark.operators import dedup as D
 from clickhouse_sinker_nali_spark.operators import ingest as I
 from clickhouse_sinker_nali_spark.operators import multimodal as M
@@ -100,6 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": T.vocab_topk,
         "ngram_repetition": T.ngram_repetition,
         "decontaminate": T.decontaminate,
+        # flagship composition: full curation chain
+        "curation_pipeline": C.curation_pipeline,
     }
 
 
@@ -160,4 +163,5 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": T.VOCAB_TOPK_SQL,
         "ngram_repetition": T.NGRAM_REPETITION_SQL,
         "decontaminate": T.DECONTAMINATE_SQL,
+        "curation_pipeline": C.CURATION_SQL,
     }

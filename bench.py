@@ -31,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from clickhouse_sinker_nali_spark.operators import dedup as D
 from clickhouse_sinker_nali_spark.operators import relational as R
+from clickhouse_sinker_nali_spark.operators import scale as SC
 from clickhouse_sinker_nali_spark.operators import similarity as S
 from clickhouse_sinker_nali_spark.operators import text as T
 from clickhouse_sinker_nali_spark.session import get_spark
@@ -47,8 +48,11 @@ HEADLINE = {
     "dedup_minhash_lsh": D.dedup_minhash_lsh,
     "ann_bruteforce_topk": S.ann_bruteforce_topk,
     "ann_lsh_topk": S.ann_lsh_topk,
+    "ann_ivf_topk": S.ann_ivf_topk,
     "token_stats": T.token_stats,
     "quality_score": T.quality_score,
+    "decontaminate": T.decontaminate,
+    "skew_join_salted": SC.skew_join_salted,
 }
 
 

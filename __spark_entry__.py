@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal (Pandas-UDF plumbing, deterministic fake decode)
         "multimodal_decode_meta": M.multimodal_decode_meta,
         "multimodal_frame_sample": M.multimodal_frame_sample,
+        "multimodal_resize": M.multimodal_resize,
+        "multimodal_features": M.multimodal_features,
         # ingest-engine parity (parsers / coercion / datetime / shard / enrich)
         "ingest_json_coerce": I.ingest_json_coerce,
         "ingest_csv_parse": I.ingest_csv_parse,
@@ -142,6 +144,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": T.DOC_FINGERPRINT_SQL,
         "multimodal_decode_meta": M.MULTIMODAL_DECODE_SQL,
         "multimodal_frame_sample": M.MULTIMODAL_FRAMES_SQL,
+        "multimodal_resize": M.MULTIMODAL_RESIZE_SQL,
+        "multimodal_features": M.MULTIMODAL_FEATURES_SQL,
         "ingest_json_coerce": I.INGEST_JSON_SQL,
         "ingest_csv_parse": I.INGEST_CSV_SQL,
         "ingest_datetime_layouts": I.INGEST_DATETIME_SQL,

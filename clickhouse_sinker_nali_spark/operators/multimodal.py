@@ -24,7 +24,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -181,4 +183,136 @@ SELECT doc_id, i::INTEGER AS frame_idx,
            AS frame_hash
 FROM base, LATERAL (SELECT unnest(range(0, n_frames)) AS i)
 ORDER BY doc_id, frame_idx
+"""
+
+
+def resize_image_meta(blobs: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Resize stub: aspect-preserving downscale to ``max_dim``.
+
+    Real implementation would decode, ``Image.resize``, re-encode; the stub
+    reuses the fake-decoded dimensions and computes output dims with
+    INTEGER-only arithmetic (``w*max_dim // max(w,h)``) so the oracle is
+    exact in both engines.  Emits the resized-payload content hash a real
+    resizer would write back to the blob store.
+    """
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("out_width", IntegerType()),
+            StructField("out_height", IntegerType()),
+            StructField("resized_hash", LongType()),
+        ]
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in schema.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["blob"]):
+                w, h, _fmt = _fake_decode(bytes(payload))
+                m = max(w, h)
+                ow, oh = (w, h) if m <= max_dim else (w * max_dim // m, h * max_dim // m)
+                ow, oh = max(ow, 1), max(oh, 1)
+                rh = int(hashlib.md5(f"resize:{w}x{h}->{ow}x{oh}".encode()).hexdigest()[:15], 16)
+                rows["doc_id"].append(doc_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["out_width"].append(ow)
+                rows["out_height"].append(oh)
+                rows["resized_hash"].append(rh)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "width": pd.Series(rows["width"], dtype="int32"),
+                    "height": pd.Series(rows["height"], dtype="int32"),
+                    "out_width": pd.Series(rows["out_width"], dtype="int32"),
+                    "out_height": pd.Series(rows["out_height"], dtype="int32"),
+                    "resized_hash": pd.Series(rows["resized_hash"], dtype="int64"),
+                }
+            )
+
+    return blobs.mapInPandas(resize, schema)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_image_meta(attach_binary(docs)).orderBy("doc_id")
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH dims AS (
+    SELECT doc_id,
+           ({_H} % 1920 + 1)::INTEGER AS width,
+           ({_H} % 1080 + 1)::INTEGER AS height
+    FROM documents
+),
+scaled AS (
+    SELECT doc_id, width, height,
+           CASE WHEN greatest(width, height) <= 256 THEN width
+                ELSE greatest(width * 256 // greatest(width, height), 1) END AS out_width,
+           CASE WHEN greatest(width, height) <= 256 THEN height
+                ELSE greatest(height * 256 // greatest(width, height), 1) END AS out_height
+    FROM dims
+)
+SELECT doc_id, width, height,
+       out_width::INTEGER AS out_width, out_height::INTEGER AS out_height,
+       (('0x' || substr(md5('resize:' || width || 'x' || height || '->'
+            || out_width || 'x' || out_height), 1, 15))::BIGINT) AS resized_hash
+FROM scaled
+ORDER BY doc_id
+"""
+
+
+FEATURE_DIM = 8
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def extract_features(blobs: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature-extraction stub: binary payload → dense embedding column.
+
+    Real implementation: a vision/audio encoder over the decoded media
+    (batched on GPU workers).  The fake derives each component from a
+    chained md5 so the embedding is content-deterministic; the OUTPUT
+    CONTRACT (``array<double>`` of fixed dim, ready for the similarity /
+    quantization operators) is the part under test.
+    """
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["blob"]):
+                h = int(hashlib.md5(bytes(payload)).hexdigest()[:15], 16)
+                vecs.append(
+                    [
+                        (int(hashlib.md5(f"{h}:f{i}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+                        / 1000.0
+                        for i in range(dim)
+                    ]
+                )
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"), "features": vecs})
+
+    return blobs.mapInPandas(feats, _FEATURE_SCHEMA)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_binary(docs)).orderBy("doc_id")
+
+
+MULTIMODAL_FEATURES_SQL = f"""
+WITH base AS (SELECT doc_id, {_H} AS h FROM documents)
+SELECT doc_id,
+       list_transform(range(0, {FEATURE_DIM}),
+           i -> ((('0x' || substr(md5(h::VARCHAR || ':f' || i::VARCHAR), 1, 15))::BIGINT
+                  % 2001 - 1000) / 1000.0)) AS features
+FROM base
+ORDER BY doc_id
 """

@@ -325,3 +325,29 @@ def test_embedding_quantize_bounds(spark):
         assert r.scale > 0
         # reconstruction error is bounded by half a quantization step
         assert r.mean_abs_err <= r.scale * 0.5 + 1e-9
+
+
+def test_multimodal_resize_preserves_aspect_and_bounds(spark):
+    for r in M.multimodal_resize(spark, SF_DIR).limit(100).collect():
+        assert 1 <= r.out_width <= 256 and 1 <= r.out_height <= 256
+        if max(r.width, r.height) <= 256:
+            assert (r.out_width, r.out_height) == (r.width, r.height)
+        else:
+            # integer aspect preservation: out dims never overshoot scale
+            m = max(r.width, r.height)
+            assert r.out_width == max(r.width * 256 // m, 1)
+            assert r.out_height == max(r.height * 256 // m, 1)
+
+
+def test_multimodal_features_feed_similarity_ops(spark):
+    df = M.multimodal_features(spark, SF_DIR)
+    assert df.schema["features"].dataType.simpleString() == "array<double>"
+    rows = df.limit(20).collect()
+    assert all(len(r.features) == M.FEATURE_DIM for r in rows)
+    assert all(-1.0 <= x <= 1.0 for r in rows for x in r.features)
+    # the contract: the output plugs straight into the cosine operators
+    from clickhouse_sinker_nali_spark.functions import cosine
+    paired = df.limit(5).select(
+        "doc_id", cosine("features", "features").alias("self_cos")
+    ).collect()
+    assert all(abs(r.self_cos - 1.0) < 1e-9 for r in paired)

@@ -329,6 +329,19 @@ _SPLIT_SALT = "split:"
 _SAMPLE_SALT = "sample:"
 
 
+def sample_gate() -> "F.Column":
+    """Boolean keep-gate for the stratified sample, as a reusable expression
+    (also consumed by the fused curation pipeline)."""
+    gate = F.pmod(
+        portable_hash64(F.concat(F.lit(_SAMPLE_SALT), F.col("doc_id").cast("string"))),
+        F.lit(1000),
+    )
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return gate < rate
+
+
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language stratified sample via a hash gate, not an RNG.
 
@@ -340,18 +353,8 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the only formulation a SQL oracle can replay exactly).
     """
     docs = load_table(spark, sf_dir, "documents")
-    gate = F.pmod(
-        portable_hash64(F.concat(F.lit(_SAMPLE_SALT), F.col("doc_id").cast("string"))),
-        F.lit(1000),
-    )
-    rate = F.lit(_DEFAULT_RATE)
-    for lang, r in _STRATA_RATES.items():
-        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
     return (
-        docs.select("doc_id", "lang", gate.alias("gate"), rate.alias("rate"))
-        .filter(F.col("gate") < F.col("rate"))
-        .select("doc_id", "lang")
-        .orderBy("doc_id")
+        docs.filter(sample_gate()).select("doc_id", "lang").orderBy("doc_id")
     )
 
 

@@ -27,21 +27,59 @@ QUALITY_MIN = 0.55
 
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kept-corpus statistics per language after the full curation chain."""
-    sample = A.stratified_sample(spark, sf_dir)  # doc_id, lang (gate passed)
-    survivors = D.dedup_exact(spark, sf_dir).select(
-        F.col("survivor_doc_id").alias("doc_id")
+    """Kept-corpus statistics per language after the full curation chain.
+
+    FUSED single-scan formulation: the naive composition (join the five
+    standalone operator outputs on doc_id) reads the corpus six times; at
+    100 TB that is six passes over the dominant cost.  Here one scan
+    computes every per-doc signal map-side (quality, tokens, content hash,
+    sample gate), one window over ``content_hash`` picks dedup survivors,
+    and contamination is a broadcast-blocklist anti-join — so the corpus
+    is read twice (main pass + the tiny benchmark-subset pass that builds
+    the blocklist) and shuffled once.  Results are identical to the
+    composed operators; the oracle SQL is deliberately written in the
+    composed form to prove it.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import portable_hash64, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % T._BENCH_MOD == 0
+    qc = T.quality_columns()
+    base = docs.select(
+        "doc_id",
+        "lang",
+        qc["quality"].alias("quality"),
+        F.size(F.split("text", r"\s+")).alias("n_ws_tokens"),
+        portable_hash64("text").alias("content_hash"),
+        A.sample_gate().alias("sampled"),
+        is_bench.alias("is_bench"),
+        # raw text rides along (shingled only AFTER the survivor filter —
+        # shingling first would shuffle a ~5× payload through the window)
+        "text",
     )
-    qual = T.quality_score(spark, sf_dir).select("doc_id", "quality")
-    decon = T.decontaminate(spark, sf_dir).select("doc_id", "contaminated")
-    toks = T.token_stats(spark, sf_dir).select("doc_id", "n_ws_tokens")
-    kept = (
-        sample.join(survivors, "doc_id")
-        .join(qual, "doc_id")
-        .join(decon, "doc_id")
-        .join(toks, "doc_id")
-        .filter((F.col("quality") >= QUALITY_MIN) & ~F.col("contaminated"))
+    w = Window.partitionBy("content_hash")
+    survivors = base.withColumn("min_id", F.min("doc_id").over(w)).filter(
+        (F.col("doc_id") == F.col("min_id"))
+        & F.col("sampled")
+        & ~F.col("is_bench")
+        & (F.col("quality") >= QUALITY_MIN)
     )
+    bench_grams = (
+        docs.filter(is_bench)
+        .select(F.explode(word_shingles("text", T._CONTAM_K)).alias("gram"))
+        .distinct()
+    )
+    contaminated = (
+        survivors.select(
+            "doc_id", F.explode(word_shingles("text", T._CONTAM_K)).alias("gram")
+        )
+        .join(F.broadcast(bench_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    kept = survivors.join(contaminated, "doc_id", "left_anti")
     return (
         kept.groupBy("lang")
         .agg(

@@ -118,15 +118,16 @@ ORDER BY doc_id
 """
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality: length, mean word length, stopword ratio.
+def quality_columns(text_col: str = "text") -> dict[str, "F.Column"]:
+    """The quality-score column family as reusable expressions.
 
     score = 0.4·min(1, n_words/64) + 0.3·stopword_ratio·4 (capped at 0.3)
           + 0.3·(1 − |mean_word_len − 4.5|/4.5, floored at 0)
-    Pure double arithmetic — same IEEE ops in both engines.
+    Pure double arithmetic — same IEEE ops in both engines.  Exposed so
+    composition queries (curation pipeline) can fuse these into a single
+    scan instead of re-reading the corpus per signal.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    w = _words()
+    w = _words(text_col)
     n_words = F.size(w).cast("double")
     total_len = F.aggregate(
         F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
@@ -141,12 +142,20 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0), F.lit(1.0) - F.abs(mean_wl - F.lit(4.5)) / F.lit(4.5)
         )
     )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "stopword_ratio": stop_ratio,
+        "quality": score,
+    }
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length, mean word length, stopword ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    qc = quality_columns()
     return docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        mean_wl.alias("mean_word_len"),
-        stop_ratio.alias("stopword_ratio"),
-        score.alias("quality"),
+        "doc_id", *[expr.alias(name) for name, expr in qc.items()]
     ).orderBy("doc_id")
 
 

@@ -150,3 +150,14 @@ def test_ngram_repetition_is_scan_plus_project(spark):
     # per-row array algebra: only the presentation sort may shuffle
     assert count_exchanges(df) <= 1
     assert read_schema_columns(df) == [{"doc_id", "text"}]
+
+
+def test_curation_pipeline_is_two_scans(spark):
+    import clickhouse_sinker_nali_spark.operators.curation as C
+
+    df = C.curation_pipeline(spark, SF_DIR)
+    # fused formulation: main pass + benchmark-blocklist pass — NOT one scan
+    # per component signal (the naive composition reads the corpus 6x)
+    scans = read_schema_columns(df)
+    assert 1 <= len(scans) <= 3
+    assert uses_broadcast_join(df)

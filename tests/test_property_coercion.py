@@ -151,3 +151,58 @@ def _check(spark, schema, values):
                 f"value={obj['v']!r} target={ch_type}: spark={got!r} "
                 f"faithful={expected!r}"
             )
+
+
+# -- connected components vs. union-find reference --------------------------
+
+
+@st.composite
+def graphs(draw):
+    n = draw(st.integers(min_value=1, max_value=24))
+    n_edges = draw(st.integers(min_value=0, max_value=40))
+    edges = [
+        (draw(st.integers(0, n - 1)), draw(st.integers(0, n - 1)))
+        for _ in range(n_edges)
+    ]
+    return n, edges
+
+
+def _union_find(n: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min member id of the component
+    comp_min: dict[int, int] = {}
+    for v in range(n):
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    return {v: comp_min[find(v)] for v in range(n)}
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(graphs())
+def test_connected_components_matches_union_find(spark, g):
+    from clickhouse_sinker_nali_spark.operators.dedup import connected_components
+
+    n, edges = g
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id: bigint")
+    edf = (
+        spark.createDataFrame(edges, "src: bigint, dst: bigint")
+        if edges
+        else spark.createDataFrame([], "src: bigint, dst: bigint")
+    )
+    got = {r.id: r.component for r in connected_components(nodes, edf).collect()}
+    assert got == _union_find(n, edges)

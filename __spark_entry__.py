@@ -52,6 +52,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": R.approx_distinct_users,
         "asof_join_events_orders": R.asof_join_events_orders,
         "range_join_buckets": R.range_join_buckets,
+        "q4_exists_priority": R.q4_exists_priority,
+        "q17_small_quantity_revenue": R.q17_small_quantity_revenue,
+        "q18_large_volume_customers": R.q18_large_volume_customers,
         # dedup family (documents / embeddings)
         "dedup_exact": D.dedup_exact,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
@@ -125,6 +128,9 @@ def oracle_sql() -> dict[str, str]:
         # approx_distinct_users: sketch-valued, rows-only check by design
         "asof_join_events_orders": R.ASOF_SQL,
         "range_join_buckets": R.RANGE_JOIN_SQL,
+        "q4_exists_priority": R.Q4_EXISTS_SQL,
+        "q17_small_quantity_revenue": R.Q17_SCALAR_SQL,
+        "q18_large_volume_customers": R.Q18_HAVING_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": D.DEDUP_JACCARD_SQL,
         "minhash_signatures": D.MINHASH_SIG_SQL,

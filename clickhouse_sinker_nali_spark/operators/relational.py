@@ -668,3 +668,77 @@ GROUP BY c_custkey, c_name, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
+
+
+# --------------------------------------------------------------------------
+# correlated-subquery family (EXISTS / scalar / IN+HAVING) via the SQL surface
+# --------------------------------------------------------------------------
+#
+# These run through ``spark.sql`` on purpose: the engine's SQL surface IS
+# Spark SQL (README "counted absences"), and correlated subqueries exercise
+# Catalyst's decorrelation — EXISTS becomes a left-semi hash join, the
+# correlated scalar aggregate becomes a grouped subplan + equi-join.  The
+# reference has no subquery support at all; this family is the analytics
+# upgrade a warehouse user expects.
+
+
+def _sql_on_views(spark: SparkSession, sf_dir: str, tables: list[str], sql: str) -> DataFrame:
+    for name in tables:
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(sql)
+
+
+Q4_EXISTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q4_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q4-style: order counts where ANY lineitem was returned (correlated
+    EXISTS → decorrelated left-semi join; no commit/receipt dates in this
+    schema so returnflag stands in for the late-delivery predicate)."""
+    return _sql_on_views(spark, sf_dir, ["orders", "lineitem"], Q4_EXISTS_SQL)
+
+
+# l_quantity is integer-valued, so SUM/AVG are exact in IEEE doubles
+# regardless of summation order — the correlated threshold is reproducible
+# bit-for-bit in both engines (the reason this predicate is safe to hash).
+Q17_SCALAR_SQL = """
+SELECT round(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q17-style: revenue lost to small orders — correlated SCALAR aggregate
+    subquery (per-part average), decorrelated into a grouped join."""
+    return _sql_on_views(spark, sf_dir, ["lineitem", "part"], Q17_SCALAR_SQL)
+
+
+Q18_HAVING_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       SUM(l_quantity) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q18-style: large-volume customers — IN + grouped HAVING subquery
+    (semi-join against an aggregate), then the 3-way join re-aggregates."""
+    return _sql_on_views(
+        spark, sf_dir, ["customer", "orders", "lineitem"], Q18_HAVING_SQL
+    )

@@ -161,3 +161,12 @@ def test_curation_pipeline_is_two_scans(spark):
     scans = read_schema_columns(df)
     assert 1 <= len(scans) <= 3
     assert uses_broadcast_join(df)
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark):
+    from clickhouse_sinker_nali_spark.plans import formatted_plan
+
+    df = R.q4_exists_priority(spark, SF_DIR)
+    # Catalyst must rewrite the correlated EXISTS into a semi join, not a
+    # per-row subquery execution
+    assert "Semi" in formatted_plan(df)

@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": A.stratified_sample,
         "train_val_test_split": A.train_val_test_split,
         "skew_join_salted": SC.skew_join_salted,
+        "zorder_events": SC.zorder_events,
         # corpus analysis: vocab building, repetition quality, decontamination
         "vocab_topk": T.vocab_topk,
         "ngram_repetition": T.ngram_repetition,
@@ -170,6 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": A.STRATIFIED_SAMPLE_SQL,
         "train_val_test_split": A.TRAIN_VAL_TEST_SQL,
         "skew_join_salted": SC.SKEW_JOIN_SQL,
+        "zorder_events": SC.ZORDER_SQL,
         "vocab_topk": T.VOCAB_TOPK_SQL,
         "ngram_repetition": T.NGRAM_REPETITION_SQL,
         "decontaminate": T.DECONTAMINATE_SQL,

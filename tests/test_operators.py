@@ -351,3 +351,27 @@ def test_multimodal_features_feed_similarity_ops(spark):
         "doc_id", cosine("features", "features").alias("self_cos")
     ).collect()
     assert all(abs(r.self_cos - 1.0) < 1e-9 for r in paired)
+
+
+def test_zorder_clusters_both_dimensions(spark):
+    import clickhouse_sinker_nali_spark.operators.scale as SC
+
+    rows = SC.zorder_events(spark, SF_DIR).collect()
+    n = len(rows)
+    chunks = [rows[i * n // 10 : (i + 1) * n // 10] for i in range(10)]
+
+    def avg_range(rs_chunks, attr):
+        spans = [
+            max(getattr(r, attr) for r in c) - min(getattr(r, attr) for r in c)
+            for c in rs_chunks
+            if c
+        ]
+        return sum(spans) / len(spans)
+
+    global_uid = max(r.user_id for r in rows) - min(r.user_id for r in rows)
+    global_val = max(r.value_cents for r in rows) - min(r.value_cents for r in rows)
+    # z-order locality: a 10-way split of the zkey-sorted layout must have
+    # substantially tighter min/max spans than the full range on BOTH
+    # dimensions — that tightness is exactly what row-group pruning uses
+    assert avg_range(chunks, "user_id") < 0.8 * global_uid
+    assert avg_range(chunks, "value_cents") < 0.8 * global_val

@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_semi_anti": A.customers_semi_anti,
         "price_percentiles": A.price_percentiles,
         "time_bucket_rollup": A.time_bucket_rollup,
+        "multires_rollup": A.multires_rollup,
         "prometheus_metric_rows": A.prometheus_metric_rows,
         # third wave: PII scrub, deterministic sampling / splits, skew salting
         "pii_redact": T.pii_redact,
@@ -166,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_semi_anti": A.SEMI_ANTI_SQL,
         "price_percentiles": A.PERCENTILES_SQL,
         "time_bucket_rollup": A.TIME_BUCKET_SQL,
+        "multires_rollup": A.MULTIRES_ROLLUP_SQL,
         "prometheus_metric_rows": A.PROMETHEUS_METRIC_SQL,
         "pii_redact": T.PII_REDACT_SQL,
         "stratified_sample": A.STRATIFIED_SAMPLE_SQL,

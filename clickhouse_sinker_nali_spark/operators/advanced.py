@@ -410,3 +410,84 @@ FROM documents
 GROUP BY split, lang
 ORDER BY split, lang
 """
+
+
+# --------------------------------------------------------------------------
+# multi-resolution rollup cascade (continuous-aggregate / hypertable pattern)
+# --------------------------------------------------------------------------
+
+
+def multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour → day → week rollups where each coarser level RE-AGGREGATES the
+    finer one instead of rescanning the raw table.
+
+    This is the hypertable/continuous-aggregate cascade: at 100 TB the raw
+    scan happens once for the finest resolution; every coarser tier
+    re-aggregates ≤ |buckets| rows (thousands, not billions) by merging
+    partials — counts add, decimal sums add exactly, min/min and max/max
+    compose.  The DuckDB oracle computes every tier directly from raw
+    events, so the hash match PROVES partial-aggregate merging is lossless
+    (the reason the sums run over DECIMAL, not IEEE doubles).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+    def coarsen(df: DataFrame, unit: str) -> DataFrame:
+        return (
+            df.groupBy(
+                F.date_trunc(unit, F.col("bucket")).alias("bucket"), "event_type"
+            )
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_dec").alias("sum_dec"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+
+    daily = coarsen(hourly, "day")
+    weekly = coarsen(daily, "week")
+    tiers = [
+        hourly.withColumn("resolution", F.lit("hour")),
+        daily.withColumn("resolution", F.lit("day")),
+        weekly.withColumn("resolution", F.lit("week")),
+    ]
+    out = tiers[0].unionByName(tiers[1]).unionByName(tiers[2])
+    return out.select(
+        "resolution",
+        "bucket",
+        "event_type",
+        "n",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+    ).orderBy("resolution", "bucket", "event_type")
+
+
+def _tier_sql(unit: str) -> str:
+    return f"""
+    SELECT '{unit}' AS resolution, date_trunc('{unit}', ts) AS bucket, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events GROUP BY bucket, event_type"""
+
+
+MULTIRES_ROLLUP_SQL = (
+    _tier_sql("hour")
+    + "\nUNION ALL"
+    + _tier_sql("day")
+    + "\nUNION ALL"
+    + _tier_sql("week")
+    + "\nORDER BY resolution, bucket, event_type"
+)

@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": T.pii_redact,
         "stratified_sample": A.stratified_sample,
         "train_val_test_split": A.train_val_test_split,
+        "sample_per_group": A.sample_per_group,
         "skew_join_salted": SC.skew_join_salted,
         "zorder_events": SC.zorder_events,
         # corpus analysis: vocab building, repetition quality, decontamination
@@ -172,6 +173,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": T.PII_REDACT_SQL,
         "stratified_sample": A.STRATIFIED_SAMPLE_SQL,
         "train_val_test_split": A.TRAIN_VAL_TEST_SQL,
+        "sample_per_group": A.SAMPLE_PER_GROUP_SQL,
         "skew_join_salted": SC.SKEW_JOIN_SQL,
         "zorder_events": SC.ZORDER_SQL,
         "vocab_topk": T.VOCAB_TOPK_SQL,

@@ -491,3 +491,43 @@ MULTIRES_ROLLUP_SQL = (
     + _tier_sql("week")
     + "\nORDER BY resolution, bucket, event_type"
 )
+
+
+SAMPLE_PER_GROUP_N = 3
+
+
+def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic N-per-group sampling: keep the 3 docs per language
+    with the smallest salted hash (the keep-policy step after clustering:
+    'retain k representatives per group').
+
+    hash-order = uniform random order, but reproducible and partition-
+    independent; the window ranks within each group in one shuffle.  At
+    100 TB with millions of groups this stays a single hash-partitioned
+    window; for top-k per VERY hot group sizes, pre-aggregate with a
+    per-partition partial top-k first (same trick as TakeOrdered).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(F.concat(F.lit("pergrp:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= SAMPLE_PER_GROUP_N)
+        .orderBy("lang", "rank")
+    )
+
+
+_PERGRP_HASH = portable_hash64_sql("'pergrp:' || doc_id::VARCHAR")
+
+SAMPLE_PER_GROUP_SQL = f"""
+SELECT doc_id, lang, rank FROM (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY {_PERGRP_HASH}, doc_id) AS rank
+    FROM documents
+)
+WHERE rank <= {SAMPLE_PER_GROUP_N}
+ORDER BY lang, rank
+"""

@@ -27,6 +27,7 @@ from clickhouse_sinker_nali_spark.operators import relational as R
 from clickhouse_sinker_nali_spark.operators import scale as SC
 from clickhouse_sinker_nali_spark.operators import similarity as S
 from clickhouse_sinker_nali_spark.operators import text as T
+from clickhouse_sinker_nali_spark.operators import warehouse as W
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -111,6 +112,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": T.decontaminate,
         # flagship composition: full curation chain
         "curation_pipeline": C.curation_pipeline,
+        # fourth wave: warehouse query family + gap-fill + sequence packing
+        "q6_forecast_revenue": W.q6_forecast_revenue,
+        "q12_priority_counts": W.q12_priority_counts,
+        "q14_promo_revenue": W.q14_promo_revenue,
+        "q16_supplier_part_counts": W.q16_supplier_part_counts,
+        "q19_disjunctive_revenue": W.q19_disjunctive_revenue,
+        "q22_idle_customers": W.q22_idle_customers,
+        "grouping_sets_orders": W.grouping_sets_orders,
+        "gapfill_daily_locf": A.gapfill_daily_locf,
+        "sequence_pack": C.sequence_pack,
     }
 
 
@@ -180,4 +191,13 @@ def oracle_sql() -> dict[str, str]:
         "ngram_repetition": T.NGRAM_REPETITION_SQL,
         "decontaminate": T.DECONTAMINATE_SQL,
         "curation_pipeline": C.CURATION_SQL,
+        "q6_forecast_revenue": W.Q6_SQL,
+        "q12_priority_counts": W.Q12_SQL,
+        "q14_promo_revenue": W.Q14_SQL,
+        "q16_supplier_part_counts": W.Q16_SQL,
+        "q19_disjunctive_revenue": W.Q19_SQL,
+        "q22_idle_customers": W.Q22_SQL,
+        "grouping_sets_orders": W.GROUPING_SETS_SQL,
+        "gapfill_daily_locf": A.GAPFILL_SQL,
+        "sequence_pack": C.SEQUENCE_PACK_SQL,
     }

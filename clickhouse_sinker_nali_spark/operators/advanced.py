@@ -531,3 +531,85 @@ SELECT doc_id, lang, rank FROM (
 WHERE rank <= {SAMPLE_PER_GROUP_N}
 ORDER BY lang, rank
 """
+
+
+# --------------------------------------------------------------------------
+# Time-series gap-fill + LOCF (hypertable-style time_bucket_gapfill)
+# --------------------------------------------------------------------------
+
+GAPFILL_THRESHOLD = 250.0
+
+
+def gapfill_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily metric series with missing days materialized and the value
+    carried forward (TimescaleDB ``time_bucket_gapfill`` + ``locf`` shape).
+
+    The sparse series is high-value purchases (value > 250 — absent on
+    most days at every SF); the calendar spine spans the FULL events range
+    so gaps are real.  Three stages, all post-aggregation tiny:
+
+    1. daily aggregate of the sparse subset (map-side combine, one shuffle);
+    2. spine = explode(sequence(min_day, max_day, 1 day)) computed from a
+       1-row bounds aggregate — no driver round-trip, no collect;
+    3. left join spine⋈daily + ``last(value, ignoreNulls)`` over the
+       day-ordered window = LOCF.
+
+    The LOCF window is a single global ordering, which is fine HERE and at
+    100 TB too: it runs over the daily aggregate (≤ tens of thousands of
+    rows for decades of days), not over raw events.  avg is computed as
+    exact-decimal sum / count → bit-stable across engines.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > GAPFILL_THRESHOLD))
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_value"
+            ),
+        )
+    )
+    spine = (
+        ev.agg(
+            F.date_trunc("day", F.min("ts")).alias("lo"),
+            F.date_trunc("day", F.max("ts")).alias("hi"),
+        )
+        .select(F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(w).alias("locf_avg_value"),
+        )
+        .orderBy("day")
+    )
+
+
+GAPFILL_SQL = f"""
+WITH daily AS (
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,4))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events
+    WHERE event_type = 'purchase' AND value > {GAPFILL_THRESHOLD}
+    GROUP BY 1
+), spine AS (
+    SELECT unnest(generate_series(
+        (SELECT date_trunc('day', MIN(ts)) FROM events),
+        (SELECT date_trunc('day', MAX(ts)) FROM events),
+        INTERVAL 1 DAY)) AS day
+)
+SELECT spine.day,
+       COALESCE(daily.n_events, 0) AS n_events,
+       LAST_VALUE(daily.avg_value IGNORE NULLS) OVER (
+           ORDER BY spine.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg_value
+FROM spine LEFT JOIN daily ON spine.day = daily.day
+ORDER BY spine.day
+"""

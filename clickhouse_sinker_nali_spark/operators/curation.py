@@ -108,3 +108,85 @@ WHERE samp.doc_id IN (SELECT doc_id FROM surv)
 GROUP BY samp.lang
 ORDER BY samp.lang
 """
+
+
+# --------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed-token-capacity training packs
+# --------------------------------------------------------------------------
+
+PACK_CAPACITY = 2048
+# width of each doc_id range handled as one prefix-sum bucket; at 100 TB
+# this is sized so one bucket's rows fit comfortably in an executor
+# (capacity ~millions of docs per bucket), keeping the bucket-offset table
+# tiny (corpus_size / bucket_width rows) and broadcastable
+PACK_BUCKET_WIDTH = 64
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the doc stream into fixed-capacity token sequences (the LLM
+    pretraining 'sequence packing' step: concatenate docs in a stable
+    order, cut every PACK_CAPACITY tokens; a doc's pack is where its
+    first token lands).
+
+    Semantics = running token count over doc_id order.  A naive window
+    ``sum() over (order by doc_id)`` with no partition key forces ALL rows
+    through ONE task — the classic global-prefix-sum scaling wall.  This
+    implementation is the distributed two-phase prefix sum instead:
+
+    1. within-bucket cumulative sum, partitioned by ``doc_id div W``
+       (parallel, one shuffle);
+    2. per-bucket totals → running offset over the tiny bucket table
+       (corpus/W rows — the only single-task window, microscopic);
+    3. broadcast the offsets back; global cumsum = offset + within-bucket.
+
+    Identical output to the single-window formulation (the oracle SQL *is*
+    the single-window formulation), but every wide stage is parallel.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") - (F.col("doc_id") % PACK_BUCKET_WIDTH)).alias("bucket"),
+    )
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = toks.withColumn("cum_in_bucket", F.sum("n_tokens").over(wb))
+    wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        toks.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("bucket_tokens"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bucket_tokens").over(wo), F.lit(0)).alias("bucket_offset"),
+        )
+    )
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(
+                f"(bucket_offset + cum_in_bucket - n_tokens) DIV {PACK_CAPACITY}"
+            ).alias("pack_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SEQUENCE_PACK_SQL = f"""
+SELECT doc_id, n_tokens, (cum - n_tokens) // {PACK_CAPACITY} AS pack_id
+FROM (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM documents
+)
+ORDER BY doc_id
+"""

@@ -1,0 +1,313 @@
+"""Fourth-wave warehouse query family (TPC-H-shaped, adapted to the
+driver's testdata schema).
+
+The reference has no relational surface at all (SURVEY.md §2.3-2.7), so
+these are free-capability analytics operators; each has a DuckDB oracle.
+Adaptations vs canonical TPC-H (the testdata lacks partsupp, shipmode,
+commit/receipt dates, and phone numbers):
+
+- q6  — as-is (pure filter + scan aggregate).
+- q12 — shipmode classes replaced by order-priority classes (the operator
+  under test is *conditional aggregation*, which survives the rename).
+- q14 — p_type has no 'PROMO%' prefixes here; equality on 'PROMO' instead.
+- q16 — partsupp replaced by the (l_partkey, l_suppkey) pairs observed in
+  lineitem; the excluded-supplier NOT IN subquery keys on s_acctbal.
+- q19 — brand/size/quantity disjunction of conjunctions, as-is.
+- q22 — phone country code replaced by c_mktsegment as the group key;
+  scalar AVG subquery + NOT EXISTS anti-join preserved.
+
+Scale notes (100 TB): every query here is either a scan-aggregate (q6,
+q19: filter pushes to parquet, map-side partial agg collapses to ≤1 row
+per partition) or a fact⋈fact join on the natural key plus broadcast dims
+(q12, q14, q16); q22's scalar subquery is a 1-row broadcast and its NOT
+EXISTS decorrelates to a left-anti hash join on o_custkey.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..session import load_table
+
+DEC = "decimal(12,4)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _views(spark: SparkSession, sf_dir: str, tables: list[str], sql: str) -> DataFrame:
+    for name in tables:
+        _t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(sql)
+
+
+# --------------------------------------------------------------------------
+# Q6: forecasting revenue change — the canonical scan-aggregate
+# --------------------------------------------------------------------------
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter + ungrouped aggregate over lineitem.
+
+    Plan shape: parquet scan with all three predicates in PushedFilters,
+    ReadSchema of 4 columns, partial+final HashAggregate producing one row.
+    At 100 TB this is the cheapest possible full-corpus query — no shuffle
+    beyond the 1-row-per-partition final combine.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("2024-01-01"))
+        & (F.col("l_shipdate") < F.lit("2024-07-01"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(price * disc).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+         * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '2024-01-01'
+  AND l_shipdate < TIMESTAMP '2024-07-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# Q12: conditional aggregation (CASE inside SUM) over a fact-fact join
+# --------------------------------------------------------------------------
+
+
+def q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per line-status, how many lines belong to urgent/high vs other
+    priority orders — conditional aggregation, one shuffle on orderkey.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Q14: promotion revenue share — ratio of conditional aggregates
+# --------------------------------------------------------------------------
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 × promo revenue / total revenue in a month window.
+
+    part broadcasts; both sums are exact decimals so the final double
+    division is bit-identical across engines and partitionings.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    rev = price * (F.lit(1).cast(DEC) - disc)
+    zero = F.lit(0).cast("decimal(25,8)")
+    agg = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2024-03-01"))
+            & (F.col("l_shipdate") < F.lit("2024-05-01"))
+        )
+        .join(broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            .alias("promo"),
+            F.sum(rev).cast("double").alias("total"),
+        )
+    )
+    return agg.select(
+        F.round(F.lit(100.0) * F.col("promo") / F.col("total"), 6).alias("promo_pct"),
+        F.col("promo").alias("promo_revenue"),
+        F.col("total").alias("total_revenue"),
+    )
+
+
+Q14_SQL = """
+SELECT round(100.0 * promo / total, 6) AS promo_pct,
+       promo AS promo_revenue,
+       total AS total_revenue
+FROM (
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                         * (1 - CAST(l_discount AS DECIMAL(12,4)))
+                    ELSE CAST(0 AS DECIMAL(25,8)) END) AS DOUBLE) AS promo,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS total
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '2024-03-01'
+      AND l_shipdate < TIMESTAMP '2024-05-01'
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q16: supplier counts per part attribute, with a NOT IN exclusion subquery
+# --------------------------------------------------------------------------
+
+
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, type, size) over the observed
+    lineitem (part, supplier) pairs, excluding low-balance suppliers via
+    NOT IN (decorrelated to a broadcast left-anti join — s_suppkey is
+    never null so the NOT IN null-trap does not bite).
+    """
+    sql = Q16_SQL
+    return _views(spark, sf_dir, ["lineitem", "part", "supplier"], sql)
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
+# Q19: disjunction of conjunctive range predicates (OR-of-ANDs join filter)
+# --------------------------------------------------------------------------
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three brand/size/quantity conjunctions OR-ed together on the
+    lineitem ⋈ part join.
+
+    Catalyst extracts the common ``l_quantity <= 30`` / ``p_size >= 1``
+    bounds as a pushable superset predicate; the residual disjunction
+    evaluates post-join inside codegen.  part broadcasts.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    price = F.col("l_extendedprice").cast(DEC)
+    disc = F.col("l_discount").cast(DEC)
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & qty.between(1, 11) & size.between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & qty.between(10, 20) & size.between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & qty.between(20, 30) & size.between(1, 15))
+    )
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(price * (F.lit(1).cast(DEC) - disc)).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+         * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#3'  AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+"""
+
+
+# --------------------------------------------------------------------------
+# Q22: idle high-balance customers — scalar AVG subquery + NOT EXISTS
+# --------------------------------------------------------------------------
+
+Q22_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE) AS total_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above the average positive balance with no urgent orders
+    (every customer has SOME order in this testdata, so the anti-join
+    keys on the urgent subset to stay non-vacuous).
+
+    The scalar subquery evaluates once (1-row broadcast); NOT EXISTS
+    decorrelates to a left-anti join on o_custkey.  AVG over doubles is
+    fine for the *threshold* only because both engines aggregate the same
+    full set — the hashed outputs (count + decimal sum) stay exact.
+
+    Caveat at 100 TB: AVG(double) is summation-order-dependent in the last
+    bits; customers with c_acctbal within one ULP of the threshold could
+    flip.  The testdata balances are 2-dp values well away from ULP
+    boundaries, and the reference engine itself has no exactness contract
+    here; a fully stable variant would cast to DECIMAL before AVG.
+    """
+    return _views(spark, sf_dir, ["customer", "orders"], Q22_SQL)
+
+
+# --------------------------------------------------------------------------
+# Explicit GROUPING SETS with GROUPING() markers
+# --------------------------------------------------------------------------
+
+GROUPING_SETS_SQL = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+ORDER BY g_priority, g_status,
+         o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((priority),(status),()) with GROUPING() disambiguators
+    — the general form behind rollup/cube (§2.4 free capabilities).  One
+    Expand + one shuffle regardless of the number of sets.
+    """
+    return _views(spark, sf_dir, ["orders"], GROUPING_SETS_SQL)

@@ -375,3 +375,83 @@ def test_zorder_clusters_both_dimensions(spark):
     # dimensions — that tightness is exactly what row-group pruning uses
     assert avg_range(chunks, "user_id") < 0.8 * global_uid
     assert avg_range(chunks, "value_cents") < 0.8 * global_val
+
+
+# --------------------------------------------------------------------------
+# fourth wave: warehouse family, gap-fill, sequence packing
+# --------------------------------------------------------------------------
+
+
+def test_sequence_pack_matches_single_window_formulation(spark, sf_dir):
+    """The distributed two-phase prefix sum must equal the naive global
+    window cumsum (and pack_ids must be a non-decreasing cover)."""
+    import clickhouse_sinker_nali_spark.operators.curation as C
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from clickhouse_sinker_nali_spark.session import load_table
+
+    got = C.sequence_pack(spark, sf_dir).collect()
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = (
+        docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"(cum - n_tokens) DIV {C.PACK_CAPACITY}").alias("pack_id"),
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in naive]
+    packs = [r.pack_id for r in got]
+    assert packs == sorted(packs)  # doc order ⇒ non-decreasing pack ids
+    assert packs[0] == 0
+
+
+def test_gapfill_covers_full_calendar_with_locf(spark, sf_dir):
+    import clickhouse_sinker_nali_spark.operators.advanced as A
+    from pyspark.sql import functions as F
+    from clickhouse_sinker_nali_spark.session import load_table
+
+    rows = A.gapfill_daily_locf(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(
+        F.date_trunc("day", F.min("ts")), F.date_trunc("day", F.max("ts"))
+    ).first()
+    n_days = (hi - lo).days + 1
+    assert len(rows) == n_days  # spine covers every day, no dupes
+    days = [r.day for r in rows]
+    assert days == sorted(days)
+    # after the first day with data, locf value is never null
+    seen_data = False
+    for r in rows:
+        if r.n_events > 0:
+            seen_data = True
+        if seen_data:
+            assert r.locf_avg_value is not None
+    # gap days exist in this dataset (that's the point of the operator)
+    assert any(r.n_events == 0 for r in rows)
+
+
+def test_q22_anti_join_excludes_urgent_customers(spark, sf_dir):
+    import clickhouse_sinker_nali_spark.operators.warehouse as W
+    from clickhouse_sinker_nali_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    out = W.q22_idle_customers(spark, sf_dir)
+    total = out.agg(F.sum("n_custs")).first()[0]
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal")).first()[0]
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    expect = (
+        cust.filter(F.col("c_acctbal") > avg_bal)
+        .join(urgent, "c_custkey", "left_anti")
+        .count()
+    )
+    assert total == expect and total > 0

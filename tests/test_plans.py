@@ -170,3 +170,44 @@ def test_q4_exists_decorrelates_to_semi_join(spark):
     # Catalyst must rewrite the correlated EXISTS into a semi join, not a
     # per-row subquery execution
     assert "Semi" in formatted_plan(df)
+
+
+def test_q6_is_pure_pushed_scan_aggregate(spark):
+    import clickhouse_sinker_nali_spark.operators.warehouse as W
+
+    df = W.q6_forecast_revenue(spark, SF_DIR)
+    assert has_pushed_filter(df, "l_shipdate")
+    assert has_pushed_filter(df, "l_discount")
+    scans = read_schema_columns(df)
+    assert scans and scans[0] <= {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+    }
+    assert partial_aggregation_present(df)
+    assert has_whole_stage_codegen(df)
+
+
+def test_q19_broadcasts_part_and_reads_minimal_schema(spark):
+    import clickhouse_sinker_nali_spark.operators.warehouse as W
+
+    df = W.q19_disjunctive_revenue(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    assert partial_aggregation_present(df)
+
+
+def test_sequence_pack_has_no_global_window_over_docs(spark):
+    """The per-doc cumsum must be partitioned (bucket), never a global
+    single-partition window; the only unpartitioned window runs over the
+    tiny bucket-offset table."""
+    import clickhouse_sinker_nali_spark.operators.curation as C
+
+    df = C.sequence_pack(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # windows over the doc stream specify bucket partitioning
+    doc_windows = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "cum_in_bucket" in ln
+    ]
+    assert doc_windows and all("partitionBy" not in ln or "bucket" in ln for ln in doc_windows)
+    assert all("bucket" in ln for ln in doc_windows)

@@ -122,6 +122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_orders": W.grouping_sets_orders,
         "gapfill_daily_locf": A.gapfill_daily_locf,
         "sequence_pack": C.sequence_pack,
+        "tfidf_top_terms": T.tfidf_top_terms,
+        "length_histogram": T.length_histogram,
     }
 
 
@@ -200,4 +202,6 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets_orders": W.GROUPING_SETS_SQL,
         "gapfill_daily_locf": A.GAPFILL_SQL,
         "sequence_pack": C.SEQUENCE_PACK_SQL,
+        "tfidf_top_terms": T.TFIDF_SQL,
+        "length_histogram": T.LENGTH_HISTOGRAM_SQL,
     }

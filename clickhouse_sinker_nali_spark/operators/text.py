@@ -416,3 +416,109 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 WHERE d.doc_id % {_BENCH_MOD} <> 0
 ORDER BY d.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# TF-IDF: per-document top term (corpus-weighted term importance)
+# --------------------------------------------------------------------------
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-TF-IDF term per document (smoothed idf = ln((N+1)/(df+1))+1).
+
+    Three aggregates over the exploded term stream, all map-side-combinable:
+    per-(doc,term) tf, per-term df, and the 1-row corpus size N (joined by
+    broadcast — no collect, no driver round-trip).  The per-doc argmax is a
+    window over the (doc_id, term) partial — at 100 TB the explode is the
+    dominant cost and everything downstream is orders of magnitude smaller.
+
+    Rounded to 6 dp: tf/df/N are exact integers, so the only cross-engine
+    wobble is the last ULP of ln(); 6 dp absorbs it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(_words()).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0)),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.round("score", 6).alias("tfidf"))
+        .orderBy("doc_id")
+    )
+
+
+TFIDF_SQL = """
+WITH terms AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    FROM documents
+), terms_f AS (
+    SELECT doc_id, term FROM terms WHERE term <> ''
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM terms_f GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms_f GROUP BY term
+), n AS (
+    SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.term,
+           tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0) AS score
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term AS top_term, round(score, 6) AS tfidf
+FROM (
+    SELECT doc_id, term, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, term ASC) AS rn
+    FROM scored
+)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Token-length histogram: corpus length distribution (fixed-width buckets)
+# --------------------------------------------------------------------------
+
+_HIST_BUCKET_TOKENS = 16
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of document lengths in fixed 16-token buckets — the
+    first diagnostic anyone runs on a new pretraining corpus.  Pure
+    scan-project-aggregate; integer bucket arithmetic, exact everywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", r"\s+"))
+    bucket = (n_tok - (n_tok % _HIST_BUCKET_TOKENS)).alias("bucket_lo")
+    return (
+        docs.select(bucket)
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket_lo")
+    )
+
+
+LENGTH_HISTOGRAM_SQL = f"""
+SELECT bucket_lo, COUNT(*) AS n_docs
+FROM (
+    SELECT len(string_split_regex(text, '\\s+'))
+           - (len(string_split_regex(text, '\\s+')) % {_HIST_BUCKET_TOKENS}) AS bucket_lo
+    FROM documents
+)
+GROUP BY bucket_lo
+ORDER BY bucket_lo
+"""

@@ -455,3 +455,29 @@ def test_q22_anti_join_excludes_urgent_customers(spark, sf_dir):
         .count()
     )
     assert total == expect and total > 0
+
+
+def test_tfidf_top_term_is_rare_not_stopword(spark, sf_dir):
+    """A term appearing in every doc gets minimal idf; the winner for each
+    doc must never be a corpus-universal term unless it dominates tf."""
+    import clickhouse_sinker_nali_spark.operators.text as T
+    from pyspark.sql import functions as F
+    from clickhouse_sinker_nali_spark.session import load_table
+
+    out = T.tfidf_top_terms(spark, sf_dir)
+    rows = out.collect()
+    docs_n = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == docs_n  # exactly one winner per doc
+    assert all(r.tfidf > 0 for r in rows)
+
+
+def test_length_histogram_partitions_corpus(spark, sf_dir):
+    import clickhouse_sinker_nali_spark.operators.text as T
+    from pyspark.sql import functions as F
+    from clickhouse_sinker_nali_spark.session import load_table
+
+    out = T.length_histogram(spark, sf_dir).collect()
+    total = sum(r.n_docs for r in out)
+    assert total == load_table(spark, sf_dir, "documents").count()
+    los = [r.bucket_lo for r in out]
+    assert all(lo % 16 == 0 for lo in los) and los == sorted(los)

@@ -242,3 +242,63 @@ def test_groupstate_streaming_dedup_across_batches(spark, tmp_path):
     assert len(rows) == 20  # 200 rows, 20 distinct texts, state spans batches
     assert len({r.content_hash for r in rows}) == 20
     assert {r.text for r in rows} == {f"doc number {i}" for i in range(20)}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with watermarks + an event-time interval
+    condition (click within 10 min after its impression) — the canonical
+    two-stream correlation the reference cannot express at all.  State on
+    both sides is bounded by the watermark + interval, so this runs
+    indefinitely at scale; the batch join over the same files is the oracle.
+    """
+    imp_src = str(tmp_path / "imp")
+    clk_src = str(tmp_path / "clk")
+    os.makedirs(imp_src)
+    os.makedirs(clk_src)
+    with open(os.path.join(imp_src, "i.txt"), "w") as f:
+        for i in range(200):
+            f.write(json.dumps({"ts": f"2024-05-01 10:{i % 50:02d}:00", "uid": i % 20, "kind": "imp"}) + "\n")
+    with open(os.path.join(clk_src, "c.txt"), "w") as f:
+        for i in range(60):
+            f.write(json.dumps({"ts": f"2024-05-01 10:{(i % 50) + 5:02d}:30", "uid": i % 20, "kind": "clk"}) + "\n")
+
+    imp = (
+        _typed_stream(spark, imp_src)
+        .select(F.col("ts").alias("imp_ts"), F.col("uid").alias("imp_uid"))
+        .withWatermark("imp_ts", "30 minutes")
+    )
+    clk = (
+        _typed_stream(spark, clk_src)
+        .select(F.col("ts").alias("clk_ts"), F.col("uid").alias("clk_uid"))
+        .withWatermark("clk_ts", "30 minutes")
+    )
+    cond = (
+        (F.col("imp_uid") == F.col("clk_uid"))
+        & (F.col("clk_ts") >= F.col("imp_ts"))
+        & (F.col("clk_ts") <= F.col("imp_ts") + F.expr("interval 10 minutes"))
+    )
+    q = (
+        imp.join(clk, cond)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def _batch(src, ts_name, uid_name):
+        return (
+            spark.read.text(src)
+            .select(F.from_json("value", "ts string, uid bigint, kind string").alias("m"))
+            .select(F.to_timestamp("m.ts").alias(ts_name), F.col("m.uid").alias(uid_name))
+        )
+
+    expected = (
+        _batch(imp_src, "imp_ts", "imp_uid")
+        .join(_batch(clk_src, "clk_ts", "clk_uid"), cond)
+        .count()
+    )
+    got = spark.table("ss_join").count()
+    assert got == expected and got > 0

@@ -226,3 +226,61 @@ SELECT event_id, user_id, value_cents,
 FROM gridded
 ORDER BY zkey, event_id
 """
+
+
+# --------------------------------------------------------------------------
+# Date-partitioned layout: static + dynamic partition pruning
+# --------------------------------------------------------------------------
+
+
+def write_date_partitioned(df: DataFrame, path: str, ts_col: str = "ts") -> None:
+    """Persist a fact table hive-partitioned by event day.
+
+    THE first-order layout decision for a 100 TB event store: a filter or
+    join on ``day`` then prunes whole directories at planning time (static
+    pruning) or at runtime via a broadcast-built filter (dynamic partition
+    pruning), so a one-day query touches 1/365th of the bytes.  Daily
+    partition counts stay in the thousands over years — well inside
+    metastore/list limits (contrast with partitioning by a high-cardinality
+    key, which would melt the file listing).
+    """
+    (
+        df.withColumn("day", F.to_date(ts_col))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+def pruned_daily_totals(spark: SparkSession, path: str, day_lo: str, day_hi: str) -> DataFrame:
+    """Aggregate a day range from a date-partitioned store.
+
+    The ``day`` predicate is a partition filter — .explain() shows it under
+    PartitionFilters (directory-level skip), NOT PushedFilters (row-group
+    skip): files outside the range are never opened, listed bytes only.
+    """
+    ev = spark.read.parquet(path)
+    return (
+        ev.filter((F.col("day") >= F.lit(day_lo)) & (F.col("day") <= F.lit(day_hi)))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("day")
+    )
+
+
+def dpp_join_daily(spark: SparkSession, path: str, dim: DataFrame) -> DataFrame:
+    """Join the partitioned facts against a small day-dimension.
+
+    With the dim filtered (e.g. 'holiday days only'), Catalyst inserts a
+    dynamic-pruning subquery on the fact scan: the dim's day set is built
+    first (broadcast reuse) and only matching fact partitions are read.
+    This is how a 100 TB store answers dim-driven slices without static
+    literals in the query text.
+    """
+    ev = spark.read.parquet(path)
+    return (
+        ev.join(dim, "day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("day")
+    )

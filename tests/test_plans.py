@@ -211,3 +211,50 @@ def test_sequence_pack_has_no_global_window_over_docs(spark):
     ]
     assert doc_windows and all("partitionBy" not in ln or "bucket" in ln for ln in doc_windows)
     assert all("bucket" in ln for ln in doc_windows)
+
+
+def test_date_partitioned_scan_prunes_statically(spark, tmp_path):
+    """A day-range filter must land in PartitionFilters (directory skip),
+    and the pruned result must match the unpartitioned truth."""
+    import clickhouse_sinker_nali_spark.operators.scale as SC
+    from clickhouse_sinker_nali_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "ev_by_day")
+    SC.write_date_partitioned(ev, path)
+
+    df = SC.pruned_daily_totals(spark, path, "2024-01-05", "2024-01-07")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    seg = plan[plan.index("PartitionFilters"):]
+    assert "day" in seg[: seg.index("]")]
+
+    truth = (
+        ev.filter(F.to_date("ts").between("2024-01-05", "2024-01-07"))
+        .groupBy(F.to_date("ts").alias("day"))
+        .count()
+        .collect()
+    )
+    got = {str(r.day): r.n_events for r in df.collect()}
+    assert got == {str(r.day): r["count"] for r in truth} and len(got) == 3
+
+
+def test_dpp_join_inserts_dynamic_pruning_subquery(spark, tmp_path):
+    import clickhouse_sinker_nali_spark.operators.scale as SC
+    from clickhouse_sinker_nali_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "ev_by_day_dpp")
+    SC.write_date_partitioned(ev, path)
+
+    dim = (
+        spark.read.parquet(path)
+        .select("day")
+        .distinct()
+        .filter(F.dayofmonth("day") <= 3)
+    )
+    df = SC.dpp_join_daily(spark, path, dim)
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan
+    assert df.count() == 3

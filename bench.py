@@ -29,11 +29,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from clickhouse_sinker_nali_spark.operators import curation as C
 from clickhouse_sinker_nali_spark.operators import dedup as D
 from clickhouse_sinker_nali_spark.operators import relational as R
 from clickhouse_sinker_nali_spark.operators import scale as SC
 from clickhouse_sinker_nali_spark.operators import similarity as S
 from clickhouse_sinker_nali_spark.operators import text as T
+from clickhouse_sinker_nali_spark.operators import warehouse as W
 from clickhouse_sinker_nali_spark.session import get_spark
 
 HEADLINE = {
@@ -53,6 +55,11 @@ HEADLINE = {
     "quality_score": T.quality_score,
     "decontaminate": T.decontaminate,
     "skew_join_salted": SC.skew_join_salted,
+    "q6_forecast_revenue": W.q6_forecast_revenue,
+    "q19_disjunctive_revenue": W.q19_disjunctive_revenue,
+    "tfidf_top_terms": T.tfidf_top_terms,
+    "sequence_pack": C.sequence_pack,
+    "curation_pipeline": C.curation_pipeline,
 }
 
 

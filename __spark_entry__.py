@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": C.sequence_pack,
         "tfidf_top_terms": T.tfidf_top_terms,
         "length_histogram": T.length_histogram,
+        "pmi_bigrams": T.pmi_bigrams,
     }
 
 
@@ -204,4 +205,5 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pack": C.SEQUENCE_PACK_SQL,
         "tfidf_top_terms": T.TFIDF_SQL,
         "length_histogram": T.LENGTH_HISTOGRAM_SQL,
+        "pmi_bigrams": T.PMI_BIGRAMS_SQL,
     }

@@ -522,3 +522,84 @@ FROM (
 GROUP BY bucket_lo
 ORDER BY bucket_lo
 """
+
+
+# --------------------------------------------------------------------------
+# PMI bigram collocations: strongly-associated word pairs
+# --------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+
+def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by pointwise mutual information
+    ``ln(c12·N / (c1·c2))`` over the adjacent-pair stream (marginals taken
+    over the pair table).  The phrase-mining / tokenizer-merge primer step.
+
+    All counts are exact integers aggregated map-side; only the final ln()
+    touches floats (rounded to 6 dp → cross-engine stable).  The pair
+    explode is the dominant cost at scale; everything after is aggregates
+    over the (much smaller) distinct-pair table, and top-k is TakeOrdered.
+    """
+    from pyspark.sql.window import Window  # noqa: F401 (symmetry w/ siblings)
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    pairs = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - 2),
+                lambda i: F.struct(
+                    F.element_at(words, i + 1).alias("w1"),
+                    F.element_at(words, i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    n = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        c12.filter(F.col("c12") >= _PMI_MIN_COUNT)
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .join(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(F.col("c12") * F.col("n_pairs") / (F.col("c1") * F.col("c2"))), 6
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(_PMI_TOP)
+    )
+
+
+PMI_BIGRAMS_SQL = f"""
+WITH pairs AS (
+    SELECT string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2
+    FROM (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        FROM (SELECT string_split(text, ' ') AS ws FROM documents)
+    )
+), c12 AS (
+    SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2
+), c1 AS (
+    SELECT w1, COUNT(*) AS c1 FROM pairs GROUP BY w1
+), c2 AS (
+    SELECT w2, COUNT(*) AS c2 FROM pairs GROUP BY w2
+), n AS (
+    SELECT COUNT(*) AS n_pairs FROM pairs
+)
+SELECT w1, w2, c12,
+       round(ln(c12 * n_pairs / (c1 * c2 * 1.0)), 6) AS pmi
+FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n
+WHERE c12 >= {_PMI_MIN_COUNT}
+ORDER BY pmi DESC, w1, w2
+LIMIT {_PMI_TOP}
+"""

@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": T.tfidf_top_terms,
         "length_histogram": T.length_histogram,
         "pmi_bigrams": T.pmi_bigrams,
+        "funnel_counts": A.funnel_counts,
+        "cohort_retention": A.cohort_retention,
     }
 
 
@@ -206,4 +208,6 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": T.TFIDF_SQL,
         "length_histogram": T.LENGTH_HISTOGRAM_SQL,
         "pmi_bigrams": T.PMI_BIGRAMS_SQL,
+        "funnel_counts": A.FUNNEL_SQL,
+        "cohort_retention": A.COHORT_SQL,
     }

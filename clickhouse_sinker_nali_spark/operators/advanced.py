@@ -613,3 +613,113 @@ SELECT spine.day,
 FROM spine LEFT JOIN daily ON spine.day = daily.day
 ORDER BY spine.day
 """
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis: ordered event-sequence progression per user
+# --------------------------------------------------------------------------
+
+
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel: users whose FIRST click follows
+    their first view, and first purchase follows that click.
+
+    One scan + one conditional aggregation per user (min-ts per stage via
+    CASE, strictly-after chaining in the projection) — no self-joins, so
+    at 100 TB it is a single shuffle on user_id.  Event-analytics staple
+    the reference cannot express.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click_any"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_buy_any"),
+    )
+    # strictly-ordered progression on first-occurrence timestamps
+    staged = per_user.select(
+        F.col("t_view").isNotNull().alias("s1"),
+        (
+            F.col("t_view").isNotNull()
+            & F.col("t_click_any").isNotNull()
+            & (F.col("t_click_any") > F.col("t_view"))
+        ).alias("s2"),
+        (
+            F.col("t_view").isNotNull()
+            & F.col("t_click_any").isNotNull()
+            & (F.col("t_click_any") > F.col("t_view"))
+            & F.col("t_buy_any").isNotNull()
+            & (F.col("t_buy_any") > F.col("t_click_any"))
+        ).alias("s3"),
+    )
+    return staged.agg(
+        F.sum(F.col("s1").cast("long")).alias("n_viewed"),
+        F.sum(F.col("s2").cast("long")).alias("n_clicked_after_view"),
+        F.sum(F.col("s3").cast("long")).alias("n_purchased_after_click"),
+    )
+
+
+FUNNEL_SQL = """
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click_any,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy_any
+    FROM events GROUP BY user_id
+)
+SELECT SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
+       SUM(CASE WHEN t_view IS NOT NULL AND t_click_any > t_view
+                THEN 1 ELSE 0 END) AS n_clicked_after_view,
+       SUM(CASE WHEN t_view IS NOT NULL AND t_click_any > t_view
+                 AND t_buy_any > t_click_any
+                THEN 1 ELSE 0 END) AS n_purchased_after_click
+FROM per_user
+"""
+
+
+# --------------------------------------------------------------------------
+# Cohort retention: first-seen week × activity-week-offset matrix
+# --------------------------------------------------------------------------
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week;
+    for each (cohort_week, weeks_since) cell, how many distinct users were
+    active.  Two shuffles (first-seen per user, then the matrix agg) —
+    the product-analytics staple.
+
+    Week boundaries via date_trunc('week') — ISO Monday start in both
+    engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("act_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7).cast("long").alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+COHORT_SQL = """
+WITH first_seen AS (
+    SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+    FROM events
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, act_week) / 7 AS BIGINT) AS weeks_since,
+       COUNT(DISTINCT user_id) AS n_users
+FROM activity JOIN first_seen USING (user_id)
+GROUP BY cohort_week, weeks_since
+ORDER BY cohort_week, weeks_since
+"""

@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": T.pmi_bigrams,
         "funnel_counts": A.funnel_counts,
         "cohort_retention": A.cohort_retention,
+        "quantile_sketch_bottomk": A.quantile_sketch_bottomk,
     }
 
 
@@ -210,4 +211,5 @@ def oracle_sql() -> dict[str, str]:
         "pmi_bigrams": T.PMI_BIGRAMS_SQL,
         "funnel_counts": A.FUNNEL_SQL,
         "cohort_retention": A.COHORT_SQL,
+        "quantile_sketch_bottomk": A.QUANTILE_SKETCH_SQL,
     }

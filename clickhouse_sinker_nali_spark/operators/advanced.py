@@ -723,3 +723,80 @@ FROM activity JOIN first_seen USING (user_id)
 GROUP BY cohort_week, weeks_since
 ORDER BY cohort_week, weeks_since
 """
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile sketch: deterministic bottom-k hash sample per group
+# --------------------------------------------------------------------------
+
+_QSK_K = 128
+_QSK_QS = (0.5, 0.9, 0.99)
+
+
+def quantile_sketch_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile estimates from a bottom-k-by-hash sample.
+
+    The sketch = the k rows with the smallest salted content hash per
+    group.  Like t-digest/KLL it is MERGEABLE — bottom-k(A ∪ B) =
+    bottom-k(bottom-k(A) ∪ bottom-k(B)) — so partial sketches combine
+    associatively across partitions/days with fixed size.  Unlike those,
+    it is fully deterministic and hash-reproducible, so the DuckDB oracle
+    verifies it exactly (approx_percentile-style sketches only get a
+    rows-only check).  At 100 TB: the sample rank is one window over a
+    hash-partitioned shuffle; everything after runs on ≤k rows per group.
+    Estimate error is the classic bottom-k sampling bound (~1/sqrt(k)).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = portable_hash64(F.concat(F.lit("qsk:"), F.col("event_id").cast("string")))
+    w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id"))
+    sample = (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _QSK_K)
+    )
+    wv = Window.partitionBy("event_type").orderBy(F.col("value"), F.col("event_id"))
+    ranked = sample.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("vr"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n_s"),
+    )
+    aggs = [F.max("n_s").alias("n_sample")] + [
+        F.max(
+            F.when(F.col("vr") == F.ceil(F.lit(q) * F.col("n_s")), F.col("value"))
+        ).alias(f"p{int(q * 100)}")
+        for q in _QSK_QS
+    ]
+    return ranked.groupBy("event_type").agg(*aggs).orderBy("event_type")
+
+
+_QSK_HASH = portable_hash64_sql("'qsk:' || event_id::VARCHAR")
+
+QUANTILE_SKETCH_SQL = f"""
+WITH sample AS (
+    SELECT event_type, event_id, value
+    FROM (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY {_QSK_HASH}, event_id) AS rn
+        FROM events
+    )
+    WHERE rn <= {_QSK_K}
+), ranked AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS vr,
+           COUNT(*) OVER (PARTITION BY event_type) AS n_s
+    FROM sample
+)
+SELECT event_type,
+       MAX(n_s) AS n_sample,
+       MAX(CASE WHEN vr = CEIL(0.5 * n_s) THEN value END) AS p50,
+       MAX(CASE WHEN vr = CEIL(0.9 * n_s) THEN value END) AS p90,
+       MAX(CASE WHEN vr = CEIL(0.99 * n_s) THEN value END) AS p99
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -481,3 +481,46 @@ def test_length_histogram_partitions_corpus(spark, sf_dir):
     assert total == load_table(spark, sf_dir, "documents").count()
     los = [r.bucket_lo for r in out]
     assert all(lo % 16 == 0 for lo in los) and los == sorted(los)
+
+
+def test_quantile_sketch_is_mergeable_and_close_to_exact(spark, sf_dir):
+    """bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)) — the
+    mergeability that lets partial sketches combine across partitions/days;
+    and the p50 estimate must be near the exact median."""
+    import clickhouse_sinker_nali_spark.operators.advanced as A
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from clickhouse_sinker_nali_spark.functions import portable_hash64
+    from clickhouse_sinker_nali_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    h = portable_hash64(F.concat(F.lit("qsk:"), F.col("event_id").cast("string")))
+    w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id"))
+
+    def bottomk(df):
+        return (
+            df.select("event_type", "event_id", "value")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= A._QSK_K)
+            .drop("rn")
+        )
+
+    whole = {tuple(r) for r in bottomk(ev).collect()}
+    half_a = bottomk(ev.filter(F.col("event_id") % 2 == 0))
+    half_b = bottomk(ev.filter(F.col("event_id") % 2 == 1))
+    merged = {tuple(r) for r in bottomk(half_a.unionByName(half_b)).collect()}
+    assert merged == whole
+
+    sketch = {r.event_type: r.p50 for r in A.quantile_sketch_bottomk(spark, sf_dir).collect()}
+    exact = {
+        r.event_type: r.m
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.5)").alias("m"))
+        .collect()
+    }
+    for et, est in sketch.items():
+        lo, hi = ev.filter(F.col("event_type") == et).agg(
+            F.min("value"), F.max("value")
+        ).first()
+        # classic bottom-k error bound is ~1/sqrt(k) of the value range
+        assert abs(est - exact[et]) <= 0.35 * (hi - lo)

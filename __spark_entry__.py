@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": D.dedup_simhash,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "dedup_clusters": D.dedup_clusters,
+        "dedup_exact_substring": D.dedup_exact_substring,
         # similarity search
         "ann_bruteforce_topk": S.ann_bruteforce_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": D.DEDUP_SIMHASH_SQL,
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,
         "dedup_clusters": D.DEDUP_CLUSTERS_SQL,
+        "dedup_exact_substring": D.DEDUP_SUBSTRING_SQL,
         "ann_bruteforce_topk": S.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": S.ANN_LSH_SQL,
         "ann_ivf_topk": S.ANN_IVF_SQL,

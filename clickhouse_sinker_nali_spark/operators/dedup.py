@@ -560,3 +560,65 @@ DEDUP_CLUSTERS_SQL = (
     "FROM labels JOIN csz ON labels.cluster_id = csz.cluster_id\n"
     "ORDER BY doc_id"
 )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring dedup: long-shingle equi-join (Rabin-Karp, distributed)
+# --------------------------------------------------------------------------
+
+_SUBSTR_K = 15
+# boilerplate guard: a shingle present in more than this many docs is
+# navigation/template text, not duplication signal; joining through it
+# would also quadratically explode the pair list at corpus scale
+_SUBSTR_MAX_DF = 100
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing an exact 15-token run.
+
+    The distributed realization of suffix-array/Rabin-Karp exact-substring
+    detection: every doc emits its distinct 15-gram windows (the rolling
+    hash), pairs = self-equi-join on the window — one shuffle keyed on the
+    gram.  Catches verbatim quotation/containment that MinHash (global
+    similarity) deliberately ignores.  Hot boilerplate grams are dropped
+    by a document-frequency cap BEFORE the join (the quadratic-blowup
+    guard at 100 TB); the cap is part of the operator contract and the
+    oracle applies it identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles("text", _SUBSTR_K)).alias("gram")
+    )
+    rare = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= _SUBSTR_MAX_DF)
+        .select("gram")
+    )
+    g = grams.join(rare, "gram")
+    a = g.select(F.col("doc_id").alias("doc_a"), "gram")
+    b = g.select(F.col("doc_id").alias("doc_b"), "gram")
+    return (
+        a.join(b, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH grams AS (
+    {word_shingles_sql("documents", "doc_id", "text", _SUBSTR_K)}
+), rare AS (
+    SELECT shingle FROM grams GROUP BY shingle
+    HAVING COUNT(DISTINCT doc_id) <= {_SUBSTR_MAX_DF}
+), g AS (
+    SELECT doc_id, shingle FROM grams JOIN rare USING (shingle)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(DISTINCT a.shingle) AS n_shared_grams
+FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY doc_a, doc_b
+ORDER BY doc_a, doc_b
+"""

@@ -1,0 +1,199 @@
+"""Streaming twins of the batch funnel and gap-fill/LOCF analytics.
+
+The batch forms (``operators/advanced.funnel_counts`` and
+``operators/advanced.gapfill_daily_locf``) are DuckDB-oracle-checked; these
+are the continuously-updating versions a live event pipeline runs.  Both are
+custom stateful operators over ``applyInPandasWithState`` (SURVEY §2.10: the
+extension surface the reference lacks entirely — its only state is the
+Kafka offset ring, reference ``task/ring.go:18-35``).
+
+Scale notes (100 TB / 1000 executors):
+
+- The funnel keys state by ``user_id`` — state is three timestamps per user,
+  sharded by the same hash partitioning as the groupBy shuffle; RocksDB
+  state store keeps the working set off-heap.  Arrival order across
+  micro-batches is irrelevant because the state is a running MINIMUM per
+  stage (commutative + idempotent), so re-deliveries and out-of-order events
+  cannot corrupt the stage decision.
+- The gap-filler consumes a POST-AGGREGATION daily stream (the append-mode
+  output of a watermarked tumbling-window rollup), so its input is tiny
+  regardless of raw volume — one row per (series, day).  Append-mode window
+  output is emitted in watermark order, which is what makes cross-batch
+  LOCF well-defined: a day can never arrive before a smaller day in a later
+  batch.  State per series is one (last_day, last_value) pair.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# --------------------------------------------------------------------------
+# Streaming funnel: per-user view -> click -> purchase progression
+# --------------------------------------------------------------------------
+
+_FUNNEL_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("stage", IntegerType()),
+    ]
+)
+# running minima as epoch micros; 0 = not seen (real events are all > 1970)
+_FUNNEL_STATE = StructType(
+    [
+        StructField("t_view", LongType()),
+        StructField("t_click", LongType()),
+        StructField("t_buy", LongType()),
+    ]
+)
+
+
+def _stage(t_view: int, t_click: int, t_buy: int) -> int:
+    """Strict-ordering stage from first-occurrence minima.
+
+    Identical decision tree to the batch ``funnel_counts`` projection:
+    stage 1 = viewed; 2 = first click strictly after first view; 3 = first
+    purchase strictly after that click.
+    """
+    if not t_view:
+        return 0
+    if not t_click or t_click <= t_view:
+        return 1
+    if not t_buy or t_buy <= t_click:
+        return 2
+    return 3
+
+
+def streaming_funnel_stages(events_stream: DataFrame) -> DataFrame:
+    """Per-user funnel stage, continuously updated across micro-batches.
+
+    Input columns: ``ts timestamp, user_id bigint, event_type string``.
+    Emits ``(user_id, stage)`` in update mode whenever a user's events
+    arrive; the latest emission per user equals the batch funnel's stage
+    for the same data, whatever the arrival order (minima are commutative).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        t_view, t_click, t_buy = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            micros = pdf["ts"].astype("int64") // 1000
+            for kind, cur in (("view", t_view), ("click", t_click), ("purchase", t_buy)):
+                sel = micros[pdf["event_type"] == kind]
+                if len(sel):
+                    m = int(sel.min())
+                    new = m if not cur else min(cur, m)
+                    if kind == "view":
+                        t_view = new
+                    elif kind == "click":
+                        t_click = new
+                    else:
+                        t_buy = new
+        state.update((t_view, t_click, t_buy))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "stage": [_stage(t_view, t_click, t_buy)]}
+        )
+
+    return (
+        events_stream.select("ts", "user_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, _FUNNEL_OUT, _FUNNEL_STATE, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming gap-fill + LOCF over a daily rollup stream
+# --------------------------------------------------------------------------
+
+_GAPFILL_OUT = StructType(
+    [
+        StructField("series", StringType()),
+        StructField("day", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("locf_avg_value", DoubleType()),
+        StructField("filled", BooleanType()),
+    ]
+)
+# last emitted day as epoch days; NaN-able value carried as double
+_GAPFILL_STATE = StructType(
+    [
+        StructField("last_day", LongType()),
+        StructField("last_value", DoubleType()),
+        StructField("has_day", BooleanType()),
+    ]
+)
+
+_EPOCH = pd.Timestamp("1970-01-01")
+
+
+def streaming_gapfill_locf(daily_stream: DataFrame) -> DataFrame:
+    """Materialize missing days with the value carried forward, streaming.
+
+    Input: an append-mode daily rollup stream with columns
+    ``series string, day timestamp, n_events bigint, avg_value double``
+    (one row per closed day, emitted in watermark order — the output shape
+    of ``groupBy(window('ts','1 day'))`` with a watermark).  Output: the
+    dense series — every day between the first and the latest seen, gaps
+    emitted with ``n_events = 0`` and the last real value (``filled =
+    true``).  The batch twin is ``gapfill_daily_locf``'s spine-join +
+    last-ignoreNulls window; here the spine is generated incrementally from
+    per-series state.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fill(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        last_day, last_value, has_day = (
+            state.get if state.exists else (0, math.nan, False)
+        )
+        rows: dict[str, list] = {c: [] for c in ("day", "n_events", "locf_avg_value", "filled")}
+        batch = [pdf for pdf in pdfs if len(pdf)]
+        if batch:
+            allrows = pd.concat(batch).sort_values("day")
+            for _, r in allrows.iterrows():
+                day = int((r["day"] - _EPOCH).days)
+                if has_day and day <= last_day:
+                    continue  # late duplicate of an already-emitted day
+                if has_day:
+                    for missing in range(last_day + 1, day):
+                        rows["day"].append(_EPOCH + pd.Timedelta(days=missing))
+                        rows["n_events"].append(0)
+                        rows["locf_avg_value"].append(last_value)
+                        rows["filled"].append(True)
+                rows["day"].append(r["day"])
+                rows["n_events"].append(int(r["n_events"]))
+                last_value = float(r["avg_value"])
+                rows["locf_avg_value"].append(last_value)
+                rows["filled"].append(False)
+                last_day, has_day = day, True
+        state.update((last_day, last_value, has_day))
+        if rows["day"]:
+            out = pd.DataFrame(rows)
+            out.insert(0, "series", key[0])
+            yield out
+
+    return (
+        daily_stream.select("series", "day", "n_events", "avg_value")
+        .groupBy("series")
+        .applyInPandasWithState(
+            fill, _GAPFILL_OUT, _GAPFILL_STATE, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -1,0 +1,189 @@
+"""Streaming twins of the oracle-checked batch funnel and gap-fill/LOCF.
+
+Each test feeds the SAME rows in two micro-batches (cross-batch state is
+the point) and uses the batch formulation as the oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_sinker_nali_spark.streaming.analytics import (
+    streaming_funnel_stages,
+    streaming_gapfill_locf,
+)
+
+
+def _pin_batch_order(src):
+    """File-source batch order follows modification time; make it match
+    file-name order deterministically."""
+    for i, fname in enumerate(sorted(os.listdir(src))):
+        t = 1_700_000_000 + i * 1000
+        os.utime(os.path.join(src, fname), (t, t))
+
+
+def _stream_json(spark, src, schema):
+    _pin_batch_order(src)
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(src)
+    return raw.select(F.from_json("value", schema).alias("m")).select("m.*")
+
+
+def _run(df, tmp_path, name, mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_streaming_funnel_matches_batch_stages(spark, tmp_path):
+    """Events split across two batches with out-of-order types per user:
+    the latest emitted stage per user must equal the batch decision."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # 12 users exercising every stage pattern; click/purchase arrive in the
+    # FIRST batch for some users, before their view (second batch) — the
+    # running-minimum state must still converge to the batch answer.
+    first, second = [], []
+    for u in range(12):
+        base = f"2024-05-0{u % 9 + 1}"
+        if u % 4 == 0:  # full funnel, split across batches
+            first += [
+                {"ts": f"{base} 10:00:00", "user_id": u, "event_type": "view"},
+                {"ts": f"{base} 11:00:00", "user_id": u, "event_type": "click"},
+            ]
+            second += [{"ts": f"{base} 12:00:00", "user_id": u, "event_type": "purchase"}]
+        elif u % 4 == 1:  # click before view -> stuck at stage 1
+            first += [{"ts": f"{base} 09:00:00", "user_id": u, "event_type": "click"}]
+            second += [{"ts": f"{base} 10:00:00", "user_id": u, "event_type": "view"}]
+        elif u % 4 == 2:  # view+click, purchase before click -> stage 2
+            first += [
+                {"ts": f"{base} 10:00:00", "user_id": u, "event_type": "view"},
+                {"ts": f"{base} 10:30:00", "user_id": u, "event_type": "purchase"},
+            ]
+            second += [{"ts": f"{base} 11:00:00", "user_id": u, "event_type": "click"}]
+        else:  # view only
+            second += [{"ts": f"{base} 10:00:00", "user_id": u, "event_type": "view"}]
+    for fname, rows in (("a.txt", first), ("b.txt", second)):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    schema = "ts timestamp, user_id bigint, event_type string"
+    _run(
+        streaming_funnel_stages(_stream_json(spark, src, schema)),
+        tmp_path,
+        "funnel_stream",
+        "update",
+    )
+    latest = {}
+    for r in spark.table("funnel_stream").collect():
+        latest[r.user_id] = r.stage  # memory sink appends updates in order
+
+    batch = (
+        spark.read.text(src)
+        .select(F.from_json("value", schema).alias("m"))
+        .select("m.*")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("tv"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("tc"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tb"),
+        )
+        .select(
+            "user_id",
+            F.when(
+                F.col("tv").isNotNull()
+                & (F.col("tc") > F.col("tv"))
+                & (F.col("tb") > F.col("tc")),
+                3,
+            )
+            .when(F.col("tv").isNotNull() & (F.col("tc") > F.col("tv")), 2)
+            .when(F.col("tv").isNotNull(), 1)
+            .otherwise(0)
+            .alias("stage"),
+        )
+    )
+    expected = {r.user_id: r.stage for r in batch.collect()}
+    assert latest == expected
+    assert sorted(set(expected.values())) == [1, 2, 3]  # every pattern exercised
+
+
+def test_streaming_gapfill_locf_fills_cross_batch_gaps(spark, tmp_path):
+    """Daily rollup rows arrive in two batches with gaps inside AND between
+    them; the filler must emit every missing day with the carried value,
+    including the gap that spans the batch boundary."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = [("2024-05-01", 4, 10.0), ("2024-05-02", 2, 20.0), ("2024-05-05", 1, 50.0)]
+    b2 = [("2024-05-07", 3, 70.0), ("2024-05-10", 2, 100.0)]
+    for fname, rows in (("a.txt", b1), ("b.txt", b2)):
+        with open(os.path.join(src, fname), "w") as f:
+            for day, n, v in rows:
+                f.write(
+                    json.dumps(
+                        {"series": "s1", "day": f"{day} 00:00:00", "n_events": n, "avg_value": v}
+                    )
+                    + "\n"
+                )
+
+    schema = "series string, day timestamp, n_events bigint, avg_value double"
+    _run(
+        streaming_gapfill_locf(_stream_json(spark, src, schema)),
+        tmp_path,
+        "gapfill_stream",
+        "append",
+    )
+    got = {
+        r.day.strftime("%Y-%m-%d"): (r.n_events, r.locf_avg_value, r.filled)
+        for r in spark.table("gapfill_stream").collect()
+    }
+    # dense spine 05-01..05-10, LOCF across the 05-05 -> 05-07 batch boundary
+    expected = {
+        "2024-05-01": (4, 10.0, False),
+        "2024-05-02": (2, 20.0, False),
+        "2024-05-03": (0, 20.0, True),
+        "2024-05-04": (0, 20.0, True),
+        "2024-05-05": (1, 50.0, False),
+        "2024-05-06": (0, 50.0, True),
+        "2024-05-07": (3, 70.0, False),
+        "2024-05-08": (0, 70.0, True),
+        "2024-05-09": (0, 70.0, True),
+        "2024-05-10": (2, 100.0, False),
+    }
+    assert got == expected
+
+
+def test_streaming_gapfill_ignores_late_duplicate_days(spark, tmp_path):
+    """A day re-delivered in a later batch (at-least-once upstream) must be
+    dropped, not re-emitted or allowed to corrupt the LOCF value."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.txt"), "w") as f:
+        f.write(json.dumps({"series": "s1", "day": "2024-05-01 00:00:00", "n_events": 1, "avg_value": 1.0}) + "\n")
+        f.write(json.dumps({"series": "s1", "day": "2024-05-03 00:00:00", "n_events": 1, "avg_value": 3.0}) + "\n")
+    with open(os.path.join(src, "b.txt"), "w") as f:
+        f.write(json.dumps({"series": "s1", "day": "2024-05-01 00:00:00", "n_events": 9, "avg_value": 99.0}) + "\n")
+        f.write(json.dumps({"series": "s1", "day": "2024-05-04 00:00:00", "n_events": 1, "avg_value": 4.0}) + "\n")
+
+    schema = "series string, day timestamp, n_events bigint, avg_value double"
+    _run(
+        streaming_gapfill_locf(_stream_json(spark, src, schema)),
+        tmp_path,
+        "gapfill_late",
+        "append",
+    )
+    rows = spark.table("gapfill_late").collect()
+    days = [r.day.strftime("%Y-%m-%d") for r in rows]
+    assert sorted(days) == ["2024-05-01", "2024-05-02", "2024-05-03", "2024-05-04"]
+    by_day = {r.day.strftime("%Y-%m-%d"): r for r in rows}
+    assert by_day["2024-05-01"].n_events == 1  # first delivery wins
+    assert by_day["2024-05-04"].locf_avg_value == 4.0

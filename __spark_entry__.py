@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_topk": S.ann_bruteforce_topk,
         "ann_lsh_topk": S.ann_lsh_topk,
         "ann_ivf_topk": S.ann_ivf_topk,
+        "ann_ivf_persisted": S.ann_ivf_persisted,
         "embedding_quantize": S.embedding_quantize,
         "ann_int8_topk": S.ann_int8_topk,
         # text analysis
@@ -164,6 +165,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_topk": S.ANN_BRUTEFORCE_SQL,
         "ann_lsh_topk": S.ANN_LSH_SQL,
         "ann_ivf_topk": S.ANN_IVF_SQL,
+        # identical results to ann_ivf_topk; the difference is the physical
+        # plan (persisted cell-partitioned index + static partition pruning)
+        "ann_ivf_persisted": S.ANN_IVF_SQL,
         "embedding_quantize": S.EMBEDDING_QUANTIZE_SQL,
         "ann_int8_topk": S.ANN_INT8_SQL,
         "lang_id": T.LANG_ID_SQL,

@@ -524,3 +524,25 @@ def test_quantile_sketch_is_mergeable_and_close_to_exact(spark, sf_dir):
         ).first()
         # classic bottom-k error bound is ~1/sqrt(k) of the value range
         assert abs(est - exact[et]) <= 0.35 * (hi - lo)
+
+
+def test_ann_ivf_persisted_matches_in_memory_and_prunes(spark, tmp_path):
+    """The persisted IVF index must return bit-identical results to the
+    in-memory formulation, and its corpus scan must be partition-pruned to
+    the probed cells only."""
+    index_path = str(tmp_path / "ivf")
+    S.build_ivf_index(spark, SF_DIR, index_path)
+    persisted = S.ann_ivf_query(spark, SF_DIR, index_path)
+    got = [tuple(r) for r in persisted.collect()]
+    want = [tuple(r) for r in S.ann_ivf_topk(spark, SF_DIR).collect()]
+    assert got == want
+
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    # the pruned scan carries the cid partition filter
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_ann_ivf_persisted_entry_runs(spark):
+    """Driver-contract wrapper: build under data/ivf_index + query."""
+    rows = S.ann_ivf_persisted(spark, SF_DIR).collect()
+    assert len(rows) == S.N_QUERIES * S.TOP_K

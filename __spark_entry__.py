@@ -130,6 +130,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_counts": A.funnel_counts,
         "cohort_retention": A.cohort_retention,
         "quantile_sketch_bottomk": A.quantile_sketch_bottomk,
+        # fifth wave: distinct sketch, anomaly scan, moving window, postings
+        "kmv_distinct_sketch": A.kmv_distinct_sketch,
+        "zscore_day_anomalies": A.zscore_day_anomalies,
+        "rolling_7day_revenue": W.rolling_7day_revenue,
+        "inverted_index_postings": T.inverted_index_postings,
     }
 
 
@@ -218,4 +223,8 @@ def oracle_sql() -> dict[str, str]:
         "funnel_counts": A.FUNNEL_SQL,
         "cohort_retention": A.COHORT_SQL,
         "quantile_sketch_bottomk": A.QUANTILE_SKETCH_SQL,
+        "kmv_distinct_sketch": A.KMV_SKETCH_SQL,
+        "zscore_day_anomalies": A.ZSCORE_ANOMALY_SQL,
+        "rolling_7day_revenue": W.ROLLING_7DAY_SQL,
+        "inverted_index_postings": T.INVERTED_INDEX_SQL,
     }

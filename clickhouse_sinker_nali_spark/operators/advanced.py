@@ -800,3 +800,152 @@ FROM ranked
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch
+# --------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_SPACE = float(1 << 60)  # portable_hash64 is uniform on [0, 2^60)
+
+
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-user estimate per event_type from the k smallest
+    hashes (the KMV/bottom-k theta-sketch estimator).
+
+    The sketch is the k minimum hash values of the key set — like HLL it is
+    MERGEABLE (union = merge bottom-k sets, re-truncate) so per-partition /
+    per-day partials combine associatively, but unlike HLL it is exactly
+    reproducible in the DuckDB oracle (Spark's approx_count_distinct gets a
+    rows-only check for the same reason).  Estimator: with the kth smallest
+    of n uniform hashes at fraction u of the space, NDV ≈ (k-1)/u — the
+    classic KMV unbiased estimate (Bar-Yossef et al. 2002, "Counting
+    distinct elements in a data stream").  Error ~ 1/sqrt(k) ≈ 6% at k=256.
+
+    Scale shape: one map-side-combined distinct on (event_type, hash) — at
+    100 TB the partial agg collapses per-key duplicates before the shuffle
+    — then a per-group bottom-k window over ≤ groups×k rows.  The exact NDV
+    column (what the sketch approximates) rides the same shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = portable_hash64(F.concat(F.lit("kmv:"), F.col("user_id").cast("string")))
+    hashes = ev.select("event_type", h.alias("hv")).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    ranked = hashes.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("exact_ndv"),
+            F.max(F.when(F.col("rn") == _KMV_K, F.col("hv"))).alias("kth_hash"),
+        )
+        .select(
+            "event_type",
+            "exact_ndv",
+            "kth_hash",
+            F.when(
+                F.col("kth_hash").isNotNull(),
+                F.round(
+                    F.lit(float(_KMV_K - 1))
+                    / (F.col("kth_hash").cast("double") / F.lit(_KMV_SPACE)),
+                    4,
+                ),
+            )
+            .otherwise(F.col("exact_ndv").cast("double"))
+            .alias("est_ndv"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_KMV_HASH = portable_hash64_sql("'kmv:' || user_id::VARCHAR")
+
+KMV_SKETCH_SQL = f"""
+WITH hashes AS (
+    SELECT DISTINCT event_type, {_KMV_HASH} AS hv FROM events
+), ranked AS (
+    SELECT event_type, hv,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+    FROM hashes
+)
+SELECT event_type, exact_ndv, kth_hash,
+       CASE WHEN kth_hash IS NOT NULL
+            THEN ROUND({_KMV_K - 1}.0 / (kth_hash::DOUBLE / {_KMV_SPACE!r}::DOUBLE), 4)
+            ELSE exact_ndv::DOUBLE END AS est_ndv
+FROM (
+    SELECT event_type, COUNT(*) AS exact_ndv,
+           MAX(CASE WHEN rn = {_KMV_K} THEN hv END) AS kth_hash
+    FROM ranked GROUP BY event_type
+)
+ORDER BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# Z-score outlier days (per-type daily volume anomaly detection)
+# --------------------------------------------------------------------------
+
+_ZSCORE_CUT = 2.0
+
+
+def zscore_day_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose event volume deviates > 2σ from that event_type's mean
+    daily volume — the monitoring/data-quality staple (traffic spikes,
+    ingestion gaps).
+
+    Numeric determinism: counts are integers, so mean and variance are
+    derived from exact integer sums with the SAME expression order in both
+    engines (mean = sum/n; var = sum_sq/n - mean²) — no stddev builtin,
+    whose summation order is engine-dependent.  Two shuffles: daily counts
+    (map-side combined), then the tiny per-type stats broadcast back onto
+    the daily rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_days")
+    var = F.col("ss").cast("double") / F.col("n_days") - mean * mean
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round(mean, 6).alias("mean_daily"),
+            F.round(z, 6).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > _ZSCORE_CUT)
+        .orderBy("event_type", "day")
+    )
+
+
+ZSCORE_ANOMALY_SQL = f"""
+WITH daily AS (
+    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+), stats AS (
+    SELECT event_type, COUNT(*) AS n_days, SUM(n) AS s, SUM(n * n) AS ss
+    FROM daily GROUP BY event_type
+)
+SELECT event_type, day, n, mean_daily, zscore
+FROM (
+    SELECT d.event_type, d.day, d.n,
+           ROUND(t.s::DOUBLE / t.n_days, 6) AS mean_daily,
+           ROUND((d.n::DOUBLE - t.s::DOUBLE / t.n_days)
+                 / sqrt(t.ss::DOUBLE / t.n_days
+                        - (t.s::DOUBLE / t.n_days) * (t.s::DOUBLE / t.n_days)),
+                 6) AS zscore
+    FROM daily d JOIN stats t ON d.event_type = t.event_type
+)
+WHERE abs(zscore) > {_ZSCORE_CUT}
+ORDER BY event_type, day
+"""

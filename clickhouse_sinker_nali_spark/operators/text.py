@@ -603,3 +603,59 @@ WHERE c12 >= {_PMI_MIN_COUNT}
 ORDER BY pmi DESC, w1, w2
 LIMIT {_PMI_TOP}
 """
+
+
+# --------------------------------------------------------------------------
+# Inverted index: term -> document-frequency + capped posting list
+# --------------------------------------------------------------------------
+
+_INVIDX_TOP_TERMS = 100
+_INVIDX_POSTING_CAP = 10
+
+
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the corpus inverted index: for the top terms by document
+    frequency, the sorted (capped) posting list of containing doc_ids —
+    the retrieval-side building block (BM25 / keyword search / contamination
+    lookup) over a training corpus.
+
+    Shape: explode → distinct (map-side combined on (word, doc_id)) → one
+    shuffle keyed on word for the df-count + posting aggregation.  The
+    posting list is capped at the aggregation (slice after sort), so hot
+    terms ('the' in every doc) carry a BOUNDED array through the plan —
+    at 100 TB an uncapped collect_list on a stopword would OOM an executor;
+    a production index would instead bucket-partition postings by doc range,
+    which is this same plan with a (word, doc_bucket) key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("word"), "doc_id"
+    ).distinct()
+    agg = pairs.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, _INVIDX_POSTING_CAP).alias(
+            "postings"
+        ),
+    )
+    w = W.orderBy(F.col("df").desc(), F.col("word"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _INVIDX_TOP_TERMS)
+        .select("rank", "word", "df", "postings")
+        .orderBy("rank")
+    )
+
+
+INVERTED_INDEX_SQL = f"""
+SELECT rank, word, df, postings
+FROM (
+    SELECT word, COUNT(*) AS df,
+           list_slice(list_sort(array_agg(doc_id)), 1, {_INVIDX_POSTING_CAP}) AS postings,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rank
+    FROM (SELECT DISTINCT unnest(regexp_split_to_array(text, '\\s+')) AS word, doc_id
+          FROM documents)
+    GROUP BY word
+)
+WHERE rank <= {_INVIDX_TOP_TERMS}
+ORDER BY rank
+"""

@@ -311,3 +311,68 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expand + one shuffle regardless of the number of sets.
     """
     return _views(spark, sf_dir, ["orders"], GROUPING_SETS_SQL)
+
+
+# --------------------------------------------------------------------------
+# Rolling 7-day revenue (RANGE-frame moving aggregate over a daily rollup)
+# --------------------------------------------------------------------------
+
+
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day order revenue per day: moving sum, moving average over
+    days PRESENT, and day coverage of each trailing window.
+
+    The RANGE frame is anchored on an integer day number (datediff from
+    epoch), not ROWS — missing days correctly shrink the window rather than
+    silently widening it to 7 physical rows.  Runs over the daily
+    pre-aggregate (map-side combined, one shuffle); the window itself is a
+    single global ordering, fine at any scale because days-per-decade is
+    ~3.7k rows no matter how many raw orders fed them.  Decimal sums keep
+    the moving totals exact across engines.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    wn = F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    w = Window.orderBy(wn).rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            "n_orders",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.sum("revenue").over(w).cast("double").alias("rev_7d"),
+            F.count(F.lit(1)).over(w).alias("days_in_window"),
+            (F.sum("revenue").over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+                "avg_daily_rev_7d"
+            ),
+        )
+        .withColumn("revenue", F.round("revenue", 4))
+        .withColumn("rev_7d", F.round("rev_7d", 4))
+        .withColumn("avg_daily_rev_7d", F.round("avg_daily_rev_7d", 4))
+        .orderBy("day")
+    )
+
+
+ROLLING_7DAY_SQL = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+           SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+)
+SELECT day, n_orders,
+       ROUND(revenue::DOUBLE, 4) AS revenue,
+       ROUND(SUM(revenue) OVER w::DOUBLE, 4) AS rev_7d,
+       COUNT(*) OVER w AS days_in_window,
+       ROUND(SUM(revenue) OVER w::DOUBLE / COUNT(*) OVER w, 4) AS avg_daily_rev_7d
+FROM daily
+WINDOW w AS (ORDER BY datediff('day', DATE '1970-01-01', day)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""

@@ -546,3 +546,42 @@ def test_ann_ivf_persisted_entry_runs(spark):
     """Driver-contract wrapper: build under data/ivf_index + query."""
     rows = S.ann_ivf_persisted(spark, SF_DIR).collect()
     assert len(rows) == S.N_QUERIES * S.TOP_K
+
+
+def test_kmv_estimate_within_sampling_error(spark):
+    for r in A.kmv_distinct_sketch(spark, SF_DIR).collect():
+        assert r.exact_ndv > 0
+        if r.kth_hash is not None:
+            # k=256 -> ~6% stderr; allow 4 sigma
+            assert abs(r.est_ndv - r.exact_ndv) / r.exact_ndv < 0.25
+        else:
+            assert r.est_ndv == float(r.exact_ndv)
+
+
+def test_rolling_7day_window_bounds(spark):
+    import clickhouse_sinker_nali_spark.operators.warehouse as W
+
+    rows = W.rolling_7day_revenue(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.days_in_window <= 7
+        assert r.rev_7d >= r.revenue - 1e-6  # trailing sum includes today
+
+
+def test_inverted_index_postings_sorted_and_capped(spark):
+    rows = T.inverted_index_postings(spark, SF_DIR).collect()
+    assert rows and rows[0].rank == 1
+    dfs = [r.df for r in rows]
+    assert dfs == sorted(dfs, reverse=True)
+    for r in rows:
+        assert 1 <= len(r.postings) <= T._INVIDX_POSTING_CAP
+        assert list(r.postings) == sorted(r.postings)
+        assert len(r.postings) == min(r.df, T._INVIDX_POSTING_CAP)
+
+
+def test_zscore_anomalies_are_extreme_days(spark):
+    rows = A.zscore_day_anomalies(spark, SF_DIR).collect()
+    for r in rows:
+        assert abs(r.zscore) > 2.0
+        # an anomalous day's volume is far from its type's mean
+        assert r.n != int(round(r.mean_daily))

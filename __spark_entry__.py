@@ -21,6 +21,7 @@ sys.path.insert(0, "/root/repo")
 from clickhouse_sinker_nali_spark.operators import advanced as A
 from clickhouse_sinker_nali_spark.operators import curation as C
 from clickhouse_sinker_nali_spark.operators import dedup as D
+from clickhouse_sinker_nali_spark.operators import graph as G
 from clickhouse_sinker_nali_spark.operators import ingest as I
 from clickhouse_sinker_nali_spark.operators import multimodal as M
 from clickhouse_sinker_nali_spark.operators import relational as R
@@ -135,6 +136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_day_anomalies": A.zscore_day_anomalies,
         "rolling_7day_revenue": W.rolling_7day_revenue,
         "inverted_index_postings": T.inverted_index_postings,
+        "doc_pagerank": G.doc_pagerank,
+        "weighted_sample_pps": A.weighted_sample_pps,
     }
 
 
@@ -227,4 +230,6 @@ def oracle_sql() -> dict[str, str]:
         "zscore_day_anomalies": A.ZSCORE_ANOMALY_SQL,
         "rolling_7day_revenue": W.ROLLING_7DAY_SQL,
         "inverted_index_postings": T.INVERTED_INDEX_SQL,
+        "doc_pagerank": G.DOC_PAGERANK_SQL,
+        "weighted_sample_pps": A.WEIGHTED_SAMPLE_SQL,
     }

@@ -949,3 +949,74 @@ FROM (
 WHERE abs(zscore) > {_ZSCORE_CUT}
 ORDER BY event_type, day
 """
+
+
+# --------------------------------------------------------------------------
+# Weighted (probability-proportional-to-size) Poisson sampling
+# --------------------------------------------------------------------------
+
+_PPS_TARGET = 200  # expected sample size
+_PPS_SPACE = 1 << 60  # portable_hash64 range
+
+
+def weighted_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sample: include doc_id with probability
+    proportional to ``n_chars`` (expected size ≈ _PPS_TARGET) — the
+    token-budget-aware sampling a training-mix pipeline uses (sampling
+    uniformly by DOCUMENT over-represents short docs in token space).
+
+    Inclusion test is ALL-INTEGER: ``hash * ΣW < target * w * 2^60`` in
+    decimal(38,0) — no float rounding anywhere, so the same doc set falls
+    out in any engine and under any partitioning (the float formulation
+    ``u < p`` is boundary-fragile).  Shape: one 1-row weight-sum aggregate
+    broadcast into a scan-side filter — map-only over the corpus, no
+    shuffle but the presentation sort.  At 100 TB the ΣW aggregate is one
+    pass you'd amortize from table stats.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg(F.sum("n_chars").cast("decimal(38,0)").alias("w_total"))
+    h = portable_hash64(F.concat(F.lit("pps:"), F.col("doc_id").cast("string")))
+    return (
+        docs.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            h.cast("decimal(38,0)").alias("hv"),
+            "w_total",
+        )
+        .filter(
+            F.col("hv") * F.col("w_total")
+            < F.lit(_PPS_TARGET)
+            * F.col("n_chars").cast("decimal(38,0)")
+            * F.lit(_PPS_SPACE).cast("decimal(38,0)")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            # diagnostic: the (uncapped) inclusion probability; pure +,*,/
+            # double arithmetic is IEEE-identical across engines
+            F.round(
+                F.lit(float(_PPS_TARGET))
+                * F.col("n_chars").cast("double")
+                / F.col("w_total").cast("double"),
+                6,
+            ).alias("incl_prob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_PPS_HASH = portable_hash64_sql("'pps:' || doc_id::VARCHAR")
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH tot AS (SELECT SUM(n_chars)::DECIMAL(38,0) AS w_total FROM documents)
+SELECT doc_id, lang, n_chars,
+       ROUND({_PPS_TARGET}.0 * n_chars::DOUBLE / w_total::DOUBLE, 6) AS incl_prob
+FROM documents, tot
+WHERE {_PPS_HASH}::DECIMAL(38,0) * w_total
+      < {_PPS_TARGET}::DECIMAL(38,0) * n_chars::DECIMAL(38,0)
+        * {_PPS_SPACE}::DECIMAL(38,0)
+ORDER BY doc_id
+"""

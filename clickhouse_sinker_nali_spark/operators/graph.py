@@ -1,0 +1,129 @@
+"""Graph analytics over document-similarity graphs.
+
+The dedup layer already resolves near-dup PAIRS into components
+(``dedup.connected_components``); this module adds iterative SCORING on the
+same graph — PageRank over the MinHash-LSH pair graph ranks each document's
+centrality inside its duplicate neighborhood (the canonical-pick signal a
+curation pipeline uses when "keep lowest doc_id" is too crude: keep the
+most-connected template instead).
+
+The reference engine has no graph surface at all (SURVEY §2.3: its only
+joins are two broadcast lookups and an anti-join dedup); this is free
+capability on Spark.
+
+Numeric determinism: PageRank uses only +, *, / on doubles — IEEE-exact and
+identical across engines (unlike transcendentals) — so a fixed-iteration
+run is reproducible bit-for-bit modulo group-sum ordering, which round(6)
+absorbs.  The DuckDB oracle chains one CTE per iteration with the same
+formula order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import _MINHASH_PAIR_CTES, dedup_minhash_lsh
+
+PR_ITERATIONS = 3
+PR_DAMPING = 0.85
+
+
+def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS,
+             damping: float = PR_DAMPING) -> DataFrame:
+    """Fixed-iteration PageRank on an undirected edge list (``src``/``dst``,
+    one row per pair), over the nodes that have at least one edge.
+
+    Per sweep: contributions = one equi-join of edges⋈ranks shuffled on
+    ``src`` plus a groupBy on ``dst``; rank update is a broadcast-free left
+    join back onto the (small) degree table.  ``localCheckpoint`` truncates
+    lineage each sweep — without it iteration k replays all k-1 prior joins
+    (the iterative-plan trap; same hygiene as ``connected_components``).
+
+    At 100 TB the dup-pair graph is ~orders of magnitude smaller than the
+    corpus (only docs sharing an LSH bucket appear), so three sweeps are
+    three small shuffles; for a web-scale link graph the identical plan
+    holds with edges pre-partitioned by ``src`` so every sweep reuses one
+    exchange.
+    """
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.repartition("src").localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
+    n1 = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = deg.crossJoin(F.broadcast(n1)).select(
+        "id", "degree", (F.lit(1.0) / F.col("n")).alias("pr"), "n"
+    ).localCheckpoint(eager=True)
+    for _ in range(iterations):
+        contrib = (
+            sym.join(ranks, sym.src == ranks.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("pr") / F.col("degree")).alias("m"))
+        )
+        ranks = (
+            ranks.drop("pr")
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                "degree",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + F.lit(damping) * F.coalesce("m", F.lit(0.0))
+                ).alias("pr"),
+                "n",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("id", "degree", "pr")
+
+
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank of every document inside the MinHash-LSH near-dup graph.
+
+    High-degree/high-rank docs are duplicate-cluster hubs (template pages,
+    boilerplate ancestors) — the keep-or-drop signal complementing
+    ``dedup_clusters``'s component ids.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return (
+        pagerank(edges)
+        .select(
+            F.col("id").alias("doc_id"),
+            "degree",
+            F.round("pr", 6).alias("pagerank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _iter_ctes(iterations: int, damping: float) -> str:
+    """One chained CTE pair (contrib, rank) per PageRank sweep."""
+    out = []
+    for i in range(1, iterations + 1):
+        out.append(
+            f"c{i} AS (SELECT e.dst AS id, SUM(r{i-1}.pr / d.degree) AS m\n"
+            f"    FROM edges e JOIN r{i-1} ON e.src = r{i-1}.id\n"
+            f"    JOIN deg d ON e.src = d.id GROUP BY e.dst),\n"
+            f"r{i} AS (SELECT d.id, {1.0 - damping} / (SELECT n FROM nn)\n"
+            f"    + {damping} * COALESCE(c{i}.m, 0.0) AS pr\n"
+            f"    FROM deg d LEFT JOIN c{i} ON d.id = c{i}.id)"
+        )
+    return ",\n".join(out)
+
+
+DOC_PAGERANK_SQL = (
+    "WITH " + _MINHASH_PAIR_CTES + ",\n"
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs\n"
+    "          UNION ALL SELECT doc_b, doc_a FROM pairs),\n"
+    "deg AS (SELECT src AS id, COUNT(*) AS degree FROM edges GROUP BY src),\n"
+    "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM deg),\n"
+    "r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM deg),\n"
+    + _iter_ctes(PR_ITERATIONS, PR_DAMPING)
+    + f"""
+SELECT d.id AS doc_id, d.degree, ROUND(r{PR_ITERATIONS}.pr, 6) AS pagerank
+FROM deg d JOIN r{PR_ITERATIONS} ON d.id = r{PR_ITERATIONS}.id
+ORDER BY doc_id
+"""
+)

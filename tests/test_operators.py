@@ -585,3 +585,41 @@ def test_zscore_anomalies_are_extreme_days(spark):
         assert abs(r.zscore) > 2.0
         # an anomalous day's volume is far from its type's mean
         assert r.n != int(round(r.mean_daily))
+
+
+def test_pagerank_star_graph_mass_and_hub(spark):
+    """On a 5-leaf star the center must outrank every leaf, and total mass
+    must stay 1 (no dangling nodes in a symmetrized edge list)."""
+    import clickhouse_sinker_nali_spark.operators.graph as G
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src bigint, dst bigint"
+    )
+    rows = {r.id: r for r in G.pagerank(edges).collect()}
+    assert rows[0].degree == 5
+    assert all(rows[0].pr > rows[i].pr for i in range(1, 6))
+    assert abs(sum(r.pr for r in rows.values()) - 1.0) < 1e-9
+
+
+def test_doc_pagerank_covers_lsh_graph_nodes(spark):
+    import clickhouse_sinker_nali_spark.operators.dedup as DD
+    import clickhouse_sinker_nali_spark.operators.graph as G
+
+    pr = {r.doc_id: r for r in G.doc_pagerank(spark, SF_DIR).collect()}
+    pairs = DD.dedup_minhash_lsh(spark, SF_DIR).collect()
+    nodes = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert set(pr) == nodes
+    assert abs(sum(r.pagerank for r in pr.values()) - 1.0) < 1e-3  # round(6) residue
+
+
+def test_weighted_sample_is_length_biased(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus_avg = docs.agg(F.avg("n_chars")).collect()[0][0]
+    sample = A.weighted_sample_pps(spark, SF_DIR).collect()
+    assert sample
+    n_docs = docs.count()
+    # expected size 200 on a corpus this small; allow wide Poisson slack
+    assert 0.4 * min(A._PPS_TARGET, n_docs) < len(sample) < 2.5 * A._PPS_TARGET
+    sample_avg = sum(r.n_chars for r in sample) / len(sample)
+    assert sample_avg > corpus_avg  # PPS must over-select long docs
+    assert all(0 < r.incl_prob for r in sample)

@@ -138,6 +138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index_postings": T.inverted_index_postings,
         "doc_pagerank": G.doc_pagerank,
         "weighted_sample_pps": A.weighted_sample_pps,
+        "entity_extract": I.entity_extract,
+        "unigram_logprob": T.unigram_logprob,
+        "profile_columns": A.profile_columns,
     }
 
 
@@ -232,4 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index_postings": T.INVERTED_INDEX_SQL,
         "doc_pagerank": G.DOC_PAGERANK_SQL,
         "weighted_sample_pps": A.WEIGHTED_SAMPLE_SQL,
+        "entity_extract": I.ENTITY_EXTRACT_SQL,
+        "unigram_logprob": T.UNIGRAM_LOGPROB_SQL,
+        "profile_columns": A.PROFILE_COLUMNS_SQL,
     }

@@ -1020,3 +1020,68 @@ WHERE {_PPS_HASH}::DECIMAL(38,0) * w_total
         * {_PPS_SPACE}::DECIMAL(38,0)
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Column profiling (ANALYZE-style data-quality summary of a table)
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of ``orders``: row/null/distinct counts and
+    min/max rendered as strings — the ANALYZE/data-quality sweep a pipeline
+    runs on every new drop before trusting it.
+
+    ONE pass over the table computes every statistic (a single wide
+    aggregate; the multi-DISTINCT is planned via expand), then a ``stack``
+    unpivots the 1-row result into one row per column — so profiling cost
+    is a single scan regardless of column count, where the naive
+    per-column loop would scan the table N_cols times.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"max_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, nd_{c}, min_{c}, max_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+        "as (col_name, n_null, n_distinct, min_value, max_value)",
+    ).select(
+        "col_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value"
+    ).orderBy("col_name")
+
+
+PROFILE_COLUMNS_SQL = (
+    "WITH s AS (SELECT COUNT(*) AS n_rows, "
+    + ", ".join(
+        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_{c}, "
+        f"COUNT(DISTINCT {c}) AS nd_{c}, "
+        f"MIN({c})::VARCHAR AS min_{c}, MAX({c})::VARCHAR AS max_{c}"
+        for c in _PROFILE_COLS
+    )
+    + " FROM orders)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, n_rows, null_{c} AS n_null, nd_{c} AS n_distinct,"
+        f" min_{c} AS min_value, max_{c} AS max_value FROM s"
+        for c in _PROFILE_COLS
+    )
+    + "\nORDER BY col_name"
+)

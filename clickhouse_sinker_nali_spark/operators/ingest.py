@@ -379,3 +379,124 @@ FROM events
 GROUP BY series_id, event_type, user_id
 ORDER BY series_id
 """
+
+
+# --------------------------------------------------------------------------
+# F4: find-all IP/domain entity extraction with geo annotation
+# --------------------------------------------------------------------------
+
+_ENT_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_ENT_DOMAIN = r"\bh\d+\.example\.com\b"
+_ENT_SPAN = int(GEO_BLOCKS * GEO_BLOCK * 1.0625)  # ~6% spill past the ranges
+
+
+def entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text entity extraction (reference ``ipHandle/entity/parse.go:
+    12-67``): regex find-ALL IPv4s and domains in a log line, annotate every
+    IP hit with geo loc/isp via the broadcast interval join, count hits per
+    (entity_type, loc, isp).
+
+    The reference walks each input string with compiled IPv4/IPv6/domain
+    regexes and geo-annotates every match (``ipHandle/re/re.go:6-9``); here
+    the line is synthesized from events (two IPs + one hostname per line,
+    deterministic), the find-all is ``regexp_extract_all`` + ``explode``
+    (codegen'd, no UDF), and the dotted-quad → int round-trip is exact
+    integer octet arithmetic in both engines.  Scale shape: scan-side
+    projection + explode (×3 rows), broadcast interval join, one small
+    aggregation — the fact side never shuffles on data size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ip_a = F.lit(GEO_BASE) + (F.col("user_id") * 97777) % _ENT_SPAN
+    ip_b = F.lit(GEO_BASE) + (F.col("event_id") * 31337) % _ENT_SPAN
+
+    def dotted(ip_int):
+        return F.concat_ws(
+            ".",
+            (ip_int.cast("bigint") / F.lit(16777216)).cast("bigint") % 256,
+            (ip_int.cast("bigint") / F.lit(65536)).cast("bigint") % 256,
+            (ip_int.cast("bigint") / F.lit(256)).cast("bigint") % 256,
+            ip_int.cast("bigint") % 256,
+        )
+
+    line = F.concat(
+        F.lit("conn src="),
+        dotted(ip_a),
+        F.lit(" dst="),
+        dotted(ip_b),
+        F.lit(" host=h"),
+        (F.col("event_id") % 1000).cast("string"),
+        F.lit(".example.com proto=tcp"),
+    )
+    lines = ev.select("event_id", line.alias("line"))
+    ips = lines.select(
+        F.lit("ip").alias("entity_type"),
+        F.explode(F.regexp_extract_all("line", F.lit(_ENT_IPV4), 0)).alias("entity"),
+    )
+    o = F.split(F.col("entity"), r"\.")
+    ip_int = (
+        o.getItem(0).cast("bigint") * 16777216
+        + o.getItem(1).cast("bigint") * 65536
+        + o.getItem(2).cast("bigint") * 256
+        + o.getItem(3).cast("bigint")
+    )
+    ips_geo = enrich_ips(
+        ips.select("entity_type", ip_int.alias("ip_int")),
+        build_geo_ranges(spark),
+        "ip_int",
+    )
+    doms = lines.select(
+        F.lit("domain").alias("entity_type"),
+        F.explode(F.regexp_extract_all("line", F.lit(_ENT_DOMAIN), 0)).alias("entity"),
+    ).select("entity_type", F.lit("-").alias("loc"), F.lit("-").alias("isp"))
+    return (
+        ips_geo.select("entity_type", "loc", "isp")
+        .unionByName(doms)
+        .groupBy("entity_type", "loc", "isp")
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+        .orderBy("entity_type", "loc", "isp")
+    )
+
+
+ENTITY_EXTRACT_SQL = f"""
+WITH lines AS (
+    SELECT event_id,
+           'conn src=' ||
+           (({GEO_BASE} + (user_id * 97777) % {_ENT_SPAN}) // 16777216) % 256 || '.' ||
+           (({GEO_BASE} + (user_id * 97777) % {_ENT_SPAN}) // 65536) % 256 || '.' ||
+           (({GEO_BASE} + (user_id * 97777) % {_ENT_SPAN}) // 256) % 256 || '.' ||
+           ({GEO_BASE} + (user_id * 97777) % {_ENT_SPAN}) % 256 ||
+           ' dst=' ||
+           (({GEO_BASE} + (event_id * 31337) % {_ENT_SPAN}) // 16777216) % 256 || '.' ||
+           (({GEO_BASE} + (event_id * 31337) % {_ENT_SPAN}) // 65536) % 256 || '.' ||
+           (({GEO_BASE} + (event_id * 31337) % {_ENT_SPAN}) // 256) % 256 || '.' ||
+           ({GEO_BASE} + (event_id * 31337) % {_ENT_SPAN}) % 256 ||
+           ' host=h' || event_id % 1000 || '.example.com proto=tcp' AS line
+    FROM events
+), ips AS (
+    SELECT unnest(regexp_extract_all(line, '{_ENT_IPV4}')) AS entity FROM lines
+), ip_geo AS (
+    SELECT CASE WHEN off >= 0 AND off < {GEO_BLOCKS * GEO_BLOCK}
+                THEN ({_LOCS_SQL})[(off // {GEO_BLOCK}) % {len(GEO_LOCS)} + 1]
+                ELSE '{GEO_UNKNOWN}' END AS loc,
+           CASE WHEN off >= 0 AND off < {GEO_BLOCKS * GEO_BLOCK}
+                THEN ({_ISPS_SQL})[(off // {GEO_BLOCK}) % {len(GEO_ISPS)} + 1]
+                ELSE '{GEO_UNKNOWN}' END AS isp
+    FROM (
+        SELECT string_split(entity, '.')[1]::BIGINT * 16777216
+             + string_split(entity, '.')[2]::BIGINT * 65536
+             + string_split(entity, '.')[3]::BIGINT * 256
+             + string_split(entity, '.')[4]::BIGINT - {GEO_BASE} AS off
+        FROM ips
+    )
+), doms AS (
+    SELECT unnest(regexp_extract_all(line, '{_ENT_DOMAIN}')) AS entity FROM lines
+), tagged AS (
+    SELECT 'ip' AS entity_type, loc, isp FROM ip_geo
+    UNION ALL
+    SELECT 'domain' AS entity_type, '-' AS loc, '-' AS isp FROM doms
+)
+SELECT entity_type, loc, isp, COUNT(*) AS n_entities
+FROM tagged
+GROUP BY entity_type, loc, isp
+ORDER BY entity_type, loc, isp
+"""

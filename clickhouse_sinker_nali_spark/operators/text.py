@@ -659,3 +659,55 @@ FROM (
 WHERE rank <= {_INVIDX_TOP_TERMS}
 ORDER BY rank
 """
+
+
+# --------------------------------------------------------------------------
+# Unigram language-model document scoring (log-likelihood quality signal)
+# --------------------------------------------------------------------------
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token log-probability under the corpus unigram
+    model — the classic cheap LM quality filter (wiki-like docs score high,
+    gibberish scores low) run before expensive model-based scoring.
+
+    Self-supervised: p(w) = corpus_count(w)/total_tokens from one
+    map-combined word count, then words⋈probs equi-join keyed on word and
+    a per-doc average.  Hot stopword keys are fine: the probs side is ONE
+    row per word, so the join is a broadcast at any realistic vocab size
+    (vocab grows ~log corpus).  ln() is evaluated identically enough across
+    engines that round(6) on the per-doc mean absorbs ulp differences.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
+    )
+    total = words.count()
+    probs = words.groupBy("word").agg(
+        (F.count(F.lit(1)).cast("double") / F.lit(float(total))).alias("p")
+    )
+    return (
+        words.join(F.broadcast(probs), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log("p")), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH words AS (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+    FROM documents
+), tot AS (SELECT COUNT(*)::DOUBLE AS n FROM words),
+probs AS (
+    SELECT word, COUNT(*)::DOUBLE / (SELECT n FROM tot) AS p
+    FROM words GROUP BY word
+)
+SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(ln(p)), 6) AS avg_logprob
+FROM words JOIN probs USING (word)
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -623,3 +623,41 @@ def test_weighted_sample_is_length_biased(spark):
     sample_avg = sum(r.n_chars for r in sample) / len(sample)
     assert sample_avg > corpus_avg  # PPS must over-select long docs
     assert all(0 < r.incl_prob for r in sample)
+
+
+def test_entity_extract_counts_and_types(spark):
+    rows = I.entity_extract(spark, SF_DIR).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.entity_type, 0)
+        by_type[r.entity_type] += r.n_entities
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    # every line carries exactly 2 IPs and 1 domain
+    assert by_type["ip"] == 2 * n_events
+    assert by_type["domain"] == n_events
+    # spill IPs fall outside every range -> some 未知 annotation exists
+    assert any(r.loc == "未知" for r in rows if r.entity_type == "ip")
+
+
+def test_unigram_logprob_orders_rare_below_common(spark):
+    """A doc of rare words must score lower than a doc of stopwords."""
+    rows = {r.doc_id: r for r in T.unigram_logprob(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == docs
+    scores = [r.avg_logprob for r in rows.values()]
+    assert all(s < 0 for s in scores)
+    assert max(scores) - min(scores) > 0.1  # model actually discriminates
+
+
+def test_profile_columns_matches_direct_aggregates(spark):
+    prof = {r.col_name: r for r in A.profile_columns(spark, SF_DIR).collect()}
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n = orders.count()
+    assert set(prof) == set(A._PROFILE_COLS)
+    for c, r in prof.items():
+        assert r.n_rows == n
+        # n_distinct counts non-null values only
+        expected_nd = orders.filter(F.col(c).isNotNull()).select(c).distinct().count()
+        assert r.n_distinct == expected_nd
+    assert prof["o_orderkey"].n_distinct == n  # primary key
+    assert prof["o_orderstatus"].n_distinct <= 3

@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_extract": I.entity_extract,
         "unigram_logprob": T.unigram_logprob,
         "profile_columns": A.profile_columns,
+        "scd2_customer_status": W.scd2_customer_status,
     }
 
 
@@ -238,4 +239,5 @@ def oracle_sql() -> dict[str, str]:
         "entity_extract": I.ENTITY_EXTRACT_SQL,
         "unigram_logprob": T.UNIGRAM_LOGPROB_SQL,
         "profile_columns": A.PROFILE_COLUMNS_SQL,
+        "scd2_customer_status": W.SCD2_SQL,
     }

@@ -376,3 +376,64 @@ WINDOW w AS (ORDER BY datediff('day', DATE '1970-01-01', day)
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 ORDER BY day
 """
+
+
+# --------------------------------------------------------------------------
+# SCD2 interval build (slowly-changing-dimension history from a change log)
+# --------------------------------------------------------------------------
+
+
+def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension build: collapse each customer's order-status change
+    log into validity intervals (status, valid_from, valid_to, NULL = open)
+    — the warehouse pattern for point-in-time joins (\"what was the status
+    when event X happened\" = as-of join against this table).
+
+    Three window passes over one shuffle keyed on custkey: order the log,
+    drop consecutive duplicates (LAG), close each interval with the next
+    change (LEAD).  Ties on the same date break by o_orderkey so the
+    interval set is deterministic.  At 100 TB the change log shuffles once
+    on the dimension key and every window reuses that partitioning — a
+    single exchange in the plan.
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    log = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderkey",
+        F.lag("o_orderstatus").over(w).alias("prev_status"),
+    ).filter(
+        F.col("prev_status").isNull()
+        | (F.col("o_orderstatus") != F.col("prev_status"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        log.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w2).alias("valid_to"),
+        )
+        .orderBy("custkey", "valid_from")
+    )
+
+
+SCD2_SQL = """
+WITH log AS (
+    SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+           LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_status
+    FROM orders
+)
+SELECT o_custkey AS custkey, o_orderstatus AS status,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS valid_to
+FROM log
+WHERE prev_status IS NULL OR o_orderstatus <> prev_status
+ORDER BY custkey, valid_from
+"""

@@ -661,3 +661,22 @@ def test_profile_columns_matches_direct_aggregates(spark):
         assert r.n_distinct == expected_nd
     assert prof["o_orderkey"].n_distinct == n  # primary key
     assert prof["o_orderstatus"].n_distinct <= 3
+
+
+def test_scd2_intervals_partition_time_per_customer(spark):
+    """Intervals per customer must be contiguous (valid_to == next
+    valid_from), non-overlapping, with exactly one open interval, and no
+    two consecutive intervals sharing a status."""
+    import clickhouse_sinker_nali_spark.operators.warehouse as W
+
+    rows = W.scd2_customer_status(spark, SF_DIR).collect()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r.custkey, []).append(r)
+    assert by_cust
+    for cust, ivs in by_cust.items():
+        assert [r.valid_to for r in ivs[:-1]] == [r.valid_from for r in ivs[1:]]
+        assert ivs[-1].valid_to is None
+        assert sum(1 for r in ivs if r.valid_to is None) == 1
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.status != b.status

@@ -31,6 +31,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from clickhouse_sinker_nali_spark.operators import curation as C
 from clickhouse_sinker_nali_spark.operators import dedup as D
+from clickhouse_sinker_nali_spark.operators import graph as G
+from clickhouse_sinker_nali_spark.operators import ingest as I
 from clickhouse_sinker_nali_spark.operators import relational as R
 from clickhouse_sinker_nali_spark.operators import scale as SC
 from clickhouse_sinker_nali_spark.operators import similarity as S
@@ -60,6 +62,11 @@ HEADLINE = {
     "tfidf_top_terms": T.tfidf_top_terms,
     "sequence_pack": C.sequence_pack,
     "curation_pipeline": C.curation_pipeline,
+    "entity_extract": I.entity_extract,
+    "inverted_index_postings": T.inverted_index_postings,
+    "unigram_logprob": T.unigram_logprob,
+    "doc_pagerank": G.doc_pagerank,
+    "scd2_customer_status": W.scd2_customer_status,
 }
 
 

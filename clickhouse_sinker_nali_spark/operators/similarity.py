@@ -108,7 +108,9 @@ def _bucket_expr(emb_col: str):
     """
     bucket = F.lit(0)
     for b, plane in enumerate(PLANES):
-        parr = F.array(*[F.lit(x) for x in plane])
+        # one ArrayType literal, not 64 element literals: identical values,
+        # much smaller expression tree for codegen
+        parr = F.lit(plane)
         d = F.aggregate(
             F.zip_with(F.col(emb_col), parr, lambda x, p: x.cast("double") * p),
             F.lit(0.0),
@@ -219,15 +221,26 @@ def _centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
 
 
 def _cell_scores(cents: list[tuple[int, list[float]]], col: str):
-    """array<struct<cos,cid>> of similarity to every centroid literal."""
-    return F.array(
+    """array<struct<cos,cid>> of similarity to every centroid literal.
+
+    The centroid table enters the plan as ONE array<struct> literal and the
+    cosine is written ONCE inside a ``transform`` lambda — K copies of an
+    unrolled 64-dim fold would bloat the generated code K× (compile time
+    grows with expression-tree size, not data size; measured ~1s of the
+    small-SF wall on the unrolled form).
+    """
+    cent_arr = F.array(
         *[
-            F.struct(
-                cosine(col, F.array(*[F.lit(v) for v in vec])).alias("cos"),
-                F.lit(cid).alias("cid"),
-            )
+            F.struct(F.lit(cid).alias("cid"), F.lit(vec).alias("vec"))
             for cid, vec in cents
         ]
+    )
+    return F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            cosine(F.col(col) if isinstance(col, str) else col, c.getField("vec")).alias("cos"),
+            c.getField("cid").alias("cid"),
+        ),
     )
 
 

@@ -197,3 +197,56 @@ def streaming_gapfill_locf(daily_stream: DataFrame) -> DataFrame:
             fill, _GAPFILL_OUT, _GAPFILL_STATE, "append", GroupStateTimeout.NoTimeout
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming top-k: continuously-maintained leaderboard
+# --------------------------------------------------------------------------
+
+
+def streaming_running_topk(
+    events_stream: DataFrame, key_col: str, k: int, out_path: str
+):
+    """Continuous top-k: running counts per key (update-mode state) ranked
+    and re-materialized as a tiny leaderboard table every micro-batch.
+
+    Rank-over-aggregate is not expressible inside one streaming query
+    (windowed rank over an unbounded agg has no incremental form), so the
+    standard production shape is used: the stateful COUNT is incremental,
+    and ``foreachBatch`` re-ranks the (small) updated counts and atomically
+    overwrites the serving table.  State scales with |keys|, the per-epoch
+    rank with k — both independent of stream volume.  The batch twin is a
+    plain groupBy-count + row_number top-k.
+    """
+    from pyspark.sql.window import Window
+
+    counts = events_stream.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        w = Window.orderBy(F.col("n").desc(), F.col(key_col))
+        # batch_df in update mode carries only CHANGED keys; merge with the
+        # previous leaderboard so unchanged leaders are not forgotten
+        spark = batch_df.sparkSession
+        try:
+            prev = spark.read.parquet(out_path)
+        except Exception:
+            prev = None
+        if prev is not None:
+            prev = prev.drop("rank")
+        merged = (
+            batch_df if prev is None
+            else prev.join(
+                batch_df.select(F.col(key_col).alias("_k")),
+                F.col(key_col) == F.col("_k"),
+                "left_anti",
+            ).unionByName(batch_df)
+        )
+        top = (
+            merged.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("rank", key_col, "n")
+        )
+        top.write.mode("overwrite").parquet(out_path + "_tmp")
+        spark.read.parquet(out_path + "_tmp").write.mode("overwrite").parquet(out_path)
+
+    return counts.writeStream.outputMode("update").foreachBatch(sink)

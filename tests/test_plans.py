@@ -258,3 +258,36 @@ def test_dpp_join_inserts_dynamic_pruning_subquery(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString().lower()
     assert "dynamicpruning" in plan
     assert df.count() == 3
+
+
+def test_entity_extract_is_broadcast_interval_join(spark):
+    """The geo annotation must stay a broadcast nested-loop range join —
+    a shuffled join on the interval condition would shuffle the full
+    exploded entity stream at 100 TB."""
+    import clickhouse_sinker_nali_spark.operators.ingest as I
+
+    df = I.entity_extract(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_profile_columns_is_single_scan(spark):
+    """The whole multi-statistic profile must come from ONE pass over the
+    table (a per-column loop would scan N_cols times)."""
+    import clickhouse_sinker_nali_spark.operators.advanced as A
+
+    df = A.profile_columns(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_weighted_sample_has_no_data_shuffle(spark):
+    """PPS inclusion is a scan-side filter against a broadcast 1-row total:
+    exchanges in the plan must only serve the 1-row aggregate and the
+    presentation sort, never repartition the corpus by a data key."""
+    import clickhouse_sinker_nali_spark.operators.advanced as A
+
+    df = A.weighted_sample_pps(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan  # only SinglePartition/range

@@ -187,3 +187,46 @@ def test_streaming_gapfill_ignores_late_duplicate_days(spark, tmp_path):
     by_day = {r.day.strftime("%Y-%m-%d"): r for r in rows}
     assert by_day["2024-05-01"].n_events == 1  # first delivery wins
     assert by_day["2024-05-04"].locf_avg_value == 4.0
+
+
+def test_streaming_running_topk_matches_batch(spark, tmp_path):
+    """Leaderboard after two micro-batches must equal the batch top-k over
+    all rows, including keys whose count did NOT change in the last batch."""
+    from clickhouse_sinker_nali_spark.streaming.analytics import (
+        streaming_running_topk,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1 gives w0 a commanding lead; batch 2 touches other keys only,
+    # so the merge path (not just last-batch ranking) is what keeps w0 first
+    with open(os.path.join(src, "a.txt"), "w") as f:
+        for i in range(60):
+            f.write(json.dumps({"ts": "2024-05-01 10:00:00", "user_id": i, "event_type": f"w{i % 6 if i < 30 else 0}"}) + "\n")
+    with open(os.path.join(src, "b.txt"), "w") as f:
+        for i in range(30):
+            f.write(json.dumps({"ts": "2024-05-01 11:00:00", "user_id": i, "event_type": f"w{1 + i % 5}"}) + "\n")
+
+    schema = "ts timestamp, user_id bigint, event_type string"
+    out = str(tmp_path / "leaderboard")
+    q = (
+        streaming_running_topk(_stream_json(spark, src, schema), "event_type", 3, out)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_topk"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = [(r.rank, r.event_type, r.n) for r in spark.read.parquet(out).orderBy("rank").collect()]
+    batch = (
+        spark.read.text(src)
+        .select(F.from_json("value", schema).alias("m"))
+        .select("m.*")
+        .groupBy("event_type")
+        .count()
+        .orderBy(F.col("count").desc(), "event_type")
+        .limit(3)
+        .collect()
+    )
+    expected = [(i + 1, r.event_type, r["count"]) for i, r in enumerate(batch)]
+    assert got == expected

@@ -284,3 +284,35 @@ def dpp_join_daily(spark: SparkSession, path: str, dim: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# Runtime bloom-filter join pruning (shuffle-join row pre-filtering)
+# --------------------------------------------------------------------------
+
+
+def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join where a runtime bloom filter built from the SELECTIVE
+    side pre-filters the large side's rows BEFORE the shuffle — at 100 TB
+    this is the difference between shuffling the full fact table and
+    shuffling only the ~matching fraction when a dim filter is selective
+    but the dim is too big (or too late-planned) to broadcast.
+
+    Catalyst injects the filter itself (``runtime.bloomFilter.enabled``,
+    on by default in Spark 4) once the application side exceeds
+    ``applicationSideScanSizeThreshold`` (default 10 GB — i.e. exactly the
+    100 TB regime; the test lowers it to 0 to demonstrate on local data).
+    The plan then shows ``might_contain(...)`` under the fact scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(12,4)")).alias("total_qty"),
+        )
+    )

@@ -291,3 +291,35 @@ def test_weighted_sample_has_no_data_shuffle(spark):
     df = A.weighted_sample_pps(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning" not in plan  # only SinglePartition/range
+
+
+def test_bloom_filter_prunes_shuffle_join_rows(spark):
+    """With broadcast disabled (the too-big-dim regime) Catalyst must inject
+    a runtime bloom filter from the selective orders side into the lineitem
+    scan — `might_contain` below the fact-side exchange.  The application-
+    side size threshold is lowered to 0 because local test data is tiny; at
+    the 100 TB design point the default 10 GB threshold triggers naturally.
+    """
+    import clickhouse_sinker_nali_spark.operators.scale as SC
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = SC.bloom_pruned_join(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        # and the result still matches the un-filtered join
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0].n_items > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": T.unigram_logprob,
         "profile_columns": A.profile_columns,
         "scd2_customer_status": W.scd2_customer_status,
+        "full_outer_reconcile": R.full_outer_reconcile,
     }
 
 
@@ -240,4 +241,5 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": T.UNIGRAM_LOGPROB_SQL,
         "profile_columns": A.PROFILE_COLUMNS_SQL,
         "scd2_customer_status": W.SCD2_SQL,
+        "full_outer_reconcile": R.FULL_OUTER_SQL,
     }

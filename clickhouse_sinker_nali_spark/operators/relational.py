@@ -742,3 +742,64 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_on_views(
         spark, sf_dir, ["customer", "orders", "lineitem"], Q18_HAVING_SQL
     )
+
+
+# --------------------------------------------------------------------------
+# FULL OUTER reconciliation (presence audit across two fact sources)
+# --------------------------------------------------------------------------
+
+
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile the event stream against the order book per user: FULL
+    OUTER join of per-user aggregates, classifying each key as
+    events-only / orders-only / both — the audit query every ingest
+    migration runs ("which entities exist on one side only?").
+
+    Both inputs pre-aggregate to one row per key BEFORE the join, so the
+    full-outer shuffle carries |users| + |customers| rows, not raw volume —
+    the only scalable shape for reconciliation at 100 TB.  Output is the
+    per-class summary (counts + coalesced activity), small and stable.
+    """
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    ev_agg = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    ord_agg = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    joined = ev_agg.join(ord_agg, "key", "full_outer")
+    presence = (
+        F.when(F.col("n_events").isNotNull() & F.col("n_orders").isNotNull(), "both")
+        .when(F.col("n_events").isNotNull(), "events_only")
+        .otherwise("orders_only")
+    )
+    return (
+        joined.select(
+            presence.alias("presence"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+        .groupBy("presence")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n_events").alias("total_events"),
+            F.sum("n_orders").alias("total_orders"),
+        )
+        .orderBy("presence")
+    )
+
+
+FULL_OUTER_SQL = """
+WITH ev AS (SELECT user_id AS key, COUNT(*) AS n_events FROM events GROUP BY 1),
+     ords AS (SELECT o_custkey AS key, COUNT(*) AS n_orders FROM orders GROUP BY 1)
+SELECT CASE WHEN ev.n_events IS NOT NULL AND ords.n_orders IS NOT NULL THEN 'both'
+            WHEN ev.n_events IS NOT NULL THEN 'events_only'
+            ELSE 'orders_only' END AS presence,
+       COUNT(*) AS n_keys,
+       SUM(COALESCE(ev.n_events, 0)) AS total_events,
+       SUM(COALESCE(ords.n_orders, 0)) AS total_orders
+FROM ev FULL OUTER JOIN ords ON ev.key = ords.key
+GROUP BY 1
+ORDER BY presence
+"""

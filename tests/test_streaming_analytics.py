@@ -230,3 +230,90 @@ def test_streaming_running_topk_matches_batch(spark, tmp_path):
     )
     expected = [(i + 1, r.event_type, r["count"]) for i, r in enumerate(batch)]
     assert got == expected
+
+
+def test_streaming_gapfill_keeps_series_independent(spark, tmp_path):
+    """Two interleaved series must each get their own spine and LOCF state
+    (state is keyed per series, not global)."""
+    from clickhouse_sinker_nali_spark.streaming.analytics import (
+        streaming_gapfill_locf,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.txt"), "w") as f:
+        f.write(json.dumps({"series": "s1", "day": "2024-05-01 00:00:00", "n_events": 1, "avg_value": 10.0}) + "\n")
+        f.write(json.dumps({"series": "s2", "day": "2024-05-02 00:00:00", "n_events": 1, "avg_value": 200.0}) + "\n")
+    with open(os.path.join(src, "b.txt"), "w") as f:
+        f.write(json.dumps({"series": "s1", "day": "2024-05-04 00:00:00", "n_events": 1, "avg_value": 40.0}) + "\n")
+        f.write(json.dumps({"series": "s2", "day": "2024-05-04 00:00:00", "n_events": 1, "avg_value": 400.0}) + "\n")
+
+    schema = "series string, day timestamp, n_events bigint, avg_value double"
+    _run(
+        streaming_gapfill_locf(_stream_json(spark, src, schema)),
+        tmp_path,
+        "gapfill_multi",
+        "append",
+    )
+    got = {
+        (r.series, r.day.strftime("%Y-%m-%d")): (r.locf_avg_value, r.filled)
+        for r in spark.table("gapfill_multi").collect()
+    }
+    assert got == {
+        ("s1", "2024-05-01"): (10.0, False),
+        ("s1", "2024-05-02"): (10.0, True),
+        ("s1", "2024-05-03"): (10.0, True),
+        ("s1", "2024-05-04"): (40.0, False),
+        ("s2", "2024-05-02"): (200.0, False),
+        ("s2", "2024-05-03"): (200.0, True),
+        ("s2", "2024-05-04"): (400.0, False),
+    }
+
+
+def test_native_session_window_streaming_agg(spark, tmp_path):
+    """Built-in session_window: gap-bounded sessions per user in streaming
+    append mode must match the same aggregation run in batch."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = []
+    for u in (1, 2):
+        # two bursts separated by > 10 min gap -> 2 sessions per user
+        for m in (0, 2, 4):
+            rows.append({"ts": f"2024-05-01 10:0{m}:00", "user_id": u, "event_type": "view"})
+        for m in (30, 31):
+            rows.append({"ts": f"2024-05-01 10:{m}:00", "user_id": u, "event_type": "view"})
+    with open(os.path.join(src, "a.txt"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    # sentinel in a SECOND batch pushes the watermark past every session so
+    # append mode emits them all before the availableNow query terminates
+    with open(os.path.join(src, "b.txt"), "w") as f:
+        f.write(json.dumps({"ts": "2024-05-02 00:00:00", "user_id": 99, "event_type": "view"}) + "\n")
+
+    schema = "ts timestamp, user_id bigint, event_type string"
+    sessions = (
+        _stream_json(spark, src, schema)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _run(sessions, tmp_path, "sess_native", "append")
+    got = {
+        (r.user_id, r.session_window.start.isoformat(), r.n)
+        for r in spark.table("sess_native").collect()
+        if r.user_id != 99
+    }
+    batch = (
+        spark.read.text(src)
+        .select(F.from_json("value", schema).alias("m"))
+        .select("m.*")
+        .filter(F.col("user_id") != 99)
+        .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    expected = {
+        (r.user_id, r.session_window.start.isoformat(), r.n) for r in batch
+    }
+    assert got == expected
+    assert len({k[:2] for k in got}) == 4  # 2 users x 2 sessions

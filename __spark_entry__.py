@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_columns": A.profile_columns,
         "scd2_customer_status": W.scd2_customer_status,
         "full_outer_reconcile": R.full_outer_reconcile,
+        "chunk_documents": C.chunk_documents,
     }
 
 
@@ -242,4 +243,5 @@ def oracle_sql() -> dict[str, str]:
         "profile_columns": A.PROFILE_COLUMNS_SQL,
         "scd2_customer_status": W.SCD2_SQL,
         "full_outer_reconcile": R.FULL_OUTER_SQL,
+        "chunk_documents": C.CHUNK_SQL,
     }

@@ -190,3 +190,71 @@ FROM (
 )
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Document chunking with stride (context-window packing's upstream step)
+# --------------------------------------------------------------------------
+
+CHUNK_SIZE = 64  # tokens per chunk
+CHUNK_STRIDE = 48  # 16-token overlap between adjacent chunks
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into fixed-size token chunks with overlap —
+    the step that turns variable-length documents into trainable windows
+    (stride < size preserves cross-boundary context; the final short chunk
+    is kept iff it adds unseen tokens).
+
+    Chunk count and slicing are pure per-row array algebra (split /
+    sequence / slice) — scan-speed, zero shuffle, no UDF; the explode
+    multiplies rows ~len/stride×, which is the intended output volume.
+    Chunks are re-joined to text here for inspectability; a production
+    variant keeps the token array.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), r"\s+")
+    n = F.size(words)
+    # number of stride starts that expose at least one NEW token
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(CHUNK_SIZE)) / F.lit(CHUNK_STRIDE)).cast("int") + 1,
+        F.lit(1),
+    )
+    chunked = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        words.alias("w"),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    piece = F.slice(F.col("w"), start + 1, CHUNK_SIZE)
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        F.size(piece).alias("chunk_len"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+CHUNK_SQL = f"""
+WITH base AS (
+    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w,
+           len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+    FROM documents
+), idx AS (
+    SELECT doc_id, w, n_tokens,
+           unnest(range(0, greatest(
+               CAST(ceil((n_tokens - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0) AS INT) + 1,
+               1))) AS chunk_idx
+    FROM base
+)
+SELECT doc_id, chunk_idx, n_tokens,
+       len(w[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}])
+           AS chunk_len,
+       array_to_string(
+           w[chunk_idx * {CHUNK_STRIDE} + 1 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}],
+           ' ') AS chunk_text
+FROM idx
+ORDER BY doc_id, chunk_idx
+"""

@@ -680,3 +680,25 @@ def test_scd2_intervals_partition_time_per_customer(spark):
         assert sum(1 for r in ivs if r.valid_to is None) == 1
         for a, b in zip(ivs, ivs[1:]):
             assert a.status != b.status
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    """Chunks must tile every document: full coverage of tokens, correct
+    overlap between neighbors, no chunk longer than CHUNK_SIZE."""
+    import clickhouse_sinker_nali_spark.operators.curation as C
+
+    rows = C.chunk_documents(spark, SF_DIR).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        n_tokens = chunks[0].n_tokens
+        assert [r.chunk_idx for r in chunks] == list(range(len(chunks)))
+        assert all(r.chunk_len <= C.CHUNK_SIZE for r in chunks)
+        # coverage: last chunk must reach the final token
+        last_start = (len(chunks) - 1) * C.CHUNK_STRIDE
+        assert last_start + chunks[-1].chunk_len == n_tokens
+        # every non-final chunk is full-size
+        assert all(r.chunk_len == C.CHUNK_SIZE for r in chunks[:-1])

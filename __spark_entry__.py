@@ -72,6 +72,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": S.ann_lsh_topk,
         "ann_ivf_topk": S.ann_ivf_topk,
         "ann_ivf_persisted": S.ann_ivf_persisted,
+        # rows-only check by design: Lloyd means amplify float summation
+        # order, so a bit-exact SQL oracle would be flaky; pinned instead by
+        # test_kmeans_refine_monotone_and_matches_numpy
+        "ann_ivf_kmeans_topk": S.ann_ivf_kmeans_topk,
         "embedding_quantize": S.embedding_quantize,
         "ann_int8_topk": S.ann_int8_topk,
         # text analysis

@@ -562,3 +562,82 @@ FROM (
 WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
+
+
+# --------------------------------------------------------------------------
+# IVF k-means refinement (Lloyd iterations over the seeded centroids)
+# --------------------------------------------------------------------------
+
+
+def kmeans_refine(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    iterations: int = 3,
+) -> tuple[list[tuple[int, list[float]]], list[float]]:
+    """Refine IVF centroids with distributed Lloyd sweeps; returns the new
+    centroids and the per-iteration inertia trace (sum of 1 - cos to the
+    assigned centroid — monotonically non-increasing, the convergence
+    certificate).
+
+    Each sweep: (1) map-side assignment — the same argmax-cosine expression
+    the IVF query uses, no shuffle; (2) centroid update — posexplode to
+    (cid, dim, value) then a two-level mean, shuffling only K×d aggregate
+    cells; (3) the tiny K×d result returns to the driver to become the next
+    sweep's literal (exactly how every production distributed k-means
+    syncs — the data never leaves the cluster, the centroids always do).
+    No DuckDB oracle on purpose: float mean summation order is
+    engine-specific and Lloyd amplifies knife-edge assignment flips; the
+    pinning tests assert monotone inertia + agreement with a local NumPy
+    reference on the inertia value instead.
+    """
+    trace: list[float] = []
+    for _ in range(iterations):
+        assigned = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+            "vec_id",
+            "embedding",
+            F.array_max(_cell_scores(cents, "embedding")).alias("best"),
+        )
+        stats = assigned.select(
+            F.col("best").getField("cid").alias("cid"),
+            (F.lit(1.0) - F.col("best").getField("cos")).alias("dist"),
+            F.posexplode(F.col("embedding")),
+        )
+        inertia = assigned.agg(
+            F.sum(F.lit(1.0) - F.col("best").getField("cos"))
+        ).collect()[0][0]
+        trace.append(float(inertia))
+        dims = (
+            stats.groupBy("cid", "pos")
+            .agg(F.avg(F.col("col").cast("double")).alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                    ),
+                    lambda s: s.getField("m"),
+                ).alias("centroid")
+            )
+        )
+        new_cents = {
+            int(r.cid): [float(x) for x in r.centroid] for r in dims.collect()
+        }
+        # empty cells keep their previous centroid (standard Lloyd fallback)
+        cents = sorted(
+            (cid, new_cents.get(cid, vec)) for cid, vec in cents
+        )
+    return cents, trace
+
+
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over k-means-refined centroids: identical plan shape to
+    ``ann_ivf_topk``, better-balanced cells (lower inertia ⇒ tighter
+    candidate lists at the same nprobe)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_refine(emb, _centroids(emb))
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.array_max(_cell_scores(cents, "embedding")).getField("cid").alias("cid"),
+    )
+    return _rank_probed(corpus, _probed_queries(emb, cents))

@@ -702,3 +702,55 @@ def test_chunk_documents_cover_and_overlap(spark):
         assert last_start + chunks[-1].chunk_len == n_tokens
         # every non-final chunk is full-size
         assert all(r.chunk_len == C.CHUNK_SIZE for r in chunks[:-1])
+
+
+def test_kmeans_refine_monotone_and_matches_numpy(spark):
+    """Lloyd inertia must be non-increasing, and each iteration's inertia
+    must agree with a local NumPy reference run from the same start."""
+    import numpy as np
+
+    from clickhouse_sinker_nali_spark.session import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents0 = S._centroids(emb)
+    _, trace = S.kmeans_refine(emb, cents0, iterations=3)
+    assert len(trace) == 3
+    assert all(a >= b - 1e-9 for a, b in zip(trace, trace[1:]))
+
+    X = np.array(
+        [r.embedding for r in emb.filter(F.col("vec_id") >= S.N_QUERIES)
+         .orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    C = np.array([v for _, v in cents0], dtype=np.float64)
+    np_trace = []
+    for _ in range(3):
+        sims = (X @ C.T) / (
+            np.linalg.norm(X, axis=1, keepdims=True) * np.linalg.norm(C, axis=1)
+        )
+        best = sims.argmax(axis=1)
+        np_trace.append(float((1.0 - sims[np.arange(len(X)), best]).sum()))
+        for k in range(len(C)):
+            if (best == k).any():
+                C[k] = X[best == k].mean(axis=0)
+    for got, want in zip(trace, np_trace):
+        assert abs(got - want) / max(abs(want), 1e-12) < 1e-6
+
+
+def test_ann_ivf_kmeans_recall_not_worse_than_seeded(spark):
+    """Refined cells must not lose brute-force recall vs the seeded index
+    at equal nprobe (on this corpus they match or improve)."""
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_bruteforce_topk(spark, SF_DIR).collect()
+    }
+    seeded = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_ivf_topk(spark, SF_DIR).collect()
+    }
+    refined = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ann_ivf_kmeans_topk(spark, SF_DIR).collect()
+    }
+    assert len(refined & bf) >= len(seeded & bf) - 2  # allow tiny wobble
+    assert len(refined) == S.N_QUERIES * S.TOP_K

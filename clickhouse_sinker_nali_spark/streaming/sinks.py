@@ -167,3 +167,49 @@ class ParquetSink:
             .partitionBy("__shard")
             .parquet(self.path)
         )
+
+
+def prometheus_fanout_sink(
+    metric_path: str,
+    series_path: str,
+    label_cols: list[str],
+    series_id_col: str = "series_id",
+) -> Callable[[DataFrame, int], None]:
+    """Prometheus-mode two-table fan-out as a ``foreachBatch`` writer
+    (reference ``model/message.go:171-212`` + ``output/clickhouse.go:
+    110-130,196-221``): every micro-batch appends all rows to the METRIC
+    table and left-anti-joins its distinct label sets against the existing
+    SERIES table so each series row is written exactly once across the
+    stream's lifetime.
+
+    The reference seeds an in-memory roaring bitmap from ClickHouse at
+    startup and CheckedAdds every row; here the "bitmap" IS the series
+    table itself (reread per batch — it stays tiny relative to metrics by
+    construction, exactly why Prometheus schemas split this way).  On a
+    1000-executor deployment the anti-join broadcasts the series table;
+    restart safety comes from the checkpoint replaying the batch into the
+    same append + anti-join (the second write of a replayed series loses
+    the anti-join and writes nothing).
+    """
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(metric_path)
+            new_series = (
+                batch_df.select(series_id_col, *label_cols)
+                .dropDuplicates([series_id_col])
+            )
+            try:
+                existing = spark.read.parquet(series_path).select(series_id_col)
+                new_series = new_series.join(
+                    F.broadcast(existing), series_id_col, "left_anti"
+                )
+            except Exception:
+                pass  # first epoch: series table does not exist yet
+            new_series.write.mode("append").parquet(series_path)
+        finally:
+            batch_df.unpersist()
+
+    return write

@@ -348,3 +348,63 @@ def test_schema_evolution_end_to_end(spark, tmp_path):
     assert result.filter(F.col("newkey02").isNotNull()).count() == n_per
     dtypes = dict(result.dtypes)
     assert dtypes["newkey01"] == "bigint" and dtypes["newkey02"] == "double"
+
+
+def test_prometheus_fanout_streaming_two_tables(spark, tmp_path):
+    """Streaming Prometheus split: metrics append every row; the series
+    table receives each distinct label set EXACTLY once even when the same
+    series appears in multiple micro-batches."""
+    import json as _json
+
+    from clickhouse_sinker_nali_spark.functions import portable_hash64
+    from clickhouse_sinker_nali_spark.streaming.sinks import (
+        prometheus_fanout_sink,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # 2 batches × 40 rows over 8 series (5 repeats per series per batch)
+    for fname, base in (("a.txt", 0), ("b.txt", 100)):
+        with open(os.path.join(src, fname), "w") as f:
+            for i in range(40):
+                f.write(
+                    _json.dumps(
+                        {"event_id": base + i, "kind": f"k{i % 8}", "value": i * 1.5}
+                    )
+                    + "\n"
+                )
+    for i, fname in enumerate(sorted(os.listdir(src))):
+        t = 1_700_000_000 + i * 1000
+        os.utime(os.path.join(src, fname), (t, t))
+
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(src)
+    parsed = raw.select(
+        F.from_json("value", "event_id bigint, kind string, value double").alias("m")
+    ).select("m.*")
+    tagged = parsed.select(
+        portable_hash64(F.concat(F.lit("###kind###"), F.col("kind"))).alias("series_id"),
+        "event_id",
+        "kind",
+        "value",
+    )
+    metric_path = str(tmp_path / "metrics")
+    series_path = str(tmp_path / "series")
+    q = (
+        tagged.writeStream.foreachBatch(
+            prometheus_fanout_sink(metric_path, series_path, ["kind"])
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    metrics = spark.read.parquet(metric_path)
+    series = spark.read.parquet(series_path)
+    assert metrics.count() == 80  # every row landed in the metric table
+    assert series.count() == 8  # one row per distinct series across batches
+    assert series.select("series_id").distinct().count() == 8
+    # referential integrity: every metric's series_id exists in series
+    assert (
+        metrics.join(series, "series_id", "left_anti").count() == 0
+    )

@@ -67,6 +67,8 @@ HEADLINE = {
     "unigram_logprob": T.unigram_logprob,
     "doc_pagerank": G.doc_pagerank,
     "scd2_customer_status": W.scd2_customer_status,
+    "chunk_documents": C.chunk_documents,
+    "full_outer_reconcile": R.full_outer_reconcile,
 }
 
 

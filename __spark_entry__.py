@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, "/root/repo")
 
 from clickhouse_sinker_nali_spark.operators import advanced as A
+from clickhouse_sinker_nali_spark.operators import bpe as B
 from clickhouse_sinker_nali_spark.operators import curation as C
 from clickhouse_sinker_nali_spark.operators import dedup as D
 from clickhouse_sinker_nali_spark.operators import graph as G
@@ -115,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": SC.zorder_events,
         # corpus analysis: vocab building, repetition quality, decontamination
         "vocab_topk": T.vocab_topk,
+        "bpe_pair_counts": B.bpe_pair_counts,
+        "bpe_learn_merges": B.bpe_learn_merges,
         "ngram_repetition": T.ngram_repetition,
         "decontaminate": T.decontaminate,
         # flagship composition: full curation chain
@@ -218,6 +221,8 @@ def oracle_sql() -> dict[str, str]:
         "skew_join_salted": SC.SKEW_JOIN_SQL,
         "zorder_events": SC.ZORDER_SQL,
         "vocab_topk": T.VOCAB_TOPK_SQL,
+        "bpe_pair_counts": B.BPE_PAIR_COUNTS_SQL,
+        "bpe_learn_merges": B.BPE_LEARN_MERGES_SQL,
         "ngram_repetition": T.NGRAM_REPETITION_SQL,
         "decontaminate": T.DECONTAMINATE_SQL,
         "curation_pipeline": C.CURATION_SQL,

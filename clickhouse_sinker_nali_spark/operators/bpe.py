@@ -1,0 +1,224 @@
+"""Distributed BPE (byte-pair-encoding) merge learning over the corpus.
+
+Part of the LLM-training-data layer (no counterpart in the reference — it
+has no tokenizer surface; SURVEY.md §2.10 "counted absences").  This is the
+sentencepiece/fastBPE training shape re-expressed Spark-first:
+
+- corpus → word-frequency vocab: ONE shuffle keyed on ``word``.  Every
+  later sweep runs on the vocab (``|vocab| ≪ |corpus|``) — at 100 TB the
+  corpus parquet is read exactly once and the iterative state is a
+  few-million-row DataFrame.
+- each merge sweep: adjacent-symbol-pair count (map-combined ``groupBy``,
+  shuffling only (pair, partial_sum) cells), argmax collected to the
+  driver (ONE row — the algorithm's sync point, exactly like k-means
+  centroid sync in ``similarity.kmeans_refine``), then the merge applied
+  vocab-wide with the built-in ``replace`` (codegen'd, no UDF).
+- greedy left-to-right non-overlapping merging == ``replace()`` scan
+  semantics, identical in Spark SQL and DuckDB.  Symbols are joined with a
+  DOUBLE space and the search pattern carries single-space boundaries, so
+  a match consumes only the inner half of each boundary and consecutive
+  occurrences still match ("s  a  t  a  t" → "s  at  at") — the same
+  result as the canonical BPE regex ``(?<!\\S)a\\ t(?!\\S)`` without
+  lookarounds (which RE2/DuckDB lacks).
+
+All arithmetic is integer (BIGINT pair sums, lexicographic tie-breaks), so
+the chained-CTE DuckDB oracle (v0 → p1/b1/v1 → … — the fixed-sweep pattern
+of the PageRank oracle) reproduces the Spark result exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..session import load_table
+
+# Number of merge sweeps learned by bpe_learn_merges (fixed so the oracle's
+# chained CTEs match the Spark loop 1:1).
+BPE_MERGES = 12
+
+# Top-k cap for the seed pair-count query.
+PAIR_TOP_K = 200
+
+# Adjacent-symbol pairs of a double-space-joined symbol string; empty for
+# single-symbol words.  NOTE: the CASE guard is load-bearing — Spark's
+# sequence(0, -1) yields a DESCENDING [0, -1], not an empty array.
+_PAIRS_EXPR = (
+    "CASE WHEN size(split(sym, '  ')) >= 2 THEN "
+    "transform(sequence(0, size(split(sym, '  ')) - 2), "
+    "i -> split(sym, '  ')[i] || '  ' || split(sym, '  ')[i+1]) "
+    "ELSE CAST(array() AS ARRAY<STRING>) END"
+)
+
+
+def _word_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, wc) frequency table — the single corpus-sized shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed statistics for BPE: top adjacent-CHARACTER-pair frequencies
+    over the corpus, weighted by word occurrence count.
+
+    Pairs are cut with ``substring(word, i, 2)`` over 1..len-1 — per-row
+    array algebra at scan speed; the only wide exchange is the final
+    groupBy on a tiny key space (≤ alphabet²).
+    """
+    vocab = _word_vocab(spark, sf_dir).filter(F.length("word") >= 2)
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("wc").alias("freq"))
+    w = W.orderBy(F.col("freq").desc(), F.col("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PAIR_TOP_K)
+        .select("rank", "pair", "freq")
+        .orderBy("rank")
+    )
+
+
+BPE_PAIR_COUNTS_SQL = f"""
+WITH vocab AS (
+    SELECT word, COUNT(*) AS wc
+    FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+          FROM documents)
+    WHERE word <> '' AND length(word) >= 2
+    GROUP BY word
+),
+pairs AS (
+    SELECT substring(v.word, t.i, 2) AS pair, CAST(SUM(v.wc) AS BIGINT) AS freq
+    FROM vocab v,
+         LATERAL (SELECT unnest(generate_series(1, length(v.word) - 1)) AS i) t
+    GROUP BY 1
+)
+SELECT rank, pair, freq
+FROM (SELECT pair, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, pair) AS rank
+      FROM pairs)
+WHERE rank <= {PAIR_TOP_K}
+ORDER BY rank
+"""
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn BPE_MERGES merge rules: repeatedly take the most frequent
+    adjacent symbol pair (ties broken lexicographically) and fuse it
+    greedily left-to-right across the vocab.
+
+    Per sweep the cluster does one map-combined pair count; only the
+    winning (pair, freq) row crosses to the driver.  The vocab is
+    persisted and the previous generation unpersisted each sweep, so
+    lineage stays one-replace deep instead of growing quadratically.
+    Returns the merge table (the learned artifact, analogous to k-means
+    returning centroids).
+    """
+    vocab = (
+        _word_vocab(spark, sf_dir)
+        .select(
+            F.trim(F.regexp_replace("word", "(.)", "$1  ")).alias("sym"),
+            "wc",
+        )
+        .persist()
+    )
+    vocab.count()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, BPE_MERGES + 1):
+        best = (
+            vocab.select(F.explode(F.expr(_PAIRS_EXPR)).alias("pair"), "wc")
+            .groupBy("pair")
+            .agg(F.sum("wc").alias("freq"))
+            .orderBy(F.col("freq").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, freq = best[0]["pair"], int(best[0]["freq"])
+        merged = pair.replace("  ", "")
+        left, right = pair.split("  ")
+        merges.append((rank, left, right, merged, freq))
+        old = vocab
+        vocab = old.select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                    F.lit(f" {pair} "),
+                    F.lit(f" {merged} "),
+                )
+            ).alias("sym"),
+            "wc",
+        ).persist()
+        vocab.count()
+        old.unpersist()
+    vocab.unpersist()
+    return spark.createDataFrame(
+        merges,
+        schema="rank int, left_sym string, right_sym string, "
+        "merged string, freq bigint",
+    )
+
+
+def _learn_ctes(n: int) -> str:
+    out = []
+    for k in range(1, n + 1):
+        prev = f"v{k - 1}"
+        out.append(
+            f"p{k} AS MATERIALIZED (\n"
+            "  SELECT string_split(v.sym, '  ')[t.i] || '  ' || "
+            "string_split(v.sym, '  ')[t.i + 1] AS pair,\n"
+            "         CAST(SUM(v.wc) AS BIGINT) AS freq\n"
+            f"  FROM {prev} v,\n"
+            "       LATERAL (SELECT unnest(generate_series(1, "
+            "len(string_split(v.sym, '  ')) - 1)) AS i) t\n"
+            "  GROUP BY 1)"
+        )
+        out.append(
+            f"b{k} AS MATERIALIZED (SELECT pair, freq FROM p{k} "
+            "ORDER BY freq DESC, pair LIMIT 1)"
+        )
+        out.append(
+            f"v{k} AS MATERIALIZED (\n"
+            "  SELECT trim(replace(' ' || v.sym || ' ',\n"
+            f"      ' ' || (SELECT pair FROM b{k}) || ' ',\n"
+            f"      ' ' || (SELECT replace(pair, '  ', '') FROM b{k}) || ' '"
+            ")) AS sym,\n"
+            f"         v.wc AS wc\n  FROM {prev} v)"
+        )
+    return ",\n".join(out)
+
+
+BPE_LEARN_MERGES_SQL = (
+    "WITH v0 AS MATERIALIZED (\n"
+    "  SELECT trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym,\n"
+    "         COUNT(*) AS wc\n"
+    "  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word\n"
+    "        FROM documents)\n"
+    "  WHERE word <> '' GROUP BY 1),\n"
+    + _learn_ctes(BPE_MERGES)
+    + ",\nmerges AS (\n  "
+    + "\n  UNION ALL ".join(
+        f"SELECT {k} AS rank, pair, freq FROM b{k}"
+        for k in range(1, BPE_MERGES + 1)
+    )
+    + ")\n"
+    "SELECT CAST(rank AS INTEGER) AS rank,\n"
+    "       string_split(pair, '  ')[1] AS left_sym,\n"
+    "       string_split(pair, '  ')[2] AS right_sym,\n"
+    "       replace(pair, '  ', '') AS merged,\n"
+    "       freq\n"
+    "FROM merges\nORDER BY rank"
+)

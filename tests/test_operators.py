@@ -754,3 +754,75 @@ def test_ann_ivf_kmeans_recall_not_worse_than_seeded(spark):
     }
     assert len(refined & bf) >= len(seeded & bf) - 2  # allow tiny wobble
     assert len(refined) == S.N_QUERIES * S.TOP_K
+
+
+# -- BPE merge learning -----------------------------------------------------
+
+
+def _py_bpe_reference(texts, n_merges):
+    """Driver-local greedy BPE: the textbook sequential algorithm the
+    distributed version must reproduce exactly."""
+    import re
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t):
+            if w:
+                vocab[w] += 1
+    syms = {w: tuple(w) for w in vocab}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = Counter()
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += vocab[w]
+        if not pc:
+            break
+        # max freq; ties by the double-space-joined pair string, matching
+        # the engine's ORDER BY freq DESC, pair
+        (a, b), freq = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + "  " + kv[0][1])
+        )
+        merges.append((rank, a, b, a + b, freq))
+        new_syms = {}
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            new_syms[w] = tuple(out)
+        syms = new_syms
+    return merges
+
+
+def test_bpe_learn_merges_matches_python_reference(spark):
+    import clickhouse_sinker_nali_spark.operators.bpe as B
+
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    want = _py_bpe_reference(texts, B.BPE_MERGES)
+    got = [
+        (r.rank, r.left_sym, r.right_sym, r.merged, r.freq)
+        for r in B.bpe_learn_merges(spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+
+def test_bpe_first_merge_is_top_seed_pair(spark):
+    """Sweep 1 of BPE counts exactly the adjacent-character pairs, so the
+    first learned merge must be bpe_pair_counts' rank-1 pair."""
+    import clickhouse_sinker_nali_spark.operators.bpe as B
+
+    top = B.bpe_pair_counts(spark, SF_DIR).filter(F.col("rank") == 1).collect()
+    first = B.bpe_learn_merges(spark, SF_DIR).filter(F.col("rank") == 1).collect()
+    assert top[0].pair == first[0].left_sym + first[0].right_sym
+    assert top[0].freq == first[0].freq

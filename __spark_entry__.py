@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": T.vocab_topk,
         "bpe_pair_counts": B.bpe_pair_counts,
         "bpe_learn_merges": B.bpe_learn_merges,
+        "bpe_encode": B.bpe_encode,
         "ngram_repetition": T.ngram_repetition,
         "decontaminate": T.decontaminate,
         # flagship composition: full curation chain
@@ -223,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": T.VOCAB_TOPK_SQL,
         "bpe_pair_counts": B.BPE_PAIR_COUNTS_SQL,
         "bpe_learn_merges": B.BPE_LEARN_MERGES_SQL,
+        "bpe_encode": B.BPE_ENCODE_SQL,
         "ngram_repetition": T.NGRAM_REPETITION_SQL,
         "decontaminate": T.DECONTAMINATE_SQL,
         "curation_pipeline": C.CURATION_SQL,

@@ -29,6 +29,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from clickhouse_sinker_nali_spark.operators import bpe as B
 from clickhouse_sinker_nali_spark.operators import curation as C
 from clickhouse_sinker_nali_spark.operators import dedup as D
 from clickhouse_sinker_nali_spark.operators import graph as G
@@ -69,6 +70,7 @@ HEADLINE = {
     "scd2_customer_status": W.scd2_customer_status,
     "chunk_documents": C.chunk_documents,
     "full_outer_reconcile": R.full_outer_reconcile,
+    "bpe_encode": B.bpe_encode,
 }
 
 

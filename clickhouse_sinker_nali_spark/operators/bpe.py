@@ -114,18 +114,11 @@ ORDER BY rank
 """
 
 
-def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn BPE_MERGES merge rules: repeatedly take the most frequent
-    adjacent symbol pair (ties broken lexicographically) and fuse it
-    greedily left-to-right across the vocab.
-
-    Per sweep the cluster does one map-combined pair count; only the
-    winning (pair, freq) row crosses to the driver.  The vocab is
-    persisted and the previous generation unpersisted each sweep, so
-    lineage stays one-replace deep instead of growing quadratically.
-    Returns the merge table (the learned artifact, analogous to k-means
-    returning centroids).
-    """
+def _learn(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Run the merge sweeps; returns (merge list, final persisted vocab
+    as (sym, wc) — callers that keep it must unpersist it)."""
     vocab = (
         _word_vocab(spark, sf_dir)
         .select(
@@ -164,12 +157,70 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).persist()
         vocab.count()
         old.unpersist()
+    return merges, vocab
+
+
+_MERGES_SCHEMA = (
+    "rank int, left_sym string, right_sym string, merged string, freq bigint"
+)
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn BPE_MERGES merge rules: repeatedly take the most frequent
+    adjacent symbol pair (ties broken lexicographically) and fuse it
+    greedily left-to-right across the vocab.
+
+    Per sweep the cluster does one map-combined pair count; only the
+    winning (pair, freq) row crosses to the driver.  The vocab is
+    persisted and the previous generation unpersisted each sweep, so
+    lineage stays one-replace deep instead of growing quadratically.
+    Returns the merge table (the learned artifact, analogous to k-means
+    returning centroids).
+    """
+    merges, vocab = _learn(spark, sf_dir)
     vocab.unpersist()
-    return spark.createDataFrame(
-        merges,
-        schema="rank int, left_sym string, right_sym string, "
-        "merged string, freq bigint",
+    return spark.createDataFrame(merges, schema=_MERGES_SCHEMA)
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned merge table: per-document word
+    and BPE-token counts plus the compression ratio tokens/words.
+
+    Token counts are computed ONCE per distinct word (on the final vocab —
+    symbol concatenation always reconstructs the word, so the mapping
+    word → token_count falls out of the last generation for free) and
+    broadcast-joined back to the exploded corpus.  At 100 TB the join side
+    is the distinct-word table, not the corpus: scan + broadcast hash join
+    + one groupBy on doc_id.
+    """
+    _, vocab = _learn(spark, sf_dir)
+    word_tokens = vocab.select(
+        F.replace(F.col("sym"), F.lit("  "), F.lit("")).alias("word"),
+        F.size(F.split("sym", "  ")).alias("nt"),
     )
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    out = (
+        words.join(F.broadcast(word_tokens), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("nt").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_words"), 6
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("doc_id")
+    )
+    vocab.unpersist()
+    return out
 
 
 def _learn_ctes(n: int) -> str:
@@ -221,4 +272,28 @@ BPE_LEARN_MERGES_SQL = (
     "       replace(pair, '  ', '') AS merged,\n"
     "       freq\n"
     "FROM merges\nORDER BY rank"
+)
+
+
+BPE_ENCODE_SQL = (
+    "WITH v0 AS MATERIALIZED (\n"
+    "  SELECT trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym,\n"
+    "         COUNT(*) AS wc\n"
+    "  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word\n"
+    "        FROM documents)\n"
+    "  WHERE word <> '' GROUP BY 1),\n"
+    + _learn_ctes(BPE_MERGES)
+    + ",\n"
+    f"map AS (SELECT replace(sym, '  ', '') AS word,\n"
+    f"               len(string_split(sym, '  ')) AS nt FROM v{BPE_MERGES}),\n"
+    "words AS (SELECT * FROM\n"
+    "  (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word\n"
+    "   FROM documents)\n"
+    "  WHERE word <> '')\n"
+    "SELECT w.doc_id,\n"
+    "       COUNT(*) AS n_words,\n"
+    "       CAST(SUM(m.nt) AS BIGINT) AS n_tokens,\n"
+    "       ROUND(CAST(SUM(m.nt) AS DOUBLE) / COUNT(*), 6) AS tokens_per_word\n"
+    "FROM words w JOIN map m USING (word)\n"
+    "GROUP BY w.doc_id\nORDER BY w.doc_id"
 )

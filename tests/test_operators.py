@@ -797,7 +797,7 @@ def _py_bpe_reference(texts, n_merges):
                     i += 1
             new_syms[w] = tuple(out)
         syms = new_syms
-    return merges
+    return merges, syms
 
 
 def test_bpe_learn_merges_matches_python_reference(spark):
@@ -809,7 +809,7 @@ def test_bpe_learn_merges_matches_python_reference(spark):
         .select("text")
         .collect()
     ]
-    want = _py_bpe_reference(texts, B.BPE_MERGES)
+    want, _ = _py_bpe_reference(texts, B.BPE_MERGES)
     got = [
         (r.rank, r.left_sym, r.right_sym, r.merged, r.freq)
         for r in B.bpe_learn_merges(spark, SF_DIR).collect()
@@ -826,3 +826,26 @@ def test_bpe_first_merge_is_top_seed_pair(spark):
     first = B.bpe_learn_merges(spark, SF_DIR).filter(F.col("rank") == 1).collect()
     assert top[0].pair == first[0].left_sym + first[0].right_sym
     assert top[0].freq == first[0].freq
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    import re as _re
+
+    import clickhouse_sinker_nali_spark.operators.bpe as B
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    _, syms = _py_bpe_reference([r.text for r in rows], B.BPE_MERGES)
+    want = {}
+    for r in rows:
+        words = [w for w in _re.split(r"\s+", r.text) if w]
+        want[r.doc_id] = (len(words), sum(len(syms[w]) for w in words))
+    got = B.bpe_encode(spark, SF_DIR).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n_words, n_tokens = want[r.doc_id]
+        assert (r.n_words, r.n_tokens) == (n_words, n_tokens)
+        assert n_words <= n_tokens  # every word is >= 1 token

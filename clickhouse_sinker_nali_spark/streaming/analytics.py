@@ -250,3 +250,67 @@ def streaming_running_topk(
         spark.read.parquet(out_path + "_tmp").write.mode("overwrite").parquet(out_path)
 
     return counts.writeStream.outputMode("update").foreachBatch(sink)
+
+
+# --------------------------------------------------------------------------
+# Streaming exact dedup: first-arrival-wins distinct over content hashes
+# --------------------------------------------------------------------------
+
+_DEDUP_OUT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text_hash", StringType()),
+        StructField("n_batch_copies", LongType()),
+    ]
+)
+_DEDUP_STATE = StructType([StructField("keeper", LongType())])
+
+
+def streaming_dedup_exact(docs_stream: DataFrame) -> DataFrame:
+    """Streaming twin of ``operators/dedup.dedup_exact``: emit each
+    distinct document text exactly once, the first time it is seen.
+
+    Input columns: ``doc_id bigint, text string``.  Semantics are the
+    online ones — FIRST ARRIVAL wins across micro-batches (within a batch,
+    the smallest doc_id wins, deterministically); a later duplicate is
+    silently suppressed.  This is the generalization of the reference's
+    Prometheus series dedup (first-occurrence-wins distinct on
+    ``__series_id`` seeded from a roaring bitmap, reference
+    ``output/clickhouse.go:110-130``) with the seen-set held in the state
+    store instead of an in-process bitmap.
+
+    Scale notes: state is keyed by the 256-bit content hash — one long per
+    distinct document, sharded by the groupBy partitioning, so a
+    1000-executor cluster holds the seen-set horizontally in RocksDB.
+    Unbounded corpora need an eviction policy (watermark/TTL dedup
+    horizon); NoTimeout here mirrors the reference, whose bitmap also
+    grows for the life of the table.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = docs_stream.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.sha2(F.col("text"), 256).alias("text_hash"),
+    )
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, best = 0, None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            m = int(pdf["doc_id"].min())
+            best = m if best is None else min(best, m)
+        if best is not None and not state.exists:
+            state.update((best,))
+            yield pd.DataFrame(
+                {
+                    "doc_id": [best],
+                    "text_hash": [key[0]],
+                    "n_batch_copies": [n],
+                }
+            )
+
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        update, _DEDUP_OUT, _DEDUP_STATE, "append", GroupStateTimeout.NoTimeout
+    )

@@ -317,3 +317,52 @@ def test_native_session_window_streaming_agg(spark, tmp_path):
     }
     assert got == expected
     assert len({k[:2] for k in got}) == 4  # 2 users x 2 sessions
+
+
+def test_streaming_dedup_exact_first_arrival_wins(spark, tmp_path):
+    """Intra-batch duplicate -> smallest doc_id kept; cross-batch duplicate
+    -> suppressed; distinct-text set matches the batch distinct set."""
+    from clickhouse_sinker_nali_spark.streaming.analytics import (
+        streaming_dedup_exact,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    first = [
+        {"doc_id": 0, "text": "alpha beta"},
+        {"doc_id": 1, "text": "gamma delta"},
+        {"doc_id": 2, "text": "epsilon"},
+        {"doc_id": 5, "text": "alpha beta"},  # intra-batch dup of doc 0
+    ]
+    second = [
+        {"doc_id": 6, "text": "gamma delta"},  # cross-batch dup of doc 1
+        {"doc_id": 7, "text": "zeta eta"},  # genuinely new
+        {"doc_id": 3, "text": "epsilon"},  # cross-batch dup, SMALLER id:
+        # first-arrival semantics keep doc 2, not doc 3
+    ]
+    for fname, rows in (("a.txt", first), ("b.txt", second)):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    schema = "doc_id bigint, text string"
+    _run(
+        streaming_dedup_exact(_stream_json(spark, src, schema)),
+        tmp_path,
+        "dedup_stream",
+        "append",
+    )
+    got = {r.doc_id: r for r in spark.table("dedup_stream").collect()}
+    assert set(got) == {0, 1, 2, 7}
+    assert got[0].n_batch_copies == 2  # both copies of 'alpha beta' counted
+    assert got[1].n_batch_copies == 1
+
+    # the emitted hash set equals the batch-mode distinct set over ALL rows
+    batch = (
+        spark.read.text(src)
+        .select(F.from_json("value", schema).alias("m"))
+        .select("m.*")
+        .select(F.sha2(F.col("text"), 256).alias("h"))
+        .distinct()
+    )
+    assert {r.text_hash for r in got.values()} == {r.h for r in batch.collect()}

@@ -116,9 +116,14 @@ ORDER BY rank
 
 def _learn(
     spark: SparkSession, sf_dir: str
-) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
-    """Run the merge sweeps; returns (merge list, final persisted vocab
-    as (sym, wc) — callers that keep it must unpersist it)."""
+) -> list[tuple[int, str, str, str, int]]:
+    """Run the merge sweeps; returns the merge list.
+
+    Generation k is persisted lazily and materialized by generation k+1's
+    argmax action; the grandparent is unpersisted only then, so every
+    sweep costs exactly one job and lineage stays one replace deep without
+    defensive count() materializations.
+    """
     vocab = (
         _word_vocab(spark, sf_dir)
         .select(
@@ -127,7 +132,7 @@ def _learn(
         )
         .persist()
     )
-    vocab.count()
+    gens = [vocab]
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, BPE_MERGES + 1):
         best = (
@@ -138,14 +143,16 @@ def _learn(
             .limit(1)
             .collect()
         )
+        # the action above materialized `vocab`; its parent is now dead
+        if len(gens) >= 2:
+            gens[-2].unpersist()
         if not best:
             break
         pair, freq = best[0]["pair"], int(best[0]["freq"])
         merged = pair.replace("  ", "")
         left, right = pair.split("  ")
         merges.append((rank, left, right, merged, freq))
-        old = vocab
-        vocab = old.select(
+        vocab = vocab.select(
             F.trim(
                 F.replace(
                     F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
@@ -155,9 +162,10 @@ def _learn(
             ).alias("sym"),
             "wc",
         ).persist()
-        vocab.count()
-        old.unpersist()
-    return merges, vocab
+        gens.append(vocab)
+    for g in gens[-2:]:
+        g.unpersist()
+    return merges
 
 
 _MERGES_SCHEMA = (
@@ -177,26 +185,34 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the merge table (the learned artifact, analogous to k-means
     returning centroids).
     """
-    merges, vocab = _learn(spark, sf_dir)
-    vocab.unpersist()
-    return spark.createDataFrame(merges, schema=_MERGES_SCHEMA)
+    return spark.createDataFrame(_learn(spark, sf_dir), schema=_MERGES_SCHEMA)
 
 
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the learned merge table: per-document word
     and BPE-token counts plus the compression ratio tokens/words.
 
-    Token counts are computed ONCE per distinct word (on the final vocab —
-    symbol concatenation always reconstructs the word, so the mapping
-    word → token_count falls out of the last generation for free) and
-    broadcast-joined back to the exploded corpus.  At 100 TB the join side
-    is the distinct-word table, not the corpus: scan + broadcast hash join
-    + one groupBy on doc_id.
+    After learning, the merges are driver literals, so tokenization is a
+    PURE column expression — the word padded once, then one built-in
+    ``replace`` per merge rule in rank order (greedy left-to-right, same
+    scan semantics as learning), all inside whole-stage codegen.  Token
+    counts are computed ONCE per distinct word and broadcast-joined back
+    to the exploded corpus: at 100 TB the expensive side is a single
+    corpus scan + broadcast hash join + one groupBy on doc_id.
     """
-    _, vocab = _learn(spark, sf_dir)
-    word_tokens = vocab.select(
-        F.replace(F.col("sym"), F.lit("  "), F.lit("")).alias("word"),
-        F.size(F.split("sym", "  ")).alias("nt"),
+    merges = _learn(spark, sf_dir)
+    padded = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace("word", "(.)", "$1  ")),
+        F.lit(" "),
+    )
+    for _, left, right, merged_sym, _ in merges:
+        padded = F.replace(
+            padded, F.lit(f" {left}  {right} "), F.lit(f" {merged_sym} ")
+        )
+    word_tokens = _word_vocab(spark, sf_dir).select(
+        "word",
+        F.size(F.split(F.trim(padded), "  ")).alias("nt"),
     )
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
@@ -219,7 +235,6 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
-    vocab.unpersist()
     return out
 
 

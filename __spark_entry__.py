@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": T.unigram_logprob,
         "profile_columns": A.profile_columns,
         "scd2_customer_status": W.scd2_customer_status,
+        "cdc_apply": W.cdc_apply,
         "full_outer_reconcile": R.full_outer_reconcile,
         "chunk_documents": C.chunk_documents,
     }
@@ -253,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_logprob": T.UNIGRAM_LOGPROB_SQL,
         "profile_columns": A.PROFILE_COLUMNS_SQL,
         "scd2_customer_status": W.SCD2_SQL,
+        "cdc_apply": W.CDC_APPLY_SQL,
         "full_outer_reconcile": R.FULL_OUTER_SQL,
         "chunk_documents": C.CHUNK_SQL,
     }

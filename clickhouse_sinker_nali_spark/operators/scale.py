@@ -316,3 +316,46 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("decimal(12,4)")).alias("total_qty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction (the nightly maintenance pass of a 100 TB store)
+# --------------------------------------------------------------------------
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    sort_key: str,
+    target_files: int = 4,
+    max_records_per_file: int = 0,
+) -> int:
+    """Rewrite a fragmented parquet dataset into ``target_files``
+    range-clustered files sorted by ``sort_key``; returns the output file
+    count.
+
+    Streaming sinks emit one file per micro-batch per partition — after a
+    day a 1000-executor ingest has produced millions of KB-sized files and
+    every scan pays open/footer/seek costs per file.  The compaction pass
+    is ``repartitionByRange(sort_key)`` (one skew-aware range shuffle —
+    Spark samples the key to build balanced boundaries) +
+    ``sortWithinPartitions`` so each output file covers a disjoint key
+    interval: parquet min/max footer stats then let later scans skip whole
+    files on ``sort_key`` predicates.  ``maxRecordsPerFile`` caps file
+    size without an extra shuffle when row width varies.
+    """
+    df = spark.read.parquet(src_path)
+    writer = (
+        df.repartitionByRange(target_files, F.col(sort_key))
+        .sortWithinPartitions(sort_key)
+        .write.mode("overwrite")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(dst_path)
+    import os
+
+    return len(
+        [f for f in os.listdir(dst_path) if f.endswith(".parquet")]
+    )

@@ -437,3 +437,111 @@ FROM log
 WHERE prev_status IS NULL OR o_orderstatus <> prev_status
 ORDER BY custkey, valid_from
 """
+
+
+# --------------------------------------------------------------------------
+# CDC log replay / ReplacingMergeTree collapse
+# --------------------------------------------------------------------------
+
+
+def replacing_collapse(df: DataFrame, keys: list[str], version: str) -> DataFrame:
+    """Latest-version-wins collapse: keep exactly the highest-``version``
+    row per ``keys`` group — the table-side half of the reference's
+    exactly-once contract (ReplacingMergeTree keyed on
+    ``__kafka_topic/_partition/_offset`` collapsing re-delivered batches,
+    reference ``docs/dev/design.md:4-13``).
+
+    One shuffle on the keys; ties on ``version`` are broken arbitrarily by
+    the caller supplying a unique version (offsets and CDC sequence
+    numbers are unique per key by construction).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.col(version).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay a CDC change log (insert / update / delete-tombstone rows
+    with per-key sequence numbers) into the current snapshot.
+
+    The log is synthesized deterministically from ``orders``: every order
+    is an insert at seq 1; keys divisible by 3 get an update at seq 2
+    (status 'U2', price doubled — *2 is IEEE-exact cross-engine); keys
+    divisible by 10 get a delete tombstone at seq 3.  Apply = one
+    window-collapse (latest seq per key) + tombstone filter — the
+    MERGE-INTO/upsert pattern at its shuffle-minimal: a single exchange
+    keyed on the primary key, no join against the base table because the
+    log carries full rows (ClickHouse-Replacing style, not delta style).
+    """
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    inserts = orders.select(
+        F.col("o_orderkey").alias("okey"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.lit(2).alias("seq"),
+            F.lit("U").alias("op"),
+            F.lit("U2").alias("status"),
+            (F.col("o_totalprice") * F.lit(2.0)).alias("price"),
+        )
+    )
+    deletes = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.lit(3).alias("seq"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("string").alias("status"),
+            F.lit(None).cast("double").alias("price"),
+        )
+    )
+    log = inserts.unionByName(updates).unionByName(deletes)
+    wcnt = Window.partitionBy("okey")
+    collapsed = replacing_collapse(
+        log.withColumn("n_versions", F.count(F.lit(1)).over(wcnt)),
+        ["okey"],
+        "seq",
+    )
+    return (
+        collapsed.filter(F.col("op") != "D")
+        .select("okey", "status", F.round("price", 6).alias("price"), "n_versions")
+        .orderBy("okey")
+    )
+
+
+CDC_APPLY_SQL = """
+WITH log AS (
+    SELECT o_orderkey AS okey, 1 AS seq, 'I' AS op,
+           o_orderstatus AS status, o_totalprice AS price
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 2, 'U', 'U2', o_totalprice * 2.0
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT o_orderkey, 3, 'D', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+    FROM orders WHERE o_orderkey % 10 = 0
+),
+versioned AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY okey ORDER BY seq DESC) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY okey) AS BIGINT) AS n_versions
+    FROM log
+)
+SELECT okey, status, ROUND(price, 6) AS price, n_versions
+FROM versioned
+WHERE rn = 1 AND op <> 'D'
+ORDER BY okey
+"""

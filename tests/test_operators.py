@@ -849,3 +849,24 @@ def test_bpe_encode_matches_python_reference(spark):
         n_words, n_tokens = want[r.doc_id]
         assert (r.n_words, r.n_tokens) == (n_words, n_tokens)
         assert n_words <= n_tokens  # every word is >= 1 token
+
+
+def test_cdc_apply_tombstones_and_latest_wins(spark):
+    import clickhouse_sinker_nali_spark.operators.warehouse as WH
+
+    orders = {
+        r.o_orderkey: r
+        for r in spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    }
+    got = {r.okey: r for r in WH.cdc_apply(spark, SF_DIR).collect()}
+    for k, o in orders.items():
+        if k % 10 == 0:
+            assert k not in got  # tombstone deletes, even after an update
+        elif k % 3 == 0:
+            assert got[k].status == "U2"
+            assert got[k].price == round(o.o_totalprice * 2.0, 6)
+            assert got[k].n_versions == 2
+        else:
+            assert got[k].status == o.o_orderstatus
+            assert got[k].n_versions == 1
+    assert set(got) == {k for k in orders if k % 10 != 0}

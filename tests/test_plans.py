@@ -323,3 +323,42 @@ def test_bloom_filter_prunes_shuffle_join_rows(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_compact_small_files_merges_and_range_clusters(spark, tmp_path):
+    """64 fragment files -> target_files range-clustered outputs with
+    identical content and disjoint per-file key ranges (footer-stat
+    skipping works)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from clickhouse_sinker_nali_spark.operators.scale import compact_small_files
+    from clickhouse_sinker_nali_spark.session import load_table
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    events.repartition(64).write.parquet(src)
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src == 64
+
+    n_out = compact_small_files(spark, src, dst, sort_key="event_id")
+    assert n_out <= 4
+
+    before = spark.read.parquet(src)
+    after = spark.read.parquet(dst)
+    assert after.count() == before.count()
+    assert after.select("event_id").subtract(before.select("event_id")).count() == 0
+
+    # per-file event_id ranges must be pairwise disjoint
+    ranges = []
+    for f in sorted(os.listdir(dst)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(dst, f), columns=["event_id"])
+        ids = t.column("event_id").to_pylist()
+        ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2

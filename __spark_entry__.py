@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "minhash_signatures": D.minhash_signatures,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
+        "minhash_index_delta": D.minhash_index_delta,
         "simhash_signatures": D.simhash_signatures,
         "dedup_simhash": D.dedup_simhash,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
@@ -180,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": D.DEDUP_JACCARD_SQL,
         "minhash_signatures": D.MINHASH_SIG_SQL,
         "dedup_minhash_lsh": D.DEDUP_MINHASH_SQL,
+        "minhash_index_delta": D.MINHASH_INDEX_DELTA_SQL,
         "simhash_signatures": D.SIMHASH_SIG_SQL,
         "dedup_simhash": D.DEDUP_SIMHASH_SQL,
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,

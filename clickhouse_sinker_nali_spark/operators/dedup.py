@@ -199,6 +199,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the expensive Jaccard runs only on bucket collisions.
     """
     sh = _shingle_df(spark, sf_dir).cache()  # shared by signatures + verify
+    banded = _banded_sigs(sh)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return _jaccard_verify(cand, sh).orderBy("doc_a", "doc_b")
+
+
+def _banded_sigs(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, key) LSH bucket rows from a shingle DataFrame."""
     ha = F.pmod(portable_hash64(F.concat(F.lit("a:"), F.col("shingle"))), F.lit(_MINHASH_MOD))
     hb = F.pmod(portable_hash64(F.concat(F.lit("b:"), F.col("shingle"))), F.lit(_MINHASH_MOD))
     based = sh.select("doc_id", ha.alias("ha"), hb.alias("hb"))
@@ -217,21 +234,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("key"))
         )
-    banded = sigs.select(
+    return sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    # exact verify on candidates only (reuses the cached shingles)
+
+
+def _jaccard_verify(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard on candidate (doc_a, doc_b) pairs from shingles;
+    keeps pairs at/above JACCARD_THRESHOLD."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
@@ -249,8 +259,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# Docs whose doc_id % DELTA_MOD == 0 play the "newly arrived batch" in the
+# incremental index-maintenance query.
+DELTA_MOD = 5
+
+
+def minhash_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH index maintenance: signatures/bands are
+    computed for the NEW batch only, and candidates come from joining the
+    delta's band rows against the full bucket store (existing ∪ delta) —
+    never existing × existing, which the index already holds.
+
+    This is how a 100 TB dedup index absorbs a daily drop: the band store
+    is an append-only table partitioned by (band, key-prefix); each
+    maintenance run shuffles only |delta| band rows, probes the store with
+    an equi-join, verifies Jaccard on collisions, and appends the delta's
+    band rows to the store.  Cost scales with the batch, not the corpus.
+    Emits each qualifying pair once, tagged new-new or new-old.
+    """
+    sh = _shingle_df(spark, sf_dir).cache()
+    banded = _banded_sigs(sh)
+    delta = banded.filter(F.col("doc_id") % DELTA_MOD == 0)
+    d, s = delta.alias("d"), banded.alias("s")
+    cand = (
+        d.join(
+            s,
+            (F.col("d.band") == F.col("s.band"))
+            & (F.col("d.key") == F.col("s.key"))
+            & (F.col("d.doc_id") != F.col("s.doc_id")),
+        )
+        .select(
+            F.least(F.col("d.doc_id"), F.col("s.doc_id")).alias("doc_a"),
+            F.greatest(F.col("d.doc_id"), F.col("s.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    pair_type = F.when(
+        (F.col("doc_a") % DELTA_MOD == 0) & (F.col("doc_b") % DELTA_MOD == 0),
+        F.lit("new-new"),
+    ).otherwise(F.lit("new-old"))
+    return (
+        _jaccard_verify(cand, sh)
+        .select("doc_a", "doc_b", "jaccard", pair_type.alias("pair_type"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# MINHASH_INDEX_DELTA_SQL is defined after _MINHASH_PAIR_CTES below.
 
 
 def _band_key_sql(b: int) -> str:
@@ -292,6 +350,18 @@ _MINHASH_PAIR_CTES = (
 DEDUP_MINHASH_SQL = (
     "WITH " + _MINHASH_PAIR_CTES + "\n"
     "SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"
+)
+
+# Oracle for the incremental maintenance run: the full pair set restricted
+# to pairs touching the delta — by construction exactly what the
+# delta-probe join emits.
+MINHASH_INDEX_DELTA_SQL = (
+    "WITH " + _MINHASH_PAIR_CTES + "\n"
+    "SELECT doc_a, doc_b, jaccard,\n"
+    f"       CASE WHEN doc_a % {DELTA_MOD} = 0 AND doc_b % {DELTA_MOD} = 0\n"
+    "            THEN 'new-new' ELSE 'new-old' END AS pair_type\n"
+    f"FROM pairs WHERE doc_a % {DELTA_MOD} = 0 OR doc_b % {DELTA_MOD} = 0\n"
+    "ORDER BY doc_a, doc_b"
 )
 
 

@@ -870,3 +870,23 @@ def test_cdc_apply_tombstones_and_latest_wins(spark):
             assert got[k].status == o.o_orderstatus
             assert got[k].n_versions == 1
     assert set(got) == {k for k in orders if k % 10 != 0}
+
+
+def test_minhash_index_delta_is_touching_subset_of_full_pairs(spark):
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    delta = D.minhash_index_delta(spark, SF_DIR).collect()
+    want = {
+        p: j
+        for p, j in full.items()
+        if p[0] % D.DELTA_MOD == 0 or p[1] % D.DELTA_MOD == 0
+    }
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in delta}
+    assert got == want
+    for r in delta:
+        both_new = r.doc_a % D.DELTA_MOD == 0 and r.doc_b % D.DELTA_MOD == 0
+        assert r.pair_type == ("new-new" if both_new else "new-old")
+        # old-old pairs must never be re-emitted by a maintenance run
+        assert r.doc_a % D.DELTA_MOD == 0 or r.doc_b % D.DELTA_MOD == 0

@@ -314,3 +314,37 @@ def streaming_dedup_exact(docs_stream: DataFrame) -> DataFrame:
     return hashed.groupBy("text_hash").applyInPandasWithState(
         update, _DEDUP_OUT, _DEDUP_STATE, "append", GroupStateTimeout.NoTimeout
     )
+
+
+# --------------------------------------------------------------------------
+# Watermarked event-time window counts (late data dropped + counted)
+# --------------------------------------------------------------------------
+
+
+def streaming_windowed_counts(
+    events_stream: DataFrame,
+    delay: str = "10 minutes",
+    window: str = "10 minutes",
+) -> DataFrame:
+    """Tumbling event-time window counts with a late-data watermark.
+
+    Input columns: ``ts timestamp, event_type string``.  Append mode: a
+    window row is emitted once, when the watermark passes its end — the
+    streaming twin of a batch ``GROUP BY time_bucket`` that can actually
+    retire state at 100 TB/day (without the watermark, window state grows
+    forever).  Rows arriving more than ``delay`` behind the max observed
+    event time are dropped and surface in
+    ``QueryStats.rows_dropped_by_watermark`` via ``MetricsListener`` —
+    the event-time analog of the reference discarding offsets behind the
+    ring window (``task/task.go:205-212``).
+    """
+    return (
+        events_stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )

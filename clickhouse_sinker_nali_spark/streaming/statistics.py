@@ -65,6 +65,10 @@ class QueryStats:
 
     batches: int = 0
     input_rows: int = 0
+    # event-time rows discarded because they arrived behind the watermark
+    # (reference analog: the offset-window late/duplicate drops of
+    # task/task.go:205-212, surfaced as a counter instead of a log line)
+    rows_dropped_by_watermark: int = 0
     observed: dict = field(default_factory=dict)
     last_progress: dict = field(default_factory=dict)
 
@@ -88,6 +92,10 @@ class MetricsListener(StreamingQueryListener):  # type: ignore[misc]
         s = self.stats.setdefault(p.name or p.id, QueryStats())
         s.batches += 1
         s.input_rows += int(p.numInputRows or 0)
+        for op in getattr(p, "stateOperators", None) or []:
+            s.rows_dropped_by_watermark += int(
+                getattr(op, "numRowsDroppedByWatermark", 0) or 0
+            )
         if p.observedMetrics:
             for metric_name, row in p.observedMetrics.items():
                 s.observed[metric_name] = row.asDict()

@@ -366,3 +366,56 @@ def test_streaming_dedup_exact_first_arrival_wins(spark, tmp_path):
         .distinct()
     )
     assert {r.text_hash for r in got.values()} == {r.h for r in batch.collect()}
+
+
+def test_streaming_watermark_drops_late_rows_and_counts_them(spark, tmp_path):
+    """A second-batch event older than (max event time - delay) must be
+    excluded from its window AND show up in rows_dropped_by_watermark."""
+    from clickhouse_sinker_nali_spark.streaming.analytics import (
+        streaming_windowed_counts,
+    )
+    from clickhouse_sinker_nali_spark.streaming.statistics import MetricsListener
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    first = [
+        {"ts": "2024-05-01 10:00:00", "event_type": "view"},
+        {"ts": "2024-05-01 10:05:00", "event_type": "view"},
+        {"ts": "2024-05-01 12:00:00", "event_type": "view"},  # advances WM
+    ]
+    # buffer batch: the state operator merges a batch's input BEFORE
+    # evicting windows behind the watermark, so the 10:00 window finalizes
+    # during THIS batch and the late row must arrive strictly after it
+    second = [{"ts": "2024-05-01 12:05:00", "event_type": "view"}]
+    third = [
+        {"ts": "2024-05-01 10:07:00", "event_type": "view"},  # LATE: dropped
+        {"ts": "2024-05-01 12:10:00", "event_type": "view"},
+    ]
+    for fname, rows in (("a.txt", first), ("b.txt", second), ("c.txt", third)):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        schema = "ts timestamp, event_type string"
+        _run(
+            streaming_windowed_counts(_stream_json(spark, src, schema)),
+            tmp_path,
+            "wm_counts",
+            "append",
+        )
+        emitted = {
+            (str(r.window_start), r.event_type): r.n
+            for r in spark.table("wm_counts").collect()
+        }
+        # the 10:00-10:10 window was finalized by batch 1's 12:00 event;
+        # the late 10:07 row must NOT be in it
+        assert emitted[("2024-05-01 10:00:00", "view")] == 2
+        dropped = sum(
+            s.rows_dropped_by_watermark for s in listener.stats.values()
+        )
+        assert dropped == 1
+    finally:
+        spark.streams.removeListener(listener)

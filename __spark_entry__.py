@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_7day_revenue": W.rolling_7day_revenue,
         "inverted_index_postings": T.inverted_index_postings,
         "doc_pagerank": G.doc_pagerank,
+        "doc_triangles": G.doc_triangles,
         "weighted_sample_pps": A.weighted_sample_pps,
         "entity_extract": I.entity_extract,
         "unigram_logprob": T.unigram_logprob,
@@ -251,6 +252,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_7day_revenue": W.ROLLING_7DAY_SQL,
         "inverted_index_postings": T.INVERTED_INDEX_SQL,
         "doc_pagerank": G.DOC_PAGERANK_SQL,
+        "doc_triangles": G.DOC_TRIANGLES_SQL,
         "weighted_sample_pps": A.WEIGHTED_SAMPLE_SQL,
         "entity_extract": I.ENTITY_EXTRACT_SQL,
         "unigram_logprob": T.UNIGRAM_LOGPROB_SQL,

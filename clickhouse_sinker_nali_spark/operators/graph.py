@@ -127,3 +127,65 @@ FROM deg d JOIN r{PR_ITERATIONS} ON d.id = r{PR_ITERATIONS}.id
 ORDER BY doc_id
 """
 )
+
+
+# --------------------------------------------------------------------------
+# Triangle enumeration (near-dup clique signal)
+# --------------------------------------------------------------------------
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Enumerate triangles in an undirected edge list (``src < dst`` pair
+    rows) — each triangle once, as (a, b, c) with a < b < c.
+
+    The classic two-join enumeration over the ORIENTED edge list: because
+    every edge is stored low→high, joining e1(a,b)⋈e2(b,c) then probing
+    for (a,c) finds each triangle exactly once, no post-dedup.  Both joins
+    are equi-joins shuffled on a node key — at 100 TB-corpus scale the
+    dup-pair graph is small, and for genuinely heavy graphs the standard
+    refinement (orient by degree) drops into the same plan.
+    """
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+
+
+def doc_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the MinHash-LSH near-dup graph: mutually-similar doc
+    triples (the strong-clique signal — a template family, vs a chain of
+    pairwise-only matches) with their mean pairwise Jaccard."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "jaccard")
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    tri = triangles(edges)
+    jc = pairs
+    j_ab = jc.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), F.col("jaccard").alias("j_ab"))
+    j_bc = jc.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"), F.col("jaccard").alias("j_bc"))
+    j_ac = jc.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"), F.col("jaccard").alias("j_ac"))
+    return (
+        tri.join(j_ab, ["a", "b"]).join(j_bc, ["b", "c"]).join(j_ac, ["a", "c"])
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.col("c").alias("doc_c"),
+            F.round((F.col("j_ab") + F.col("j_bc") + F.col("j_ac")) / 3.0, 6).alias("mean_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b", "doc_c")
+    )
+
+
+DOC_TRIANGLES_SQL = (
+    "WITH " + _MINHASH_PAIR_CTES + ",\n"
+    "tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c\n"
+    "        FROM pairs e1\n"
+    "        JOIN pairs e2 ON e1.doc_b = e2.doc_a\n"
+    "        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)\n"
+    "SELECT t.a AS doc_a, t.b AS doc_b, t.c AS doc_c,\n"
+    "       ROUND((jab.jaccard + jbc.jaccard + jac.jaccard) / 3.0, 6)\n"
+    "           AS mean_jaccard\n"
+    "FROM tri t\n"
+    "JOIN pairs jab ON jab.doc_a = t.a AND jab.doc_b = t.b\n"
+    "JOIN pairs jbc ON jbc.doc_a = t.b AND jbc.doc_b = t.c\n"
+    "JOIN pairs jac ON jac.doc_a = t.a AND jac.doc_b = t.c\n"
+    "ORDER BY doc_a, doc_b, doc_c"
+)

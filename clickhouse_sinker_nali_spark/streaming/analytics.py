@@ -348,3 +348,43 @@ def streaming_windowed_counts(
             "n",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream time-interval join (click attribution)
+# --------------------------------------------------------------------------
+
+
+def streaming_click_attribution(
+    views_stream: DataFrame,
+    clicks_stream: DataFrame,
+    max_lag: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Attribute each click to every view by the same user at most
+    ``max_lag`` earlier — a watermarked stream-stream inner join.
+
+    Input columns (both sides): ``ts timestamp, user_id bigint``.  Both
+    sides carry a watermark and the join predicate bounds click_ts within
+    [view_ts, view_ts + max_lag], so Spark can size the join state: a
+    buffered view row is dropped once the click-side watermark passes
+    view_ts + max_lag — state stays O(window), not O(stream), which is
+    the only way a stream-stream join survives at 100 TB/day.  Emission is
+    append-mode (a pair is output once, when matched).
+    """
+    v = views_stream.select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    ).withWatermark("view_ts", watermark)
+    c = clicks_stream.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    ).withWatermark("click_ts", watermark)
+    joined = v.join(
+        c,
+        F.expr(
+            "v_user = c_user AND "
+            f"click_ts >= view_ts AND click_ts <= view_ts + INTERVAL {max_lag}"
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"), "view_ts", "click_ts"
+    )

@@ -890,3 +890,29 @@ def test_minhash_index_delta_is_touching_subset_of_full_pairs(spark):
         assert r.pair_type == ("new-new" if both_new else "new-old")
         # old-old pairs must never be re-emitted by a maintenance run
         assert r.doc_a % D.DELTA_MOD == 0 or r.doc_b % D.DELTA_MOD == 0
+
+
+def test_triangles_enumerates_each_once(spark):
+    from clickhouse_sinker_nali_spark.operators.graph import triangles
+
+    # K4 on {1,2,3,4} (4 triangles) + a chain 5-6-7 (none) + dangling 7-8
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6), (6, 7), (7, 8)],
+        "src bigint, dst bigint",
+    )
+    got = {(r.a, r.b, r.c) for r in triangles(edges).collect()}
+    assert got == {(1, 2, 3), (1, 2, 4), (1, 3, 4), (2, 3, 4)}
+
+
+def test_doc_triangles_are_lsh_cliques(spark):
+    from clickhouse_sinker_nali_spark.operators.graph import doc_triangles
+
+    pairs = {
+        (r.doc_a, r.doc_b) for r in D.dedup_minhash_lsh(spark, SF_DIR).collect()
+    }
+    for r in doc_triangles(spark, SF_DIR).collect():
+        assert r.doc_a < r.doc_b < r.doc_c
+        assert (r.doc_a, r.doc_b) in pairs
+        assert (r.doc_b, r.doc_c) in pairs
+        assert (r.doc_a, r.doc_c) in pairs
+        assert 0.0 <= r.mean_jaccard <= 1.0

@@ -419,3 +419,74 @@ def test_streaming_watermark_drops_late_rows_and_counts_them(spark, tmp_path):
         assert dropped == 1
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_streaming_click_attribution_matches_batch_interval_join(spark, tmp_path):
+    """Stream-stream join twin: views and clicks split across batches;
+    emitted pairs must equal the batch interval join over all rows."""
+    from clickhouse_sinker_nali_spark.streaming.analytics import (
+        streaming_click_attribution,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    first = [
+        {"ts": "2024-05-01 10:00:00", "user_id": 1, "event_type": "view"},
+        {"ts": "2024-05-01 10:10:00", "user_id": 1, "event_type": "click"},
+        {"ts": "2024-05-01 10:00:00", "user_id": 2, "event_type": "view"},
+    ]
+    second = [
+        # cross-batch match: click for user 2 arrives a batch after its view
+        {"ts": "2024-05-01 10:20:00", "user_id": 2, "event_type": "click"},
+        # outside max_lag: no attribution
+        {"ts": "2024-05-01 09:00:00", "user_id": 3, "event_type": "view"},
+        {"ts": "2024-05-01 09:45:00", "user_id": 3, "event_type": "click"},
+        # click BEFORE the view: no attribution
+        {"ts": "2024-05-01 11:00:00", "user_id": 4, "event_type": "click"},
+        {"ts": "2024-05-01 11:30:00", "user_id": 4, "event_type": "view"},
+    ]
+    for fname, rows in (("a.txt", first), ("b.txt", second)):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    schema = "ts timestamp, user_id bigint, event_type string"
+    stream = _stream_json(spark, src, schema)
+    views = stream.filter(F.col("event_type") == "view")
+    clicks = stream.filter(F.col("event_type") == "click")
+    _run(
+        streaming_click_attribution(views, clicks),
+        tmp_path,
+        "attrib_stream",
+        "append",
+    )
+    got = {
+        (r.user_id, str(r.view_ts), str(r.click_ts))
+        for r in spark.table("attrib_stream").collect()
+    }
+
+    batch = (
+        spark.read.text(src)
+        .select(F.from_json("value", schema).alias("m"))
+        .select("m.*")
+    )
+    bv = batch.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    bc = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    want = {
+        (r.v_user, str(r.view_ts), str(r.click_ts))
+        for r in bv.join(
+            bc,
+            F.expr(
+                "v_user = c_user AND click_ts >= view_ts "
+                "AND click_ts <= view_ts + INTERVAL 30 minutes"
+            ),
+        ).collect()
+    }
+    assert got == want
+    assert (1, "2024-05-01 10:00:00", "2024-05-01 10:10:00") in got
+    assert (2, "2024-05-01 10:00:00", "2024-05-01 10:20:00") in got  # cross-batch
+    assert not any(u == 3 or u == 4 for (u, _, _) in got)

@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_priority_counts": W.q12_priority_counts,
         "q14_promo_revenue": W.q14_promo_revenue,
         "q16_supplier_part_counts": W.q16_supplier_part_counts,
+        "q13_customer_distribution": W.q13_customer_distribution,
+        "q8_market_share": W.q8_market_share,
         "q19_disjunctive_revenue": W.q19_disjunctive_revenue,
         "q22_idle_customers": W.q22_idle_customers,
         "grouping_sets_orders": W.grouping_sets_orders,
@@ -236,6 +238,8 @@ def oracle_sql() -> dict[str, str]:
         "q12_priority_counts": W.Q12_SQL,
         "q14_promo_revenue": W.Q14_SQL,
         "q16_supplier_part_counts": W.Q16_SQL,
+        "q13_customer_distribution": W.Q13_SQL,
+        "q8_market_share": W.Q8_SQL,
         "q19_disjunctive_revenue": W.Q19_SQL,
         "q22_idle_customers": W.Q22_SQL,
         "grouping_sets_orders": W.GROUPING_SETS_SQL,

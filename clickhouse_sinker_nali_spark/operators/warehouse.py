@@ -545,3 +545,124 @@ FROM versioned
 WHERE rn = 1 AND op <> 'D'
 ORDER BY okey
 """
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: histogram of customers by order count, INCLUDING
+    zero-order customers (the left outer join is the point — an inner join
+    silently drops the empty bucket).
+
+    Two aggregations: count per customer (shuffle on custkey — at scale
+    this is the big exchange and it is map-combinable), then the tiny
+    histogram groupBy.  orders side is pre-filtered before the join so the
+    probe input shrinks at the scan.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+           ON c_custkey = o.o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_0 suppliers' share of ASIA customers' revenue
+    per order year.
+
+    The five-table star resolves with ONE shuffle (lineitem⋈orders on
+    orderkey); customer, supplier, nation and region are broadcast dims.
+    Share numerator/denominator are exact decimal sums, divided once as
+    doubles — bit-identical cross-engine regardless of partitioning.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    zero = F.lit(0).cast("decimal(25,8)")
+    cust_asia = (
+        cust.join(broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey")
+    )
+    supp_nat = supp.join(
+        broadcast(nat), supp.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(broadcast(cust_asia), o.o_custkey == cust_asia.c_custkey)
+        .join(broadcast(supp_nat), li.l_suppkey == supp_nat.s_suppkey)
+        .select(F.year("o_orderdate").alias("o_year"), "supp_nation", rev.alias("rev"))
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_0", F.col("rev")).otherwise(zero)
+            )
+            .cast("double")
+            .alias("nation_rev"),
+            F.sum("rev").cast("double").alias("total_rev"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+            F.round("nation_rev", 6).alias("nation_rev"),
+            F.round("total_rev", 6).alias("total_rev"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+SELECT o_year,
+       ROUND(nation_rev / total_rev, 6) AS mkt_share,
+       ROUND(nation_rev, 6) AS nation_rev,
+       ROUND(total_rev, 6) AS total_rev
+FROM (
+    SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_0'
+                    THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                         * (1 - CAST(l_discount AS DECIMAL(12,4)))
+                    ELSE CAST(0 AS DECIMAL(25,8)) END) AS DOUBLE) AS nation_rev,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS total_rev
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region    ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY 1
+)
+ORDER BY o_year
+"""

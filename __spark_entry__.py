@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": W.cdc_apply,
         "full_outer_reconcile": R.full_outer_reconcile,
         "chunk_documents": C.chunk_documents,
+        "gdpr_delete_cascade": C.gdpr_delete_cascade,
     }
 
 
@@ -265,4 +266,5 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply": W.CDC_APPLY_SQL,
         "full_outer_reconcile": R.FULL_OUTER_SQL,
         "chunk_documents": C.CHUNK_SQL,
+        "gdpr_delete_cascade": C.GDPR_CASCADE_SQL,
     }

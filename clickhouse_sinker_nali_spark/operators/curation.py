@@ -258,3 +258,85 @@ SELECT doc_id, chunk_idx, n_tokens,
 FROM idx
 ORDER BY doc_id, chunk_idx
 """
+
+
+# --------------------------------------------------------------------------
+# GDPR / right-to-be-forgotten delete cascade
+# --------------------------------------------------------------------------
+
+# synthetic deletion-request list: every 13th document
+GDPR_MOD = 13
+
+
+def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purge-audit for a deletion-request list across every derived store:
+    raw documents, training chunks, and the embedding index (vec_id is the
+    source doc_id for corpus vectors).
+
+    A takedown in a training pipeline is not one DELETE — every derivative
+    (chunks, packed sequences, indexes) must drop the lineage.  The scan
+    pattern is one broadcast left-join of the (tiny) request list against
+    each store plus a count aggregate; the returned audit states, per
+    store, how many rows exist / must be purged / remain — the compliance
+    artifact a real pipeline persists next to the rewrite.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    requests = (
+        docs.filter(F.col("doc_id") % GDPR_MOD == 0)
+        .select(F.col("doc_id").alias("req_id"))
+        .withColumn("_del", F.lit(1))
+    )
+
+    def audit(df: DataFrame, key: str, store: str) -> DataFrame:
+        marked = df.join(
+            F.broadcast(requests), F.col(key) == F.col("req_id"), "left"
+        )
+        return marked.agg(
+            F.lit(store).alias("store"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.coalesce(F.sum("_del"), F.lit(0)).cast("long").alias("n_purged"),
+            (F.count(F.lit(1)) - F.coalesce(F.sum("_del"), F.lit(0)))
+            .cast("long")
+            .alias("n_retained"),
+        )
+
+    return (
+        audit(docs, "doc_id", "documents")
+        .unionByName(audit(chunks, "doc_id", "chunks"))
+        .unionByName(audit(emb, "vec_id", "embeddings"))
+        .orderBy("store")
+    )
+
+
+GDPR_CASCADE_SQL = f"""
+WITH base AS (
+    SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+    FROM documents
+), idx AS (
+    SELECT doc_id,
+           unnest(range(0, greatest(
+               CAST(ceil((n_tokens - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0) AS INT) + 1,
+               1))) AS chunk_idx
+    FROM base
+), req AS (
+    SELECT doc_id AS req_id FROM documents WHERE doc_id % {GDPR_MOD} = 0
+)
+SELECT 'chunks' AS store,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN doc_id IN (SELECT req_id FROM req) THEN 1 ELSE 0 END) AS BIGINT) AS n_purged,
+       CAST(SUM(CASE WHEN doc_id IN (SELECT req_id FROM req) THEN 0 ELSE 1 END) AS BIGINT) AS n_retained
+FROM idx
+UNION ALL
+SELECT 'documents', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN doc_id IN (SELECT req_id FROM req) THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN doc_id IN (SELECT req_id FROM req) THEN 0 ELSE 1 END) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'embeddings', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CASE WHEN vec_id IN (SELECT req_id FROM req) THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CASE WHEN vec_id IN (SELECT req_id FROM req) THEN 0 ELSE 1 END) AS BIGINT)
+FROM embeddings
+ORDER BY store
+"""

@@ -916,3 +916,68 @@ def test_doc_triangles_are_lsh_cliques(spark):
         assert (r.doc_b, r.doc_c) in pairs
         assert (r.doc_a, r.doc_c) in pairs
         assert 0.0 <= r.mean_jaccard <= 1.0
+
+
+def test_explode_json_kv_udtf_matches_jvm_map_explode(spark):
+    from pyspark.sql.functions import explode, from_json
+
+    from clickhouse_sinker_nali_spark.functions.udtfs import (
+        ExplodeJsonKV,
+        register_udtfs,
+    )
+
+    from clickhouse_sinker_nali_spark.session import load_table
+
+    # keep only the input columns: events has its own `value` column, which
+    # would collide with the UDTF's output
+    events = (
+        load_table(spark, SF_DIR, "events").select("event_id", "props").limit(200)
+    )
+    # DataFrame API: lateral join against the UDTF
+    got = {
+        (r.event_id, r.key, r.value)
+        for r in events.lateralJoin(
+            ExplodeJsonKV(F.col("props").outer())
+        ).select("event_id", "key", "value").collect()
+    }
+    # JVM twin: map cast + explode
+    want = {
+        (r.event_id, r.key, r.value)
+        for r in events.select(
+            "event_id",
+            explode(from_json("props", "map<string,string>")),
+        ).collect()
+    }
+    assert got == want and got
+
+    # SQL surface: registered table function in a lateral join
+    register_udtfs(spark)
+    events.createOrReplaceTempView("ev_udtf")
+    got_sql = {
+        (r.event_id, r.key, r.value)
+        for r in spark.sql(
+            "SELECT e.event_id, kv.key, kv.value "
+            "FROM ev_udtf e, LATERAL explode_json_kv(e.props) kv"
+        ).collect()
+    }
+    assert got_sql == want
+
+
+def test_gdpr_delete_cascade_audit_is_consistent(spark):
+    import clickhouse_sinker_nali_spark.operators.curation as CU
+
+    rows = {r.store: r for r in CU.gdpr_delete_cascade(spark, SF_DIR).collect()}
+    assert set(rows) == {"documents", "chunks", "embeddings"}
+    for r in rows.values():
+        assert r.n_total == r.n_purged + r.n_retained
+    n_req = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") % CU.GDPR_MOD == 0)
+        .count()
+    )
+    assert rows["documents"].n_purged == n_req
+    assert rows["embeddings"].n_purged == n_req  # vec_id == doc_id linkage
+    # every purged doc's chunks are purged too
+    chunks = CU.chunk_documents(spark, SF_DIR)
+    want_chunk_purged = chunks.filter(F.col("doc_id") % CU.GDPR_MOD == 0).count()
+    assert rows["chunks"].n_purged == want_chunk_purged

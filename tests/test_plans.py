@@ -362,3 +362,22 @@ def test_compact_small_files_merges_and_range_clusters(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
+
+
+def test_q8_star_broadcasts_all_dims_single_fact_shuffle(spark):
+    import clickhouse_sinker_nali_spark.operators.warehouse as W
+
+    df = W.q8_market_share(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    # one fact-fact edge (lineitem⋈orders) + agg/sort; the four dimension
+    # joins (customer, supplier, nation×2, region) must all broadcast
+    assert count_exchanges(df) <= 4
+    assert partial_aggregation_present(df)
+
+
+def test_q13_left_join_keeps_partial_agg(spark):
+    import clickhouse_sinker_nali_spark.operators.warehouse as W
+
+    df = W.q13_customer_distribution(spark, SF_DIR)
+    assert has_pushed_filter(df, "o_orderpriority")
+    assert partial_aggregation_present(df)

@@ -26,6 +26,9 @@ the same shape; ``load_qqwry_ranges`` documents the production path.
 
 from __future__ import annotations
 
+import os
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -40,18 +43,23 @@ GEO_LOCS = ["北京", "上海", "广东", "浙江", "江苏", "四川", "湖北"
 GEO_ISPS = ["电信", "联通", "移动"]
 GEO_UNKNOWN = "未知"  # reference default for unmatched IPs (F1)
 
-# Small deterministic service map (proto:port → service); the reference's
-# 11.5k-entry literal collapses to the same lookup shape.
-SERVICE_MAP = {
-    "tcp:22": "ssh",
-    "tcp:25": "smtp",
-    "tcp:80": "http",
-    "tcp:443": "https",
-    "udp:53": "dns",
-    "udp:123": "ntp",
-    "tcp:3306": "mysql",
-    "tcp:6379": "redis",
-}
+# Full proto:port → service map, extracted once from the reference's inlined
+# Go literal (input/kafka_sarama.go:57-11543, 11,485 entries) into a packaged
+# TSV data file.  Loaded lazily; at this size the Spark-side lookup is a
+# broadcast dim JOIN, not a create_map literal (23k literal expressions would
+# bloat analysis/codegen for zero gain).
+SERVICE_MAP_TSV = os.path.join(os.path.dirname(__file__), "data", "service_map.tsv")
+
+
+@lru_cache(maxsize=1)
+def load_service_map() -> dict[str, str]:
+    """proto:port → service dict from the packaged TSV (11,485 entries)."""
+    out: dict[str, str] = {}
+    with open(SERVICE_MAP_TSV, encoding="utf-8") as f:
+        for line in f:
+            key, _, service = line.rstrip("\n").partition("\t")
+            out[key] = service
+    return out
 
 
 def build_geo_ranges(spark: SparkSession) -> DataFrame:
@@ -134,30 +142,32 @@ def enrich_ips(
 
 
 def service_map_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        [(k, v) for k, v in sorted(SERVICE_MAP.items())], "key string, service string"
+    """The full 11,485-row serviceMap as a broadcastable dim table.
+
+    Read through Spark's CSV reader (tab-delimited) rather than
+    createDataFrame so the dim is a real FileScan — the driver never
+    round-trips 11k rows through py4j.
+    """
+    return (
+        spark.read.option("delimiter", "\t")
+        .schema("key string, service string")
+        .csv(SERVICE_MAP_TSV)
     )
 
 
-def normalize_class(
-    class_col: Column, proto: Column, port_src: Column, port_dst: Column
-) -> Column:
-    """F2 class normalization with the reference's actual semantics.
+def normalize_class(class_col: Column, src_hit: Column, dst_hit: Column) -> Column:
+    """F2 class normalization with the reference's actual semantics
+    (input/kafka_sarama.go:11643-11668).
 
     - 'Unknown/Unknown' → serviceMap[proto:port_src] else
       serviceMap[proto:port_dst] else unchanged
     - 'A/B' with A≠B → keep **B** (reference keeps ClassList[1] — quirk)
     - otherwise unchanged
 
-    The map enters the plan as a literal MapType (broadcast by value);
-    element_at is a codegen'd lookup.
+    ``src_hit`` / ``dst_hit`` are the (nullable) service columns produced by
+    :func:`join_service_map` — at 11.5k entries the lookup is a broadcast
+    dim join, not a map literal.
     """
-    entries: list[Column] = []
-    for k, v in sorted(SERVICE_MAP.items()):
-        entries += [F.lit(k), F.lit(v)]
-    m = F.create_map(*entries)
-    src_hit = F.element_at(m, F.concat(proto, F.lit(":"), port_src.cast("string")))
-    dst_hit = F.element_at(m, F.concat(proto, F.lit(":"), port_dst.cast("string")))
     parts = F.split(class_col, "/")
     a, b = parts.getItem(0), parts.getItem(1)
     return (
@@ -165,3 +175,29 @@ def normalize_class(
         .when((F.size(parts) == 2) & (a != b), b)
         .otherwise(class_col)
     )
+
+
+def join_service_map(
+    flows: DataFrame,
+    spark: SparkSession,
+    proto: str = "proto",
+    port_src: str = "port_src",
+    port_dst: str = "port_dst",
+) -> DataFrame:
+    """Attach ``src_service`` / ``dst_service`` via two broadcast lookups.
+
+    Mirrors the reference's src-then-dst probe order (the precedence lives
+    in :func:`normalize_class`'s coalesce).  Both joins broadcast the same
+    ~300 KB dim — at 100 TB the fact side never shuffles.
+    """
+    svc = service_map_df(spark)
+    s1 = broadcast(svc.select(F.col("key").alias("_sk"), F.col("service").alias("src_service")))
+    s2 = broadcast(svc.select(F.col("key").alias("_dk"), F.col("service").alias("dst_service")))
+    key_src = F.concat(F.col(proto), F.lit(":"), F.col(port_src).cast("string"))
+    key_dst = F.concat(F.col(proto), F.lit(":"), F.col(port_dst).cast("string"))
+    out = (
+        flows.join(s1, key_src == F.col("_sk"), "left")
+        .join(s2, key_dst == F.col("_dk"), "left")
+        .drop("_sk", "_dk")
+    )
+    return out

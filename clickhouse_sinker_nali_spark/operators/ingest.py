@@ -22,9 +22,10 @@ from ..enrich import (
     GEO_ISPS,
     GEO_LOCS,
     GEO_UNKNOWN,
-    SERVICE_MAP,
+    SERVICE_MAP_TSV,
     build_geo_ranges,
     enrich_ips,
+    join_service_map,
     normalize_class,
 )
 from ..functions import portable_hash64_sql, shard_hash, shard_stripe
@@ -284,11 +285,10 @@ def class_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         port_dst.alias("port_dst"),
         cls.alias("class"),
     )
-    out = flows.withColumn(
+    hit = join_service_map(flows, spark)
+    out = hit.withColumn(
         "class_norm",
-        normalize_class(
-            F.col("class"), F.col("proto"), F.col("port_src"), F.col("port_dst")
-        ),
+        normalize_class(F.col("class"), F.col("src_service"), F.col("dst_service")),
     )
     return (
         out.groupBy("proto", "class", "class_norm")
@@ -297,10 +297,11 @@ def class_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SVC_VALUES = ", ".join(f"('{k}', '{v}')" for k, v in sorted(SERVICE_MAP.items()))
-
 CLASS_NORMALIZE_SQL = f"""
-WITH svc(key, service) AS (VALUES {_SVC_VALUES}),
+WITH svc AS (
+    SELECT * FROM read_csv('{SERVICE_MAP_TSV}', delim='\t', header=false,
+                           columns={{'key': 'VARCHAR', 'service': 'VARCHAR'}})
+),
 flows AS (
     SELECT event_id,
            CASE WHEN event_id % 2 = 0 THEN 'tcp' ELSE 'udp' END AS proto,

@@ -304,15 +304,26 @@ def extract_features(blobs: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(attach_binary(docs)).orderBy("doc_id")
+    feats = extract_features(attach_binary(docs))
+    # Serialize the embedding for the oracle harness: its canonicalizer
+    # lexsorts with pandas and can't hash list cells (r01 `err` row).  The
+    # components are exact multiples of 0.001, so fixed %.3f formatting is
+    # bit-identical across Spark and DuckDB.
+    return feats.select(
+        "doc_id",
+        F.array_join(
+            F.transform("features", lambda x: F.format_string("%.3f", x)), ","
+        ).alias("features"),
+    ).orderBy("doc_id")
 
 
 MULTIMODAL_FEATURES_SQL = f"""
 WITH base AS (SELECT doc_id, {_H} AS h FROM documents)
 SELECT doc_id,
-       list_transform(range(0, {FEATURE_DIM}),
-           i -> ((('0x' || substr(md5(h::VARCHAR || ':f' || i::VARCHAR), 1, 15))::BIGINT
-                  % 2001 - 1000) / 1000.0)) AS features
+       array_to_string(list_transform(range(0, {FEATURE_DIM}),
+           i -> printf('%.3f',
+                ((('0x' || substr(md5(h::VARCHAR || ':f' || i::VARCHAR), 1, 15))::BIGINT
+                  % 2001 - 1000) / 1000.0))), ',') AS features
 FROM base
 ORDER BY doc_id
 """

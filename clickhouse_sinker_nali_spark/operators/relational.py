@@ -256,7 +256,13 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))
+    # Sub-second precision matters: events.ts carries fractional seconds, and
+    # unix_timestamp() truncates to whole seconds (a 1800.4s gap would wrongly
+    # read as 1800 = same session).  TIMESTAMP_NTZ has no direct double cast;
+    # route through timestamp_ltz (session tz is UTC, so the hop is identity)
+    # to keep the fraction, matching DuckDB's epoch() semantics.
+    sec = F.col("ts").cast("timestamp_ltz").cast("double")
+    gap = sec - F.lag(sec, 1).over(w)
     marked = ev.select(
         "user_id",
         "event_id",

@@ -469,10 +469,14 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, x: a + x,
     ) / F.size(q)
+    # The int8 vector is emitted as a comma-joined STRING, not array<int>:
+    # the driver's canonicalizer lexsorts output columns with pandas and
+    # can't hash list values (r01 `err` row).  Same information, sortable.
+    q_str = F.array_join(F.transform(q, lambda x: x.cast("string")), ",")
     return emb.select(
         "vec_id",
         scale.alias("scale"),
-        q.alias("q"),
+        q_str.alias("q"),
         err.alias("mean_abs_err"),
     ).orderBy("vec_id")
 
@@ -485,7 +489,7 @@ WITH base AS (
     SELECT vec_id, {_D_SQL} AS d, {_SCALE_SQL} AS scale FROM embeddings
 )
 SELECT vec_id, scale,
-       list_transform(d, x -> floor(x / scale + 0.5)::INT) AS q,
+       array_to_string(list_transform(d, x -> floor(x / scale + 0.5)::INT), ',') AS q,
        list_sum(list_transform(d,
            x -> abs(x - floor(x / scale + 0.5)::INT * scale))) / len(d)
            AS mean_abs_err

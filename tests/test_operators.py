@@ -260,6 +260,48 @@ def test_class_normalize_quirk_keeps_second_component(spark):
     assert ("SSH/SSH", "SSH/SSH") in by_class
 
 
+def test_service_map_full_extraction():
+    """The packaged serviceMap is the reference's FULL 11,485-entry literal
+    (input/kafka_sarama.go:57-11543), not a toy subset."""
+    from clickhouse_sinker_nali_spark.enrich import load_service_map
+
+    m = load_service_map()
+    assert len(m) == 11485
+    # spot entries across the literal's range
+    assert m["tcp:1"] == "tcpmux"
+    assert m["tcp:22"] == "ssh"
+    assert m["tcp:443"] == "https"
+    assert m["udp:53"] == "dns"
+    assert m["tcp:3306"] == "mysql"
+    assert m["tcp:6379"] == "redis"
+
+
+def test_service_map_lookup_order_src_then_dst(spark):
+    """Unknown/Unknown resolves via src port first, dst only as fallback
+    (reference input/kafka_sarama.go:11643-11668)."""
+    from clickhouse_sinker_nali_spark.enrich import join_service_map, normalize_class
+
+    flows = spark.createDataFrame(
+        [
+            # src hit wins even when dst would also hit
+            ("tcp", 22, 443, "Unknown/Unknown", "ssh"),
+            # src miss (port 4 unassigned) → dst hit
+            ("tcp", 4, 443, "Unknown/Unknown", "https"),
+            # both miss → unchanged
+            ("tcp", 4, 4, "Unknown/Unknown", "Unknown/Unknown"),
+            # non-Unknown class ignores the map entirely
+            ("tcp", 22, 53, "HTTP/HTTPS", "HTTPS"),
+        ],
+        "proto string, port_src int, port_dst int, class string, expect string",
+    )
+    out = join_service_map(flows, spark).withColumn(
+        "class_norm",
+        normalize_class(F.col("class"), F.col("src_service"), F.col("dst_service")),
+    )
+    for r in out.collect():
+        assert r.class_norm == r.expect, (r["class"], r.port_src, r.port_dst)
+
+
 def test_asof_join_matches_merge_formulation(spark):
     # independent implementation: union-merge with last_value over a single
     # event-time-ordered window per user (the at-scale formulation)

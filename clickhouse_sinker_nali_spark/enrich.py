@@ -85,12 +85,13 @@ def build_geo_ranges(spark: SparkSession) -> DataFrame:
 def load_qqwry_ranges(spark: SparkSession, parquet_path: str) -> DataFrame:
     """Load a pre-converted qqwry/GeoLite2 interval table from parquet.
 
-    The offline converter walks the binary DB once (qqwry: 7-byte index
-    records, GBK strings, redirect modes 0x01/0x02 — reference
-    ``ipHandle/pkg/qqwry/qqwry.go:63-149``), decodes GBK → UTF-8, strips the
-    " CZ88.NET" filler (reference F3), and writes sorted
-    (ip_start, ip_end, loc, isp) rows.  Not bundled here: the geo DBs are
-    proprietary downloads.
+    The offline converter (:mod:`..sources.qqwry`) walks the binary DB once
+    (qqwry: 7-byte index records, GBK strings, redirect modes 0x01/0x02 —
+    reference ``ipHandle/pkg/qqwry/qqwry.go:63-149``), decodes GBK → UTF-8,
+    strips the " CZ88.NET" filler (reference F3), and writes sorted
+    (ip_start, ip_end, loc, isp) rows.  The binary DBs themselves are
+    proprietary downloads and not bundled; ``sources.qqwry.qqwry_to_parquet``
+    produces this table from one.
     """
     return spark.read.parquet(parquet_path)
 

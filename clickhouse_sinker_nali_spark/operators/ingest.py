@@ -334,7 +334,9 @@ ORDER BY proto, class, class_norm
 # --------------------------------------------------------------------------
 
 
-def prometheus_series_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def prometheus_series_split(
+    spark: SparkSession, sf_dir: str, faithful: bool = False
+) -> DataFrame:
     """The Prometheus-schema split (reference model/message.go:171-212):
     string dims become a deduplicated series table keyed by a hash of the
     sorted ``###name###value`` label pairs; numeric dims + the series id go
@@ -343,7 +345,8 @@ def prometheus_series_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Here: labels = (event_type, user_id) over events; the query returns the
     deduplicated series table (first-occurrence-wins ≡ min event_id, the
     reference's CheckedAdd bitmap semantics).  Series id uses the portable
-    hash (see functions module for the xxhash64 parity note).
+    hash by default; ``faithful=True`` switches to byte-parity xxhash64 so
+    ids match a live Go deployment's (functions/xxh64.py).
     """
     from ..functions import portable_hash64
 
@@ -354,8 +357,14 @@ def prometheus_series_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("###user_id###"),
         F.col("user_id").cast("string"),
     )
+    if faithful:
+        from ..functions.xxh64 import series_id_faithful
+
+        sid = series_id_faithful(label_str)
+    else:
+        sid = portable_hash64(label_str)
     tagged = ev.select(
-        portable_hash64(label_str).alias("series_id"),
+        sid.alias("series_id"),
         "event_type",
         "user_id",
         "event_id",

@@ -32,16 +32,24 @@ class BatchSink(Protocol):
     def write(self, df: DataFrame, epoch_id: int) -> None: ...
 
 
-def shard_expr(policy: str, key: str, shards: int) -> Column:
+def shard_expr(policy: str, key: str, shards: int, faithful: bool = False) -> Column:
     """Shard expression from the reference's policy string syntax:
     ``"stripe,<size>"`` or ``"hash"`` (reference task/sharding.go:51-101).
     Empty policy → offset-stable round-robin is handled by the caller
     (epoch_id % shards), matching the reference's default BatchIdx routing.
+
+    ``faithful=True`` switches hash policy to byte-parity xxhash64 (the Go
+    engine's exact shard assignment — for migration/coexistence with a live
+    reference deployment); default stays the JVM-side portable hash.
     """
     if policy.startswith("stripe"):
         _, _, size = policy.partition(",")
         return shard_stripe(key, int(size or 1), shards)
     if policy == "hash":
+        if faithful:
+            from ..functions.xxh64 import shard_hash_faithful
+
+            return shard_hash_faithful(key, shards)
         return shard_hash(F.col(key).cast("string"), shards)
     raise ValueError(f"unknown sharding policy {policy!r}")
 

@@ -58,25 +58,21 @@ class KafkaConfig:
     brokers: str = ""
     security: dict[str, str] = field(default_factory=dict)
     tls: dict[str, object] = field(default_factory=dict)
+    sasl: dict[str, object] = field(default_factory=dict)
 
     @property
     def source_options(self) -> dict[str, str]:
-        """Translate the reference's java-client-style ``security`` map to
-        Spark Kafka source options (reference config/config.go:304-384:
-        the map already uses java client keys, so it passes through with
-        the ``kafka.`` prefix)."""
-        opts = {f"kafka.{k}": str(v) for k, v in self.security.items()}
-        if self.tls.get("enable"):
-            opts.setdefault("kafka.security.protocol", "SSL")
-            for ref_key, kafka_key in [
-                ("caCertFiles", "kafka.ssl.truststore.location"),
-                ("clientCertFile", "kafka.ssl.keystore.location"),
-                ("trustStoreLocation", "kafka.ssl.truststore.location"),
-                ("trustStorePassword", "kafka.ssl.truststore.password"),
-            ]:
-                if self.tls.get(ref_key):
-                    opts[kafka_key] = str(self.tls[ref_key])
-        return opts
+        """Translate the reference's security surfaces (java-style
+        ``security`` map, sinker-native ``tls``/``sasl`` dicts — reference
+        config/config.go:303-385) to Spark Kafka source options.  Spark's
+        Kafka source is the java client, so JKS keystores pass through
+        natively and no JKS→PEM conversion is needed here (security.py
+        keeps the converter for PEM-only deployments)."""
+        from .security import kafka_security_options
+
+        return kafka_security_options(
+            security=self.security, tls=self.tls, sasl=self.sasl
+        )
 
 
 @dataclass
@@ -137,6 +133,7 @@ def load_config(path_or_dict: str | dict) -> SinkerConfig:
         brokers=kf_raw.get("brokers", ""),
         security=kf_raw.get("security", {}) or {},
         tls=kf_raw.get("tls", {}) or {},
+        sasl=kf_raw.get("sasl", {}) or {},
     )
     task_dicts = raw.get("tasks") or ([raw["task"]] if raw.get("task") else [])
     tasks = [_parse_task(t) for t in task_dicts]

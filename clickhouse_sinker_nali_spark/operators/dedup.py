@@ -27,6 +27,7 @@ Scale notes (100 TB, ~1000 executors):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -108,7 +109,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out quadratically, which is why the LSH variant below is the 100 TB
     path; here the vocabulary is small and AQE skew-split handles it.
     """
-    sh = _shingle_df(spark, sf_dir).cache()
+    sh = _shingle_df(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -198,7 +199,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     path: signature generation is map-side, banding is an exact-key shuffle,
     and the expensive Jaccard runs only on bucket collisions.
     """
-    sh = _shingle_df(spark, sf_dir).cache()  # shared by signatures + verify
+    # Shared by signatures + verify.  DISK_ONLY, not MEMORY: shingles are
+    # ~10x text volume, and at 100 TB a deserialized in-memory cache would
+    # evict/thrash executors — sequential disk re-read is the cheaper reuse.
+    sh = _shingle_df(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     banded = _banded_sigs(sh)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -280,7 +284,7 @@ def minhash_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     band rows to the store.  Cost scales with the batch, not the corpus.
     Emits each qualifying pair once, tagged new-new or new-old.
     """
-    sh = _shingle_df(spark, sf_dir).cache()
+    sh = _shingle_df(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
     banded = _banded_sigs(sh)
     delta = banded.filter(F.col("doc_id") % DELTA_MOD == 0)
     d, s = delta.alias("d"), banded.alias("s")

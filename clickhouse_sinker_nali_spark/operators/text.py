@@ -675,16 +675,21 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-combined word count, then words⋈probs equi-join keyed on word and
     a per-doc average.  Hot stopword keys are fine: the probs side is ONE
     row per word, so the join is a broadcast at any realistic vocab size
-    (vocab grows ~log corpus).  ln() is evaluated identically enough across
-    engines that round(6) on the per-doc mean absorbs ulp differences.
+    (vocab grows ~log corpus).  The corpus total folds into the plan as a
+    global window over the per-word COUNTS (vocab-sized, not corpus-sized)
+    — no separate ``words.count()`` job rescanning the largest
+    intermediate.  ln() is evaluated identically enough across engines
+    that round(6) on the per-doc mean absorbs ulp differences.
     """
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
     )
-    total = words.count()
-    probs = words.groupBy("word").agg(
-        (F.count(F.lit(1)).cast("double") / F.lit(float(total))).alias("p")
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    probs = counts.select(
+        "word",
+        (F.col("c").cast("double") / F.sum("c").over(W.partitionBy()))
+        .alias("p"),
     )
     return (
         words.join(F.broadcast(probs), "word")

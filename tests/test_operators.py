@@ -383,7 +383,10 @@ def test_multimodal_resize_preserves_aspect_and_bounds(spark):
 
 
 def test_multimodal_features_feed_similarity_ops(spark):
-    df = M.multimodal_features(spark, SF_DIR)
+    # the real operator keeps array<double> features; the queries() wrapper
+    # serializes them to a string for the oracle harness
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = M.extract_features(M.attach_binary(docs))
     assert df.schema["features"].dataType.simpleString() == "array<double>"
     rows = df.limit(20).collect()
     assert all(len(r.features) == M.FEATURE_DIM for r in rows)
@@ -394,6 +397,8 @@ def test_multimodal_features_feed_similarity_ops(spark):
         "doc_id", cosine("features", "features").alias("self_cos")
     ).collect()
     assert all(abs(r.self_cos - 1.0) < 1e-9 for r in paired)
+    wrapped = M.multimodal_features(spark, SF_DIR)
+    assert wrapped.schema["features"].dataType.simpleString() == "string"
 
 
 def test_zorder_clusters_both_dimensions(spark):

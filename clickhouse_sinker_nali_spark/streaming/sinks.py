@@ -84,6 +84,65 @@ def with_retries(
 
 
 @dataclass
+class BadRowStats:
+    """Outcome of a bad-row-skipping write (PR5)."""
+
+    n_total: int
+    n_bad: int
+    bad_indices: list[int]
+    first_error: Exception | None = None
+
+
+def write_rows_skipping_bad(rows, tx_factory) -> BadRowStats:
+    """Write rows transactionally, skipping individually-bad rows (PR5).
+
+    Port of the reference's ``writeRows`` (output/clickhouse_util.go:32-93):
+    attempt every row in one transaction collecting failing indices in a
+    bad-set (the reference uses a roaring bitmap); if any failed, roll the
+    whole transaction back and re-write only the good rows — an error on
+    the second pass is fatal, exactly as the reference breaks out and
+    rolls back.  Returns counts for the ``WriteSeriesSucceed``-style
+    metrics surface.
+
+    ``tx_factory() -> tx`` where ``tx.exec(row)``, ``tx.commit()``,
+    ``tx.rollback()`` — satisfied by any DB-API connection wrapper.  On
+    Spark this runs inside ``foreachPartition`` (one transaction per
+    partition per replica attempt); rows arriving here are already
+    schema-cast, so the per-row path only fires on server-side rejections
+    (constraint violations, over-range Decimals), the same cases the
+    reference hits.
+    """
+    rows = list(rows)
+    tx = tx_factory()
+    bad: list[int] = []
+    first_error: Exception | None = None
+    for i, row in enumerate(rows):
+        try:
+            tx.exec(row)
+        except Exception as e:  # noqa: BLE001 — any row-level failure skips
+            if first_error is None:
+                first_error = e
+            bad.append(i)
+    if not bad:
+        tx.commit()
+        return BadRowStats(n_total=len(rows), n_bad=0, bad_indices=[])
+    tx.rollback()
+    bad_set = set(bad)
+    tx = tx_factory()
+    try:
+        for i, row in enumerate(rows):
+            if i not in bad_set:
+                tx.exec(row)
+    except Exception:
+        tx.rollback()
+        raise
+    tx.commit()
+    return BadRowStats(
+        n_total=len(rows), n_bad=len(bad), bad_indices=bad, first_error=first_error
+    )
+
+
+@dataclass
 class JdbcClickHouseSink:
     """Sharded JDBC writer: one endpoint (with replicas) per shard.
 

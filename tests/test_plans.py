@@ -381,3 +381,19 @@ def test_q13_left_join_keeps_partial_agg(spark):
     df = W.q13_customer_distribution(spark, SF_DIR)
     assert has_pushed_filter(df, "o_orderpriority")
     assert partial_aggregation_present(df)
+
+
+def test_unigram_logprob_scans_documents_twice_not_thrice(spark):
+    # the corpus total must fold into the plan (window over the vocab-sized
+    # count aggregate) — a separate words.count() job would be a third scan
+    # of the exploded word relation, the corpus's largest intermediate
+    df = T.unigram_logprob(spark, SF_DIR)
+    from clickhouse_sinker_nali_spark.plans import (
+        read_schema_columns,
+        uses_broadcast_join,
+    )
+
+    assert len(read_schema_columns(df)) == 2
+    # probs side joins back via broadcast: no shuffle of the words relation
+    # for the join itself
+    assert uses_broadcast_join(df)

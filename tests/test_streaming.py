@@ -408,3 +408,69 @@ def test_prometheus_fanout_streaming_two_tables(spark, tmp_path):
     assert (
         metrics.join(series, "series_id", "left_anti").count() == 0
     )
+
+
+def test_write_rows_skipping_bad_reference_semantics():
+    """PR5: one bad row rolls back the whole tx, then the good rows are
+    re-written in a fresh tx (reference output/clickhouse_util.go:32-93)."""
+    from clickhouse_sinker_nali_spark.streaming.sinks import (
+        write_rows_skipping_bad,
+    )
+
+    class FakeTx:
+        def __init__(self, log):
+            self.log = log
+            self.rows = []
+
+        def exec(self, row):
+            if row == "bad":
+                raise ValueError("invalid content")
+            self.rows.append(row)
+
+        def commit(self):
+            self.log.append(("commit", list(self.rows)))
+
+        def rollback(self):
+            self.log.append(("rollback", list(self.rows)))
+
+    log: list = []
+    stats = write_rows_skipping_bad(
+        ["a", "bad", "b", "bad", "c"], lambda: FakeTx(log)
+    )
+    assert (stats.n_total, stats.n_bad, stats.bad_indices) == (5, 2, [1, 3])
+    assert isinstance(stats.first_error, ValueError)
+    # first tx rolled back with the partial writes, second committed clean
+    assert log == [("rollback", ["a", "b", "c"]), ("commit", ["a", "b", "c"])]
+
+    log.clear()
+    clean = write_rows_skipping_bad(["a", "b"], lambda: FakeTx(log))
+    assert (clean.n_total, clean.n_bad) == (2, 0)
+    assert log == [("commit", ["a", "b"])]
+
+
+def test_write_rows_second_pass_error_is_fatal():
+    from clickhouse_sinker_nali_spark.streaming.sinks import (
+        write_rows_skipping_bad,
+    )
+
+    class DyingTx:
+        n_txs = 0
+
+        def __init__(self):
+            DyingTx.n_txs += 1
+            self.second = DyingTx.n_txs > 1
+
+        def exec(self, row):
+            if row == "bad" or (self.second and row == "c"):
+                raise ValueError("boom")
+
+        def commit(self):
+            raise AssertionError("must not commit")
+
+        def rollback(self):
+            pass
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        write_rows_skipping_bad(["a", "bad", "c"], DyingTx)

@@ -114,24 +114,76 @@ ORDER BY rank
 """
 
 
+# Vocab-size ceiling for learning merges on the driver.  Vocabulary grows
+# ~sublinearly with corpus size (Heaps' law), so even a 100 TB corpus's
+# vocab (a few million types) fits in driver memory — which is where every
+# practical BPE trainer (sentencepiece, fastBPE) runs its merge loop.  The
+# distributed sweep loop remains as the fallback above this ceiling.
+DRIVER_LEARN_MAX_VOCAB = 2_000_000
+
+
+def _learn_local(
+    vocab: list[tuple[str, int]]
+) -> list[tuple[int, str, str, str, int]]:
+    """Driver-side merge loop — semantics identical to the Spark sweep loop
+    (same double-space symbol strings, same padded single-space replace,
+    same (freq DESC, pair ASC) tie-break; Python's left-to-right
+    non-overlapping ``str.replace`` == Spark's ``replace`` == DuckDB's).
+
+    One pass per merge over the vocab list: O(merges × vocab) driver work
+    with zero job-scheduling overhead — for the common case where the
+    vocab is thousands-to-millions of rows, this collapses 1 job per merge
+    into 0.
+    """
+    syms = [(sym, wc) for sym, wc in vocab]
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, BPE_MERGES + 1):
+        counts: dict[str, int] = {}
+        for sym, wc in syms:
+            parts = sym.split("  ")
+            for i in range(len(parts) - 1):
+                pair = parts[i] + "  " + parts[i + 1]
+                counts[pair] = counts.get(pair, 0) + wc
+        if not counts:
+            break
+        # max freq, ties broken by ascending pair (UTF-8 order == code
+        # point order, matching Spark/DuckDB string comparison)
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        freq = counts[pair]
+        merged = pair.replace("  ", "")
+        left, right = pair.split("  ")
+        merges.append((rank, left, right, merged, freq))
+        find, repl = f" {pair} ", f" {merged} "
+        syms = [
+            ((" " + sym + " ").replace(find, repl).strip(), wc)
+            for sym, wc in syms
+        ]
+    return merges
+
+
 def _learn(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[int, str, str, str, int]]:
     """Run the merge sweeps; returns the merge list.
 
-    Generation k is persisted lazily and materialized by generation k+1's
-    argmax action; the grandparent is unpersisted only then, so every
-    sweep costs exactly one job and lineage stays one replace deep without
-    defensive count() materializations.
+    Adaptive: the symbolized vocab is fetched with a ``limit(MAX+1)`` probe
+    (one job); when it fits under ``DRIVER_LEARN_MAX_VOCAB`` the merge loop
+    runs locally (:func:`_learn_local`).  Beyond that, the distributed
+    sweep loop below takes over: generation k is persisted lazily and
+    materialized by generation k+1's argmax action; the grandparent is
+    unpersisted only then, so every sweep costs exactly one job and
+    lineage stays one replace deep without defensive count()
+    materializations.
     """
-    vocab = (
-        _word_vocab(spark, sf_dir)
-        .select(
-            F.trim(F.regexp_replace("word", "(.)", "$1  ")).alias("sym"),
-            "wc",
-        )
-        .persist()
+    symbolized = _word_vocab(spark, sf_dir).select(
+        F.trim(F.regexp_replace("word", "(.)", "$1  ")).alias("sym"),
+        "wc",
     )
+    probe = symbolized.limit(DRIVER_LEARN_MAX_VOCAB + 1).collect()
+    if len(probe) <= DRIVER_LEARN_MAX_VOCAB:
+        return _learn_local([(r.sym, r.wc) for r in probe])
+
+    vocab = symbolized.persist()
     gens = [vocab]
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, BPE_MERGES + 1):

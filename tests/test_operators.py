@@ -1029,3 +1029,15 @@ def test_gdpr_delete_cascade_audit_is_consistent(spark):
     chunks = CU.chunk_documents(spark, SF_DIR)
     want_chunk_purged = chunks.filter(F.col("doc_id") % CU.GDPR_MOD == 0).count()
     assert rows["chunks"].n_purged == want_chunk_purged
+
+
+def test_bpe_local_and_distributed_learn_paths_agree(spark, monkeypatch):
+    """The driver-side merge loop and the distributed sweep loop are two
+    implementations of one contract — force the fallback and compare."""
+    import clickhouse_sinker_nali_spark.operators.bpe as B
+
+    local = B._learn(spark, SF_DIR)
+    monkeypatch.setattr(B, "DRIVER_LEARN_MAX_VOCAB", 0)
+    distributed = B._learn(spark, SF_DIR)
+    assert local == distributed
+    assert len(local) == B.BPE_MERGES

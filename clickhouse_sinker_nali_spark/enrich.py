@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 from functools import lru_cache
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints (PEP 563)
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -133,6 +134,58 @@ def enrich_ips(
     joined = df.join(
         g,
         (F.col(ip_int_col) >= g.ip_start) & (F.col(ip_int_col) < g.ip_end),
+        "left",
+    )
+    return joined.select(
+        *[F.col(c) for c in df.columns],
+        normalize_loc(F.col("loc")).alias(f"{out_prefix}loc"),
+        F.coalesce(F.col("isp"), F.lit(GEO_UNKNOWN)).alias(f"{out_prefix}isp"),
+    )
+
+
+def ipv6_hi64(col: Column | str) -> Column:
+    """IPv6 string → top 64 bits as decimal(20,0), the zxipv6wry lookup key
+    (reference ``zxipv6wry.go:68-81`` divides the 128-bit address by 2^64).
+
+    IPv6 text needs ``::`` expansion, so this is an Arrow-batched pandas
+    UDF (the one non-JVM step of the IPv6 path; the interval join itself
+    stays JVM-side).  Invalid addresses yield NULL.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _hi64(s: pd.Series) -> pd.Series:
+        import ipaddress
+
+        def conv(v):
+            try:
+                return str(int(ipaddress.IPv6Address(v)) >> 64)
+            except (ValueError, TypeError):
+                return None
+
+        return s.map(conv)
+
+    c = F.col(col) if isinstance(col, str) else col
+    return _hi64(c).cast("decimal(20,0)")
+
+
+def enrich_ipv6(
+    df: DataFrame,
+    geo6: DataFrame,
+    ip_hi_col: str,
+    out_prefix: str = "",
+) -> DataFrame:
+    """IPv6 GeoIP enrichment: broadcast interval join on the hi-64 key
+    against a zxipv6wry-converted range table
+    (:func:`..sources.zxipv6wry.zxipv6wry_to_dataframe`).
+
+    Same plan shape as :func:`enrich_ips` — the fact side never shuffles;
+    unmatched addresses get 未知 (F1).
+    """
+    g = broadcast(geo6)
+    joined = df.join(
+        g,
+        (F.col(ip_hi_col) >= g.ip_hi_start) & (F.col(ip_hi_col) < g.ip_hi_end),
         "left",
     )
     return joined.select(

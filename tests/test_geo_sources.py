@@ -1,0 +1,119 @@
+"""zxipv6wry (IPv6) and cdn.json geo-source readers.
+
+Reference surface: ``ipHandle/pkg/zxipv6wry/zxipv6wry.go:59-135`` (11-byte
+hi-64 index, redirect modes, CZ88 filler) and ``ipHandle/pkg/cdn/cdn.go:
+62-87`` (base-cname dict lookup + kunlun rule).
+"""
+
+from __future__ import annotations
+
+import json
+from decimal import Decimal
+
+from clickhouse_sinker_nali_spark.enrich import enrich_ipv6, ipv6_hi64
+from clickhouse_sinker_nali_spark.sources.cdn import (
+    KUNLUN_PROVIDER,
+    cdn_map_df,
+    enrich_cdn,
+)
+from clickhouse_sinker_nali_spark.sources.zxipv6wry import (
+    build_zxipv6wry_blob,
+    iter_zxipv6wry,
+    zxipv6wry_to_dataframe,
+)
+
+# 2001:db8::/32 → hi64 = 0x20010db8_00000000; 2400:... etc.
+HI_1 = 0x20010DB800000000
+HI_2 = 0x24008C0000000000
+HI_3 = 0xFE80000000000000
+
+ENTRIES = [
+    (HI_1, "中国 北京", "电信"),
+    (HI_2, "中国 上海", "联通"),
+    (HI_3, "局域网", ""),
+]
+
+
+def test_iter_zxipv6wry_decodes_all_layouts():
+    blob = build_zxipv6wry_blob(ENTRIES)
+    got = list(iter_zxipv6wry(blob))
+    assert [(s, loc, isp) for s, _, loc, isp in got] == [
+        (HI_1, "中国 北京", "电信"),   # direct (+ CZ88 filler stripped)
+        (HI_2, "中国 上海", "联通"),   # mode2 country + redirected area
+        (HI_3, "局域网", ""),          # mode1 whole-record redirect
+    ]
+    # ranges chain: each ends where the next begins; last extends to 2^64-1
+    assert got[0][1] == HI_2 and got[1][1] == HI_3
+    assert got[2][1] == (1 << 64) - 1
+
+
+def test_ipv6_convert_and_enrich_end_to_end(spark, tmp_path):
+    dat = tmp_path / "zxipv6wry.db"
+    dat.write_bytes(build_zxipv6wry_blob(ENTRIES))
+    geo6 = zxipv6wry_to_dataframe(spark, str(dat))
+    assert dict(geo6.dtypes)["ip_hi_start"] == "decimal(20,0)"
+
+    flows = spark.createDataFrame(
+        [
+            ("2001:db8::1",),                 # inside range 1
+            ("2400:8c00::abcd",),             # inside range 2
+            ("fe80::1",),                     # inside range 3 (link-local)
+            ("not-an-ip",),                   # NULL key → unmatched → 未知
+        ],
+        "ip6: string",
+    )
+    keyed = flows.withColumn("ip_hi", ipv6_hi64("ip6"))
+    out = {r.ip6: (r.loc, r.isp) for r in enrich_ipv6(keyed, geo6, "ip_hi").collect()}
+    assert out["2001:db8::1"] == ("中国 北京", "电信")
+    assert out["2400:8c00::abcd"] == ("中国 上海", "联通")
+    assert out["fe80::1"] == ("局域网", "")
+    assert out["not-an-ip"] == ("未知", "未知")
+
+
+def test_ipv6_hi64_values(spark):
+    df = spark.createDataFrame([("2001:db8::1",), ("::1",)], "ip6: string")
+    got = {r.ip6: r.hi for r in df.select("ip6", ipv6_hi64("ip6").alias("hi")).collect()}
+    assert got["2001:db8::1"] == Decimal(HI_1)
+    assert got["::1"] == Decimal(0)
+
+
+def test_cdn_lookup_and_kunlun_rule(spark, tmp_path):
+    cdn_json = tmp_path / "cdn.json"
+    cdn_json.write_text(
+        json.dumps(
+            {
+                "cloudfront.net": {"name": "CloudFront", "link": "aws.amazon.com"},
+                "akamaiedge.net": {"name": "Akamai", "link": ""},
+            }
+        ),
+        encoding="utf-8",
+    )
+    cdn = cdn_map_df(spark, str(cdn_json))
+    domains = spark.createDataFrame(
+        [
+            ("d1234.cloudfront.net",),   # exact map hit via base cname
+            ("e73.x.akamaiedge.net",),
+            ("img.kunlunca.com",),       # kunlun substring rule
+            ("example.org",),            # miss → NULL
+            ("localhost",),              # single label passes through → NULL
+        ],
+        "cname: string",
+    )
+    got = {r.cname: r.cdn_name for r in enrich_cdn(domains, cdn, "cname").collect()}
+    assert got["d1234.cloudfront.net"] == "CloudFront"
+    assert got["e73.x.akamaiedge.net"] == "Akamai"
+    assert got["img.kunlunca.com"] == KUNLUN_PROVIDER
+    assert got["example.org"] is None
+    assert got["localhost"] is None
+
+
+def test_enrich_ipv6_plan_is_broadcast(spark, tmp_path):
+    from clickhouse_sinker_nali_spark.plans import formatted_plan
+
+    dat = tmp_path / "zx.db"
+    dat.write_bytes(build_zxipv6wry_blob(ENTRIES))
+    geo6 = zxipv6wry_to_dataframe(spark, str(dat))
+    flows = spark.range(10).selectExpr("CAST(id AS decimal(20,0)) AS ip_hi")
+    plan = formatted_plan(enrich_ipv6(flows, geo6, "ip_hi"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -117,3 +117,56 @@ def test_enrich_ipv6_plan_is_broadcast(spark, tmp_path):
     plan = formatted_plan(enrich_ipv6(flows, geo6, "ip_hi"))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# -- ipip .ipdb --------------------------------------------------------------
+
+IPDB_FIELDS = ["country_name", "region_name", "city_name", "isp_domain"]
+IPDB_ENTRIES = [
+    ("1.0.0.0/24",    ["澳大利亚", "", "", ""]),
+    ("8.8.8.0/24",    ["美国", "加利福尼亚", "山景城", "google.com"]),
+    ("114.114.0.0/16", ["中国", "江苏", "南京", "chinanet"]),
+]
+
+
+def test_iter_ipdb_v4_emits_inserted_cidrs():
+    from clickhouse_sinker_nali_spark.sources.ipdb import (
+        build_ipdb_blob,
+        iter_ipdb_v4,
+    )
+
+    blob = build_ipdb_blob(IPDB_ENTRIES, IPDB_FIELDS)
+    got = sorted(iter_ipdb_v4(blob))
+    assert len(got) == 3
+    def ip(s):
+        import ipaddress
+        return int(ipaddress.IPv4Address(s))
+    assert got[0] == (ip("1.0.0.0"), ip("1.0.1.0"), ["澳大利亚", "", "", ""])
+    assert got[1] == (ip("8.8.8.0"), ip("8.8.9.0"),
+                      ["美国", "加利福尼亚", "山景城", "google.com"])
+    assert got[2] == (ip("114.114.0.0"), ip("114.115.0.0"),
+                      ["中国", "江苏", "南京", "chinanet"])
+
+
+def test_ipdb_convert_and_enrich_end_to_end(spark, tmp_path):
+    from clickhouse_sinker_nali_spark.enrich import enrich_ips, ipv4_to_long
+    from clickhouse_sinker_nali_spark.sources.ipdb import (
+        build_ipdb_blob,
+        ipdb_to_dataframe,
+    )
+
+    dat = tmp_path / "ipipfree.ipdb"
+    dat.write_bytes(build_ipdb_blob(IPDB_ENTRIES, IPDB_FIELDS))
+    geo = ipdb_to_dataframe(spark, str(dat))
+    # loc is the reference Result.String shape: non-empty parts joined
+    locs = {r.loc for r in geo.collect()}
+    assert "美国 加利福尼亚 山景城" in locs and "澳大利亚" in locs
+
+    flows = spark.createDataFrame(
+        [("8.8.8.8",), ("114.114.114.114",), ("9.9.9.9",)], "ip: string"
+    )
+    keyed = flows.withColumn("ip_int", ipv4_to_long("ip"))
+    out = {r.ip: (r.loc, r.isp) for r in enrich_ips(keyed, geo, "ip_int").collect()}
+    assert out["8.8.8.8"] == ("美国 加利福尼亚 山景城", "google.com")
+    assert out["114.114.114.114"] == ("中国 江苏 南京", "chinanet")
+    assert out["9.9.9.9"] == ("未知", "未知")

@@ -170,3 +170,53 @@ def test_ipdb_convert_and_enrich_end_to_end(spark, tmp_path):
     assert out["8.8.8.8"] == ("美国 加利福尼亚 山景城", "google.com")
     assert out["114.114.114.114"] == ("中国 江苏 南京", "chinanet")
     assert out["9.9.9.9"] == ("未知", "未知")
+
+
+# -- GeoLite2 mmdb -----------------------------------------------------------
+
+MMDB_ENTRIES = [
+    ("1.0.0.0/24", {"country": {"names": {"zh-CN": "澳大利亚", "en": "Australia"}}}),
+    ("8.8.8.0/24", {"country": {"names": {"en": "United States"}},
+                     "city": {"names": {"en": "Mountain View"}}}),
+    ("114.114.0.0/16", {"country": {"names": {"zh-CN": "中国", "en": "China"}},
+                         "city": {"names": {"zh-CN": "南京", "en": "Nanjing"}}}),
+]
+
+
+def test_iter_mmdb_v4_roundtrips_fixture():
+    import ipaddress
+
+    from clickhouse_sinker_nali_spark.sources.geolite2 import (
+        build_mmdb_blob,
+        iter_mmdb_v4,
+    )
+
+    for ipv in (6, 4):  # GeoLite2 ships IPv6-form trees; cover both
+        blob = build_mmdb_blob(MMDB_ENTRIES, ip_version=ipv)
+        got = sorted(iter_mmdb_v4(blob))
+        assert len(got) == 3
+        ip = lambda s: int(ipaddress.IPv4Address(s))
+        assert got[1][0] == ip("8.8.8.0") and got[1][1] == ip("8.8.9.0")
+        assert got[2][2]["country"]["names"]["zh-CN"] == "中国"
+
+
+def test_geolite2_convert_and_enrich_end_to_end(spark, tmp_path):
+    from clickhouse_sinker_nali_spark.enrich import enrich_ips, ipv4_to_long
+    from clickhouse_sinker_nali_spark.sources.geolite2 import (
+        build_mmdb_blob,
+        geolite2_to_dataframe,
+    )
+
+    dat = tmp_path / "GeoLite2-City.mmdb"
+    dat.write_bytes(build_mmdb_blob(MMDB_ENTRIES))
+    geo = geolite2_to_dataframe(spark, str(dat))
+    flows = spark.createDataFrame(
+        [("114.114.114.114",), ("8.8.8.8",), ("9.9.9.9",)], "ip: string"
+    )
+    keyed = flows.withColumn("ip_int", ipv4_to_long("ip"))
+    out = {r.ip: r.loc for r in enrich_ips(keyed, geo, "ip_int").collect()}
+    # zh-CN preferred, en fallback (reference geoip.go:49-54); country-only
+    # records omit the city (Result.String)
+    assert out["114.114.114.114"] == "中国 南京"
+    assert out["8.8.8.8"] == "United States Mountain View"
+    assert out["9.9.9.9"] == "未知"

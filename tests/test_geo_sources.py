@@ -220,3 +220,52 @@ def test_geolite2_convert_and_enrich_end_to_end(spark, tmp_path):
     assert out["114.114.114.114"] == "中国 南京"
     assert out["8.8.8.8"] == "United States Mountain View"
     assert out["9.9.9.9"] == "未知"
+
+
+# -- db registry -------------------------------------------------------------
+
+
+def test_geodb_selection_rules(monkeypatch):
+    from clickhouse_sinker_nali_spark.sources import geodb
+
+    monkeypatch.delenv("NALI_DB_IP4", raising=False)
+    monkeypatch.delenv("NALI_DB_IP6", raising=False)
+    # language defaults (reference db.go:55-73)
+    assert geodb.select_ipv4_db(lang="zh-CN") == "qqwry"
+    assert geodb.select_ipv4_db(lang="en") == "geoip2"
+    assert geodb.select_ipv6_db(lang="zh-CN") == "zxipv6wry"
+    assert geodb.select_ipv6_db(lang="en") == "geoip2"
+    # explicit names + aliases (GetIPDBbyName), unknown → qqwry
+    for alias in ("geo", "geoip", "geoip2"):
+        assert geodb.select_ipv4_db(alias) == "geoip2"
+    for alias in ("chunzhen", "qqip", "qqwry"):
+        assert geodb.select_ipv4_db(alias) == "qqwry"
+    for alias in ("ipip", "ipipfree", "ipip.net"):
+        assert geodb.select_ipv4_db(alias) == "ipip"
+    assert geodb.select_ipv4_db("nonsense") == "qqwry"
+    # env override
+    monkeypatch.setenv("NALI_DB_IP4", "ipipfree")
+    assert geodb.select_ipv4_db() == "ipip"
+
+
+def test_geodb_builds_from_home_dir(spark, tmp_path, monkeypatch):
+    from clickhouse_sinker_nali_spark.sources import geodb
+    from clickhouse_sinker_nali_spark.sources.geolite2 import build_mmdb_blob
+    from clickhouse_sinker_nali_spark.sources.ipdb import build_ipdb_blob
+    from clickhouse_sinker_nali_spark.sources.zxipv6wry import build_zxipv6wry_blob
+
+    monkeypatch.delenv("NALI_DB_IP4", raising=False)
+    monkeypatch.delenv("NALI_DB_IP6", raising=False)
+    home = str(tmp_path)
+    (tmp_path / geodb.GEOLITE2_FILE).write_bytes(build_mmdb_blob(MMDB_ENTRIES))
+    (tmp_path / geodb.IPIPFREE_FILE).write_bytes(
+        build_ipdb_blob(IPDB_ENTRIES, IPDB_FIELDS)
+    )
+    (tmp_path / geodb.ZXIPV6WRY_FILE).write_bytes(build_zxipv6wry_blob(ENTRIES))
+
+    v4 = geodb.build_ipv4_ranges(spark, home, lang="en")       # → GeoLite2
+    assert "中国 南京" in {r.loc for r in v4.collect()}
+    v4b = geodb.build_ipv4_ranges(spark, home, db_name="ipip")  # → ipdb
+    assert "中国 江苏 南京" in {r.loc for r in v4b.collect()}
+    v6 = geodb.build_ipv6_ranges(spark, home, lang="zh-CN")     # → zxipv6wry
+    assert dict(v6.dtypes)["ip_hi_start"] == "decimal(20,0)"

@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_bottomk": A.quantile_sketch_bottomk,
         # fifth wave: distinct sketch, anomaly scan, moving window, postings
         "kmv_distinct_sketch": A.kmv_distinct_sketch,
+        "cms_heavy_hitters": A.cms_heavy_hitters,
         "zscore_day_anomalies": A.zscore_day_anomalies,
         "rolling_7day_revenue": W.rolling_7day_revenue,
         "inverted_index_postings": T.inverted_index_postings,
@@ -253,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": A.COHORT_SQL,
         "quantile_sketch_bottomk": A.QUANTILE_SKETCH_SQL,
         "kmv_distinct_sketch": A.KMV_SKETCH_SQL,
+        "cms_heavy_hitters": A.CMS_HEAVY_HITTERS_SQL,
         "zscore_day_anomalies": A.ZSCORE_ANOMALY_SQL,
         "rolling_7day_revenue": W.ROLLING_7DAY_SQL,
         "inverted_index_postings": T.INVERTED_INDEX_SQL,

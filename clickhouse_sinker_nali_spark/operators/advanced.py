@@ -1085,3 +1085,97 @@ PROFILE_COLUMNS_SQL = (
     )
     + "\nORDER BY col_name"
 )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters (exactly reproducible cross-engine)
+# --------------------------------------------------------------------------
+
+_CMS_DEPTH = 4     # independent hash rows
+_CMS_WIDTH = 64    # buckets per row
+_CMS_MIN_FREQ = 50  # heavy-hitter report threshold on the CMS estimate
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter words via a count-min sketch, with the exact count
+    alongside to expose the one-sided overestimate (Cormode & Muthukrishnan
+    2005: est >= true, est <= true + eps*N w.h.p.).
+
+    The sketch is DEPTH×WIDTH integer cells — a few KB regardless of
+    corpus size — built with ONE map-side-combined groupBy on
+    (row, bucket): at 100 TB the partial agg collapses each partition to
+    <= 256 cells before the shuffle, making this the cheapest possible
+    frequency summary.  Point queries join each candidate's d buckets
+    against the sketch and take min(cell).  Buckets come from
+    ``portable_hash64(r || ':' || word) % WIDTH`` so DuckDB reproduces
+    every cell bit-for-bit (Spark's own count_min_sketch() hashes
+    engine-internally, like approx_count_distinct — rows-only checkable).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split("text", r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(_CMS_DEPTH)])
+    ).alias("r")
+    cells = (
+        words.select("word", rows)
+        .select(
+            "r",
+            F.pmod(
+                portable_hash64(
+                    F.concat(F.col("r").cast("string"), F.lit(":"), F.col("word"))
+                ),
+                F.lit(_CMS_WIDTH),
+            ).alias("bucket"),
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell"))
+    )
+
+    exact = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_freq"))
+    probes = exact.select("word", "exact_freq", rows).select(
+        "word",
+        "exact_freq",
+        "r",
+        F.pmod(
+            portable_hash64(
+                F.concat(F.col("r").cast("string"), F.lit(":"), F.col("word"))
+            ),
+            F.lit(_CMS_WIDTH),
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("word", "exact_freq")
+        .agg(F.min("cell").alias("est_freq"))
+        .filter(F.col("est_freq") >= _CMS_MIN_FREQ)
+        .select("word", "est_freq", "exact_freq")
+        .orderBy("word")
+    )
+
+
+_CMS_HASH = portable_hash64_sql("(r.r::VARCHAR || ':' || word)")
+
+CMS_HEAVY_HITTERS_SQL = f"""
+WITH words AS (
+    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents
+), w AS (SELECT word FROM words WHERE word <> ''),
+rows_ AS (SELECT unnest(range(0, {_CMS_DEPTH})) AS r),
+cells AS (
+    SELECT r.r, {_CMS_HASH} % {_CMS_WIDTH} AS bucket, COUNT(*) AS cell
+    FROM w, rows_ r GROUP BY 1, 2
+),
+exact AS (SELECT word, COUNT(*) AS exact_freq FROM w GROUP BY word),
+probes AS (
+    SELECT e.word, e.exact_freq, r.r,
+           {portable_hash64_sql("(r.r::VARCHAR || ':' || e.word)")} % {_CMS_WIDTH} AS bucket
+    FROM exact e, rows_ r
+)
+SELECT p.word, MIN(c.cell) AS est_freq, p.exact_freq
+FROM probes p JOIN cells c ON p.r = c.r AND p.bucket = c.bucket
+GROUP BY p.word, p.exact_freq
+HAVING MIN(c.cell) >= {_CMS_MIN_FREQ}
+ORDER BY p.word
+"""

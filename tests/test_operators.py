@@ -1041,3 +1041,10 @@ def test_bpe_local_and_distributed_learn_paths_agree(spark, monkeypatch):
     distributed = B._learn(spark, SF_DIR)
     assert local == distributed
     assert len(local) == B.BPE_MERGES
+
+
+def test_cms_estimate_is_one_sided_overestimate(spark):
+    # CMS guarantee: est >= exact for every key; equality when no collision
+    rows = A.cms_heavy_hitters(spark, SF_DIR).collect()
+    assert rows  # corpus has heavy words
+    assert all(r.est_freq >= r.exact_freq for r in rows)

@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fifth wave: distinct sketch, anomaly scan, moving window, postings
         "kmv_distinct_sketch": A.kmv_distinct_sketch,
         "cms_heavy_hitters": A.cms_heavy_hitters,
+        "gopher_quality_filter": T.gopher_quality_filter,
+        "ccnet_buckets": T.ccnet_buckets,
         "zscore_day_anomalies": A.zscore_day_anomalies,
         "rolling_7day_revenue": W.rolling_7day_revenue,
         "inverted_index_postings": T.inverted_index_postings,
@@ -255,6 +257,8 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch_bottomk": A.QUANTILE_SKETCH_SQL,
         "kmv_distinct_sketch": A.KMV_SKETCH_SQL,
         "cms_heavy_hitters": A.CMS_HEAVY_HITTERS_SQL,
+        "gopher_quality_filter": T.GOPHER_FILTER_SQL,
+        "ccnet_buckets": T.CCNET_BUCKETS_SQL,
         "zscore_day_anomalies": A.ZSCORE_ANOMALY_SQL,
         "rolling_7day_revenue": W.ROLLING_7DAY_SQL,
         "inverted_index_postings": T.INVERTED_INDEX_SQL,

@@ -716,3 +716,156 @@ FROM words JOIN probs USING (word)
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Gopher-style rule filter (Rae et al. 2021, "Scaling Language Models" §A.1)
+# --------------------------------------------------------------------------
+
+# Rule constants, scaled to this corpus' short synthetic docs (the
+# published thresholds are 50..100k words, mean word length 3..10,
+# >= 80% alphabetic words, and stop-word presence >= 2).
+_GOPHER_MIN_WORDS = 8
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MEAN_WLEN = 3.0
+_GOPHER_MAX_MEAN_WLEN = 10.0
+_GOPHER_MIN_ALPHA_RATIO = 0.8
+_GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition-free quality rules as one scan+project pass:
+    per-doc word count bounds, mean word length window, alphabetic-word
+    ratio, and distinct-stop-word floor, each as its own boolean column
+    plus the conjunction ``keep`` — the shape every rule-based curation
+    stage wants (audit WHY a doc dropped, not just that it did).
+
+    Pure column algebra over one split: no shuffle, no UDF — at 100 TB
+    this runs at parquet-scan speed and the selectivity stats come from
+    one ``groupBy().count()`` on the booleans if needed downstream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.filter(_words(), lambda w: w != "")
+    n_words = F.size(words)
+    mean_wlen = (
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+        .cast("double") / n_words
+    )
+    alpha_ratio = (
+        F.size(F.filter(words, lambda w: w.rlike("^[A-Za-z]+$"))).cast("double")
+        / n_words
+    )
+    n_stop_distinct = F.size(
+        F.array_distinct(
+            F.filter(words, lambda w: F.lower(w).isin(list(_STOPWORDS)))
+        )
+    )
+    rules = {
+        "ok_word_count": (n_words >= _GOPHER_MIN_WORDS)
+        & (n_words <= _GOPHER_MAX_WORDS),
+        "ok_mean_word_len": (mean_wlen >= _GOPHER_MIN_MEAN_WLEN)
+        & (mean_wlen <= _GOPHER_MAX_MEAN_WLEN),
+        "ok_alpha_ratio": alpha_ratio >= _GOPHER_MIN_ALPHA_RATIO,
+        "ok_stopwords": n_stop_distinct >= _GOPHER_MIN_STOPWORDS,
+    }
+    keep = rules["ok_word_count"]
+    for r in list(rules.values())[1:]:
+        keep = keep & r
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        n_stop_distinct.alias("n_stop_distinct"),
+        *[expr.alias(name) for name, expr in rules.items()],
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+GOPHER_FILTER_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           len(ws) AS n_words,
+           list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)
+               AS mean_word_len,
+           len(list_filter(ws, w -> regexp_full_match(w, '[A-Za-z]+')))::DOUBLE
+               / len(ws) AS alpha_ratio,
+           len(list_distinct(list_filter(ws,
+               w -> lower(w) IN ({_STOP_LIST})))) AS n_stop_distinct
+    FROM base
+)
+SELECT doc_id, n_words,
+       ROUND(mean_word_len, 6) AS mean_word_len,
+       ROUND(alpha_ratio, 6) AS alpha_ratio,
+       n_stop_distinct,
+       n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS} AS ok_word_count,
+       mean_word_len BETWEEN {_GOPHER_MIN_MEAN_WLEN} AND {_GOPHER_MAX_MEAN_WLEN}
+           AS ok_mean_word_len,
+       alpha_ratio >= {_GOPHER_MIN_ALPHA_RATIO} AS ok_alpha_ratio,
+       n_stop_distinct >= {_GOPHER_MIN_STOPWORDS} AS ok_stopwords,
+       (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+       AND (mean_word_len BETWEEN {_GOPHER_MIN_MEAN_WLEN} AND {_GOPHER_MAX_MEAN_WLEN})
+       AND alpha_ratio >= {_GOPHER_MIN_ALPHA_RATIO}
+       AND n_stop_distinct >= {_GOPHER_MIN_STOPWORDS} AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (Wenzek et al. 2020)
+# --------------------------------------------------------------------------
+
+
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """head/middle/tail quality buckets per language from the unigram-LM
+    score — CCNet's split of each language's corpus into perplexity
+    tertiles, using :func:`unigram_logprob` as the cheap stand-in LM.
+
+    ``ntile(3)`` over (lang, avg_logprob DESC): higher likelihood → head.
+    The window runs per language partition — at 100 TB each language's
+    scores shuffle once on the lang key; skewed languages (English) split
+    fine because ntile is a single ordered pass within the partition.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = unigram_logprob(spark, sf_dir).join(docs, "doc_id")
+    w = W.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    tile = F.ntile(3).over(w)
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            tile.alias("tertile"),
+        )
+        .withColumn(
+            "bucket",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("tertile"),
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH scores AS ({UNIGRAM_LOGPROB_SQL.replace("ORDER BY doc_id", "")}),
+t AS (
+    SELECT s.doc_id, d.lang, s.avg_logprob,
+           NTILE(3) OVER (PARTITION BY d.lang
+                          ORDER BY s.avg_logprob DESC, s.doc_id) AS tertile
+    FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, avg_logprob, tertile,
+       CASE tertile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+FROM t
+ORDER BY doc_id
+"""

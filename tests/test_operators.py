@@ -1048,3 +1048,35 @@ def test_cms_estimate_is_one_sided_overestimate(spark):
     rows = A.cms_heavy_hitters(spark, SF_DIR).collect()
     assert rows  # corpus has heavy words
     assert all(r.est_freq >= r.exact_freq for r in rows)
+
+
+def test_gopher_filter_keep_is_rule_conjunction(spark):
+    rows = T.gopher_quality_filter(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.keep == (
+            r.ok_word_count and r.ok_mean_word_len
+            and r.ok_alpha_ratio and r.ok_stopwords
+        )
+    # rules are live on this corpus: some docs pass, not all
+    kept = sum(r.keep for r in rows)
+    assert 0 < kept < 500
+
+
+def test_ccnet_buckets_are_balanced_tertiles_per_lang(spark):
+    rows = T.ccnet_buckets(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        assert r.bucket == {1: "head", 2: "middle", 3: "tail"}[r.tertile]
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        counts = [0, 0, 0]
+        for r in rs:
+            counts[r.tertile - 1] += 1
+        assert max(counts) - min(counts) <= 1  # ntile balance
+        # head scores >= tail scores within a language
+        head = [r.avg_logprob for r in rs if r.bucket == "head"]
+        tail = [r.avg_logprob for r in rs if r.bucket == "tail"]
+        if head and tail:
+            assert min(head) >= max(tail) - 1e-12

@@ -645,3 +645,87 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(_cell_scores(cents, "embedding")).getField("cid").alias("cid"),
     )
     return _rank_probed(corpus, _probed_queries(emb, cents))
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: semantic dedup via cluster-blocked cosine (Abbas et al. 2023)
+# --------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.4  # cosine above which two embeddings are "same meaning"
+
+
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over the embedding corpus: assign every vector to its
+    nearest centroid cell (the IVF coarse quantizer — map-side argmax, no
+    shuffle), then within each cell drop any vector that has a
+    higher-similarity-than-threshold neighbor with a smaller id.
+
+    This is the SemDeDup recipe: the clustering bounds the quadratic
+    cosine check to within-cell pairs (|cell| ≈ corpus/K), which is what
+    makes semantic dedup feasible at 100 TB — the cell equi-self-join
+    shuffles on the cell key only, never corpus × corpus.  Output is every
+    corpus vector with its cell, a ``keep`` verdict, and the dominating
+    duplicate (NULL when kept) — audit-friendly, like the Gopher filter.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        "vec_id",
+        F.col("embedding").alias("ce"),
+        F.array_max(_cell_scores(cents, "embedding")).getField("cid").alias("cid"),
+    )
+    a, b = corpus.alias("a"), corpus.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("dup_id"),
+            cosine(F.col("a.ce"), F.col("b.ce")).alias("sim"),
+        )
+        .filter(F.col("sim") >= SEMDEDUP_THRESHOLD)
+        .groupBy("vec_id")
+        .agg(F.min("dup_id").alias("dup_of"))
+    )
+    return (
+        corpus.join(dominated, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+        .orderBy("vec_id")
+    )
+
+
+_COS_AB = _cos_pair("a.embedding", "b.embedding")
+
+SEMDEDUP_SQL = f"""
+WITH cent AS (
+    SELECT vec_id - {N_QUERIES} AS cid, embedding FROM embeddings
+    WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_CENTROIDS}
+),
+corpus AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT c.vec_id, c.embedding, t.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                    ORDER BY {_COS_CT} DESC, t.cid DESC) AS rn
+        FROM embeddings c, cent t
+        WHERE c.vec_id >= {N_QUERIES}
+    ) WHERE rn = 1
+),
+dominated AS (
+    SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+    FROM corpus a JOIN corpus b
+      ON a.cid = b.cid AND b.vec_id < a.vec_id
+    WHERE {_COS_AB} >= {SEMDEDUP_THRESHOLD}
+    GROUP BY a.vec_id
+)
+SELECT c.vec_id, c.cid, d.dup_of IS NULL AS keep, d.dup_of
+FROM corpus c LEFT JOIN dominated d ON c.vec_id = d.vec_id
+ORDER BY c.vec_id
+"""

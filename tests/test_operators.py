@@ -1080,3 +1080,15 @@ def test_ccnet_buckets_are_balanced_tertiles_per_lang(spark):
         tail = [r.avg_logprob for r in rs if r.bucket == "tail"]
         if head and tail:
             assert min(head) >= max(tail) - 1e-12
+
+
+def test_semdedup_keeps_canonical_and_dups_share_cell(spark):
+    rows = {r.vec_id: r for r in S.semdedup(spark, SF_DIR).collect()}
+    cells = {v: r.cid for v, r in rows.items()}
+    dropped = [r for r in rows.values() if not r.keep]
+    assert len(rows) > 0
+    for r in dropped:
+        assert r.dup_of is not None and r.dup_of < r.vec_id
+        assert cells[r.dup_of] == r.cid  # dominator is in the same cell
+    # kept rows have no dominator recorded
+    assert all(r.dup_of is None for r in rows.values() if r.keep)

@@ -1092,3 +1092,23 @@ def test_semdedup_keeps_canonical_and_dups_share_cell(spark):
         assert cells[r.dup_of] == r.cid  # dominator is in the same cell
     # kept rows have no dominator recorded
     assert all(r.dup_of is None for r in rows.values() if r.keep)
+
+
+def test_matryoshka_rerank_scores_match_bruteforce(spark):
+    # stage-2 cosine must equal brute force for shared (query, neighbor)
+    # pairs; the coarse stage only restricts the candidate set
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in S.ann_bruteforce_topk(spark, SF_DIR).collect()
+    }
+    mrl = S.ann_matryoshka_topk(spark, SF_DIR).collect()
+    assert {r.query_id for r in mrl} == set(range(S.N_QUERIES))
+    hits = 0
+    for r in mrl:
+        if (r.query_id, r.neighbor_id) in bf:
+            assert abs(bf[(r.query_id, r.neighbor_id)] - r.cos_sim) < 1e-6
+            hits += 1
+    # these are generic random embeddings (no Matryoshka training), so a
+    # 16/64 prefix carries ~1/4 of the mass — recall is the tunable knob,
+    # not a guarantee; assert it lands in a sane band rather than collapse
+    assert hits >= len(mrl) // 4

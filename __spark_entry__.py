@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": T.ccnet_buckets,
         "semdedup": S.semdedup,
         "ann_matryoshka_topk": S.ann_matryoshka_topk,
+        "mixture_sample": C.mixture_sample,
         "zscore_day_anomalies": A.zscore_day_anomalies,
         "rolling_7day_revenue": W.rolling_7day_revenue,
         "inverted_index_postings": T.inverted_index_postings,
@@ -263,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_buckets": T.CCNET_BUCKETS_SQL,
         "semdedup": S.SEMDEDUP_SQL,
         "ann_matryoshka_topk": S.ANN_MATRYOSHKA_SQL,
+        "mixture_sample": C.MIXTURE_SAMPLE_SQL,
         "zscore_day_anomalies": A.ZSCORE_ANOMALY_SQL,
         "rolling_7day_revenue": W.ROLLING_7DAY_SQL,
         "inverted_index_postings": T.INVERTED_INDEX_SQL,

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import portable_hash64_sql
 from ..session import load_table
 from . import advanced as A
 from . import dedup as D
@@ -339,4 +340,92 @@ SELECT 'embeddings', CAST(COUNT(*) AS BIGINT),
        CAST(SUM(CASE WHEN vec_id IN (SELECT req_id FROM req) THEN 0 ELSE 1 END) AS BIGINT)
 FROM embeddings
 ORDER BY store
+"""
+
+
+# --------------------------------------------------------------------------
+# Data mixing: sample the corpus to target source/language proportions
+# --------------------------------------------------------------------------
+
+# Target language mixture for the training corpus (weights sum to 1).
+MIXTURE_WEIGHTS = {"en": 0.5, "de": 0.2, "es": 0.2, "fr": 0.1}
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: the largest corpus whose language
+    proportions exactly match ``MIXTURE_WEIGHTS``.
+
+    The binding constraint is the scarcest language relative to its
+    weight: N_out = min_l floor(n_l / w_l), then each language
+    contributes floor(w_l * N_out) docs — chosen as the lowest
+    content-hash rows per language, so the "random" subset is stable
+    under repartitioning, task retries, and engine (same hash in the
+    oracle).  This is the mixing step every multi-source training recipe
+    runs (weights per source/language/quality-bucket), expressed as one
+    window over a per-language hash order: the corpus shuffles ONCE on
+    lang, the per-lang counts ride a broadcast.
+
+    Returns the kept rows with their language, hash rank, and the
+    per-language quota that admitted them.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin(list(MIXTURE_WEIGHTS))
+    )
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    weights = F.create_map(
+        *[F.lit(x) for kv in MIXTURE_WEIGHTS.items() for x in kv]
+    )
+    limiting = counts.select(
+        F.min(
+            F.floor(F.col("n_l") / F.element_at(weights, F.col("lang")))
+        ).alias("n_out")
+    )
+    quotas = counts.crossJoin(F.broadcast(limiting)).select(
+        "lang",
+        F.floor(F.element_at(weights, F.col("lang")) * F.col("n_out"))
+        .cast("bigint")
+        .alias("quota"),
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    ranked = docs.select(
+        "doc_id", "lang", portable_hash64(F.col("text")).alias("h")
+    ).withColumn("hash_rank", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quotas), "lang")
+        .filter(F.col("hash_rank") <= F.col("quota"))
+        .select("doc_id", "lang", "hash_rank", "quota")
+        .orderBy("doc_id")
+    )
+
+
+_MIX_CASES = " ".join(
+    f"WHEN '{lang}' THEN {w}" for lang, w in MIXTURE_WEIGHTS.items()
+)
+_MIX_LANGS = ", ".join(f"'{lang}'" for lang in MIXTURE_WEIGHTS)
+
+MIXTURE_SAMPLE_SQL = f"""
+WITH docs AS (
+    SELECT doc_id, lang, {portable_hash64_sql('text')} AS h,
+           CASE lang {_MIX_CASES} END AS w
+    FROM documents WHERE lang IN ({_MIX_LANGS})
+),
+counts AS (SELECT lang, ANY_VALUE(w) AS w, COUNT(*) AS n_l FROM docs GROUP BY lang),
+limiting AS (SELECT MIN(FLOOR(n_l / w)) AS n_out FROM counts),
+quotas AS (
+    SELECT lang, CAST(FLOOR(w * (SELECT n_out FROM limiting)) AS BIGINT) AS quota
+    FROM counts
+),
+ranked AS (
+    SELECT doc_id, lang, h,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS hash_rank
+    FROM docs
+)
+SELECT r.doc_id, r.lang, r.hash_rank, q.quota
+FROM ranked r JOIN quotas q USING (lang)
+WHERE r.hash_rank <= q.quota
+ORDER BY r.doc_id
 """

@@ -1112,3 +1112,19 @@ def test_matryoshka_rerank_scores_match_bruteforce(spark):
     # 16/64 prefix carries ~1/4 of the mass — recall is the tunable knob,
     # not a guarantee; assert it lands in a sane band rather than collapse
     assert hits >= len(mrl) // 4
+
+
+def test_mixture_sample_hits_target_proportions(spark):
+    import clickhouse_sinker_nali_spark.operators.curation as C
+
+    rows = C.mixture_sample(spark, SF_DIR).collect()
+    by_lang: dict[str, int] = {}
+    for r in rows:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+        assert r.hash_rank <= r.quota
+    total = sum(by_lang.values())
+    assert total > 0
+    # achieved proportions match the target weights up to floor rounding
+    for lang, w in C.MIXTURE_WEIGHTS.items():
+        got = by_lang.get(lang, 0)
+        assert abs(got - w * total) <= len(C.MIXTURE_WEIGHTS)

@@ -77,16 +77,43 @@ COMMENTARY = {
         "replay sweeps 1..k-1 (the plan shows only the LAST sweep reading "
         "checkpointed RDDs, which is the point)."
     ),
+    "semdedup": (
+        "SemDeDup: cell assignment is a map-side argmax over centroid "
+        "literals (no corpus shuffle); the dominance check is a cell-keyed "
+        "equi-self-join — within-cell quadratic, never corpus × corpus."
+    ),
+    "ann_matryoshka_topk": (
+        "Two-stage retrieval: the coarse pass folds only a 16-dim prefix "
+        "(4× less arithmetic in the bandwidth-bound broadcast loop); the "
+        "exact cosine runs on |queries|×shortlist rows after the window cut."
+    ),
+    "cms_heavy_hitters": (
+        "Count-min sketch: the sketch build is one map-combined groupBy on "
+        "(row, bucket) — ≤256 cells leave every partition; probes broadcast "
+        "the sketch, so the only corpus-sized work is the word explode."
+    ),
+    "mixture_sample": (
+        "Mixture sampling: one shuffle on lang for the hash-rank window; "
+        "quotas and the limiting count ride broadcasts. Membership is a "
+        "content-hash gate — stable under any partitioning."
+    ),
+    "unigram_logprob": (
+        "Unigram LM scoring: the corpus total folds into the plan as a "
+        "window over the vocab-sized count aggregate — two document scans "
+        "total, probs broadcast back onto the words relation."
+    ),
 }
 
 
 def main() -> None:
+    from clickhouse_sinker_nali_spark.operators import advanced as A
     from clickhouse_sinker_nali_spark.operators import curation as C
     from clickhouse_sinker_nali_spark.operators import dedup as D
     from clickhouse_sinker_nali_spark.operators import graph as G
     from clickhouse_sinker_nali_spark.operators import ingest as I
     from clickhouse_sinker_nali_spark.operators import relational as R
     from clickhouse_sinker_nali_spark.operators import similarity as S
+    from clickhouse_sinker_nali_spark.operators import text as T
     from clickhouse_sinker_nali_spark.session import get_spark
 
     queries = {
@@ -100,6 +127,11 @@ def main() -> None:
         "entity_extract": I.entity_extract,
         "ann_ivf_persisted": S.ann_ivf_persisted,
         "doc_pagerank": G.doc_pagerank,
+        "semdedup": S.semdedup,
+        "ann_matryoshka_topk": S.ann_matryoshka_topk,
+        "cms_heavy_hitters": A.cms_heavy_hitters,
+        "mixture_sample": C.mixture_sample,
+        "unigram_logprob": T.unigram_logprob,
     }
 
     spark = get_spark("plans", shuffle_partitions=8)

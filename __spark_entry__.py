@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": S.semdedup,
         "ann_matryoshka_topk": S.ann_matryoshka_topk,
         "mixture_sample": C.mixture_sample,
+        "bpe_fertility_by_lang": B.bpe_fertility_by_lang,
         "zscore_day_anomalies": A.zscore_day_anomalies,
         "rolling_7day_revenue": W.rolling_7day_revenue,
         "inverted_index_postings": T.inverted_index_postings,
@@ -265,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": S.SEMDEDUP_SQL,
         "ann_matryoshka_topk": S.ANN_MATRYOSHKA_SQL,
         "mixture_sample": C.MIXTURE_SAMPLE_SQL,
+        "bpe_fertility_by_lang": B.BPE_FERTILITY_SQL,
         "zscore_day_anomalies": A.ZSCORE_ANOMALY_SQL,
         "rolling_7day_revenue": W.ROLLING_7DAY_SQL,
         "inverted_index_postings": T.INVERTED_INDEX_SQL,

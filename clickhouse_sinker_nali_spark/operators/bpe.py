@@ -364,3 +364,43 @@ BPE_ENCODE_SQL = (
     "FROM words w JOIN map m USING (word)\n"
     "GROUP BY w.doc_id\nORDER BY w.doc_id"
 )
+
+
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (tokens per word) aggregated per language — the
+    standard tokenizer-fairness metric: a BPE learned on a mixed corpus
+    fragments under-represented languages into more tokens, inflating
+    their training cost per word.
+
+    Reuses the encode pipeline (merges learned once, token counts per
+    DISTINCT word broadcast back), then one tiny groupBy on lang.  The
+    corpus-sized work is identical to ``bpe_encode``; the per-language
+    rollup rides the same shuffle.
+    """
+    per_doc = bpe_encode(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.sum("n_words"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+BPE_FERTILITY_SQL = (
+    "WITH per_doc AS (" + BPE_ENCODE_SQL.replace("ORDER BY w.doc_id", "") + ")\n"
+    "SELECT d.lang, COUNT(*) AS n_docs,\n"
+    "       CAST(SUM(p.n_words) AS BIGINT) AS n_words,\n"
+    "       CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,\n"
+    "       ROUND(CAST(SUM(p.n_tokens) AS DOUBLE) / SUM(p.n_words), 6)\n"
+    "           AS fertility\n"
+    "FROM per_doc p JOIN documents d USING (doc_id)\n"
+    "GROUP BY d.lang\nORDER BY d.lang"
+)

@@ -1128,3 +1128,15 @@ def test_mixture_sample_hits_target_proportions(spark):
     for lang, w in C.MIXTURE_WEIGHTS.items():
         got = by_lang.get(lang, 0)
         assert abs(got - w * total) <= len(C.MIXTURE_WEIGHTS)
+
+
+def test_bpe_fertility_covers_all_langs_and_is_consistent(spark):
+    import clickhouse_sinker_nali_spark.operators.bpe as B
+
+    rows = B.bpe_fertility_by_lang(spark, SF_DIR).collect()
+    per_doc = B.bpe_encode(spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in rows) == len(per_doc) == 500
+    total_tokens = sum(r.n_tokens for r in rows)
+    assert total_tokens == sum(r.n_tokens for r in per_doc)
+    for r in rows:
+        assert r.fertility >= 1.0  # BPE cannot merge across words

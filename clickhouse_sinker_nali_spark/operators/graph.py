@@ -49,12 +49,18 @@ def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS,
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # ONE eager checkpoint cuts the (possibly expensive) edge-producing DAG
+    # out of every sweep; the per-sweep state is then cached LAZILY —
+    # each ranks_k is consumed twice by sweep k+1 (contribution join +
+    # rank update), and persist() makes the second use a cache hit while
+    # CacheManager substitution keeps downstream plans shallow, without
+    # paying one eager materialization job per sweep.
     sym = sym.repartition("src").localCheckpoint(eager=True)
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
     n1 = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = deg.crossJoin(F.broadcast(n1)).select(
         "id", "degree", (F.lit(1.0) / F.col("n")).alias("pr"), "n"
-    ).localCheckpoint(eager=True)
+    ).persist()
     for _ in range(iterations):
         contrib = (
             sym.join(ranks, sym.src == ranks.id)
@@ -73,8 +79,12 @@ def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS,
                 ).alias("pr"),
                 "n",
             )
-            .localCheckpoint(eager=True)
+            .persist()
         )
+    # the per-sweep caches are |nodes|-row relations (a few MB at any
+    # realistic dup-graph size); they age out with the session rather than
+    # being unpersisted here, because unpersisting before the caller's
+    # action would un-cache state the final plan still references twice
     return ranks.select("id", "degree", "pr")
 
 

@@ -80,16 +80,17 @@ def build_ipv6_ranges(
     spark: SparkSession, home: str, db_name: str = "", lang: str | None = None
 ) -> DataFrame:
     """Convert the selected IPv6 database into the hi-64-keyed interval
-    table for ``enrich.enrich_ipv6`` (zxipv6wry), or the GeoLite2 v4-style
-    table when a non-zh language selects mmdb."""
+    table for ``enrich.enrich_ipv6``: zxipv6wry for zh-CN, the GeoLite2
+    IPv6-subtree enumeration otherwise — both emit the same
+    (ip_hi_start, ip_hi_end, loc, isp) decimal(20,0) shape."""
     selected = select_ipv6_db(db_name, lang)
     if selected == "zxipv6wry":
         from .zxipv6wry import zxipv6wry_to_dataframe
 
         return zxipv6wry_to_dataframe(spark, os.path.join(home, ZXIPV6WRY_FILE))
-    from .geolite2 import geolite2_to_dataframe
+    from .geolite2 import geolite2_v6_to_dataframe
 
-    return geolite2_to_dataframe(spark, os.path.join(home, GEOLITE2_FILE))
+    return geolite2_v6_to_dataframe(spark, os.path.join(home, GEOLITE2_FILE))
 
 
 def build_cdn_map(spark: SparkSession, home: str) -> DataFrame:

@@ -259,10 +259,15 @@ def build_mmdb_blob(
         nodes[node][bits[-1]] = ("leaf", rec_off)
 
     for cidr, record in entries:
-        net = ipaddress.IPv4Network(cidr)
-        bits = [0] * 96 if ip_version == 6 else []
-        addr = int(net.network_address)
-        bits += [(addr >> (31 - i)) & 1 for i in range(net.prefixlen)]
+        if ":" in cidr:  # raw IPv6 CIDR (requires ip_version=6)
+            net6 = ipaddress.IPv6Network(cidr)
+            addr6 = int(net6.network_address)
+            bits = [(addr6 >> (127 - i)) & 1 for i in range(net6.prefixlen)]
+        else:
+            net = ipaddress.IPv4Network(cidr)
+            bits = [0] * 96 if ip_version == 6 else []
+            addr = int(net.network_address)
+            bits += [(addr >> (31 - i)) & 1 for i in range(net.prefixlen)]
         insert(bits, add_record(record))
 
     node_count = len(nodes)
@@ -296,4 +301,72 @@ def build_mmdb_blob(
         + bytes(data_area)
         + METADATA_MARKER
         + _encode_value(meta)
+    )
+
+
+# --------------------------------------------------------------------------
+# IPv6 subtree enumeration (hi-64 granularity)
+# --------------------------------------------------------------------------
+
+
+def iter_mmdb_v6_hi64(data: bytes) -> Iterator[tuple[int, int, dict]]:
+    """Yield (ip_hi_start, ip_hi_end_exclusive, record) over the TOP 64
+    BITS of the IPv6 space — the key granularity ``enrich.enrich_ipv6``
+    joins on (decimal(20,0); a full 128-bit key would exceed Spark's
+    decimal(38)).
+
+    Real GeoLite2 v6 blocks are allocated at /64 or coarser almost
+    universally, so a leaf at depth d ≤ 64 becomes the exact interval
+    [prefix << (64-d), (prefix+1) << (64-d)).  For the rare subtree that
+    extends BELOW bit 64, the whole hi-64 unit takes its leftmost leaf's
+    record (first-wins within the unit) — the same one-unit resolution any
+    hi-64-keyed index has.  The IPv4-mapped spaces live under hi64 unit 0
+    and are subject to the same rule; use the v4 iterator for v4 data.
+    """
+    reader = MmdbReader(data)
+    if reader.ip_version != 6:
+        return
+    stack: list[tuple[int, int, int]] = [(0, 0, 0)]
+    while stack:
+        node, prefix, depth = stack.pop()
+        if node == reader.node_count:
+            continue
+        if node > reader.node_count:
+            span = 1 << (64 - depth)
+            start = prefix << (64 - depth)
+            yield start, start + span, reader.resolve(node)
+            continue
+        if depth == 64:
+            # subtree deeper than the key granularity: leftmost leaf wins
+            leaf = node
+            while leaf < reader.node_count:
+                nxt = reader.read_record(leaf, 0)
+                leaf = nxt if nxt != reader.node_count else reader.read_record(leaf, 1)
+            if leaf > reader.node_count:
+                yield prefix, prefix + 1, reader.resolve(leaf)
+            continue
+        stack.append((reader.read_record(node, 1), (prefix << 1) | 1, depth + 1))
+        stack.append((reader.read_record(node, 0), prefix << 1, depth + 1))
+
+
+def geolite2_v6_to_dataframe(spark: SparkSession, mmdb_path: str) -> DataFrame:
+    """GeoLite2 IPv6 ranges in the zxipv6wry interval shape
+    (ip_hi_start, ip_hi_end as decimal(20,0), loc, isp) for
+    ``enrich.enrich_ipv6`` — the non-zh-CN IPv6 path of the db registry."""
+    from decimal import Decimal
+
+    with open(mmdb_path, "rb") as f:
+        data = f.read()
+    rows = []
+    for start, end, record in iter_mmdb_v6_hi64(data):
+        country = _name(record.get("country"))
+        city = _name(record.get("city"))
+        rows.append(
+            (Decimal(start), Decimal(end), f"{country} {city}".strip(), "")
+        )
+    rows.sort(key=lambda r: r[0])
+    return spark.createDataFrame(
+        rows,
+        "ip_hi_start decimal(20,0), ip_hi_end decimal(20,0), "
+        "loc string, isp string",
     )

@@ -269,3 +269,41 @@ def test_geodb_builds_from_home_dir(spark, tmp_path, monkeypatch):
     assert "中国 江苏 南京" in {r.loc for r in v4b.collect()}
     v6 = geodb.build_ipv6_ranges(spark, home, lang="zh-CN")     # → zxipv6wry
     assert dict(v6.dtypes)["ip_hi_start"] == "decimal(20,0)"
+
+
+def test_mmdb_v6_hi64_enumeration_and_enrich(spark, tmp_path):
+    from clickhouse_sinker_nali_spark.sources.geolite2 import (
+        build_mmdb_blob,
+        geolite2_v6_to_dataframe,
+        iter_mmdb_v6_hi64,
+    )
+
+    entries = [
+        ("2001:db8::/32", {"country": {"names": {"en": "TestNet"}}}),
+        ("2400:8c00::/22", {"country": {"names": {"zh-CN": "中国"}},
+                             "city": {"names": {"zh-CN": "上海"}}}),
+        # deeper than /64: whole hi-64 unit takes the leftmost leaf
+        ("2a00:1450:4001:800::/68", {"country": {"names": {"en": "DeepNet"}}}),
+    ]
+    blob = build_mmdb_blob(entries, ip_version=6)
+    got = {loc: (s, e) for s, e, r in iter_mmdb_v6_hi64(blob)
+           for loc in [(r.get("country") or {}).get("names", {}).get("en")
+                       or (r.get("country") or {}).get("names", {}).get("zh-CN")]}
+    assert got["TestNet"] == (0x20010DB8 << 32, 0x20010DB9 << 32)
+    hi_deep = 0x2A0014504001_0800
+    assert got["DeepNet"] == (hi_deep, hi_deep + 1)
+
+    dat = tmp_path / "GeoLite2-City.mmdb"
+    dat.write_bytes(blob)
+    geo6 = geolite2_v6_to_dataframe(spark, str(dat))
+    from clickhouse_sinker_nali_spark.enrich import enrich_ipv6, ipv6_hi64
+
+    flows = spark.createDataFrame(
+        [("2001:db8::1234",), ("2400:8c11::1",), ("2a00:1450:4001:800::5",)],
+        "ip6: string",
+    )
+    keyed = flows.withColumn("ip_hi", ipv6_hi64("ip6"))
+    out = {r.ip6: r.loc for r in enrich_ipv6(keyed, geo6, "ip_hi").collect()}
+    assert out["2001:db8::1234"] == "TestNet"
+    assert out["2400:8c11::1"] == "中国 上海"
+    assert out["2a00:1450:4001:800::5"] == "DeepNet"

@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_matryoshka_topk": S.ann_matryoshka_topk,
         "mixture_sample": C.mixture_sample,
         "bpe_fertility_by_lang": B.bpe_fertility_by_lang,
+        "dedup_lsh_recall": D.dedup_lsh_recall,
         "zscore_day_anomalies": A.zscore_day_anomalies,
         "rolling_7day_revenue": W.rolling_7day_revenue,
         "inverted_index_postings": T.inverted_index_postings,
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_matryoshka_topk": S.ANN_MATRYOSHKA_SQL,
         "mixture_sample": C.MIXTURE_SAMPLE_SQL,
         "bpe_fertility_by_lang": B.BPE_FERTILITY_SQL,
+        "dedup_lsh_recall": D.DEDUP_LSH_RECALL_SQL,
         "zscore_day_anomalies": A.ZSCORE_ANOMALY_SQL,
         "rolling_7day_revenue": W.ROLLING_7DAY_SQL,
         "inverted_index_postings": T.INVERTED_INDEX_SQL,

@@ -696,3 +696,53 @@ FROM g a JOIN g b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 GROUP BY doc_a, doc_b
 ORDER BY doc_a, doc_b
 """
+
+
+# --------------------------------------------------------------------------
+# LSH recall audit: how much of the exhaustive pair set does LSH recover?
+# --------------------------------------------------------------------------
+
+
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit of the LSH operating point: the exhaustive
+    shingle-join pair count, the LSH-banded pair count, and their ratio.
+
+    This is the metric a production dedup run monitors when tuning
+    (bands, rows): recall drops → near-dups leak through; candidate
+    volume explodes → the band key is too coarse.  Both sides reuse the
+    shared shingle relation, and the LSH side is a strict subset of the
+    exhaustive side by construction, so recall ∈ [0, 1] exactly.
+    """
+    exhaustive = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    lsh = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    counts = exhaustive.agg(F.count(F.lit(1)).alias("n_exhaustive")).crossJoin(
+        lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    )
+    return counts.select(
+        "n_exhaustive",
+        "n_lsh",
+        F.round(
+            F.col("n_lsh").cast("double") / F.col("n_exhaustive"), 6
+        ).alias("recall"),
+    )
+
+
+DEDUP_LSH_RECALL_SQL = (
+    "WITH " + _MINHASH_PAIR_CTES + ",\n"
+    "exh AS (\n"
+    "    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common\n"
+    "    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id\n"
+    "    GROUP BY 1, 2\n"
+    "),\n"
+    "exh_pairs AS (\n"
+    "    SELECT doc_a, doc_b\n"
+    "    FROM exh JOIN sizes sa ON doc_a = sa.doc_id\n"
+    "             JOIN sizes sb ON doc_b = sb.doc_id\n"
+    f"    WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common)"
+    f" >= {JACCARD_THRESHOLD}\n"
+    ")\n"
+    "SELECT (SELECT COUNT(*) FROM exh_pairs) AS n_exhaustive,\n"
+    "       (SELECT COUNT(*) FROM pairs) AS n_lsh,\n"
+    "       ROUND((SELECT COUNT(*) FROM pairs) * 1.0\n"
+    "             / (SELECT COUNT(*) FROM exh_pairs), 6) AS recall"
+)

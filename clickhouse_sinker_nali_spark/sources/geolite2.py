@@ -271,7 +271,7 @@ def build_mmdb_blob(
         insert(bits, add_record(record))
 
     node_count = len(nodes)
-    assert record_size == 24  # fixture supports the 24-bit form
+    assert record_size in (24, 28)  # the forms real GeoLite2 ships
 
     def record_value(child) -> int:
         if child is None:
@@ -284,8 +284,14 @@ def build_mmdb_blob(
 
     tree = bytearray()
     for left, right in nodes:
-        tree.extend(record_value(left).to_bytes(3, "big"))
-        tree.extend(record_value(right).to_bytes(3, "big"))
+        lv, rv = record_value(left), record_value(right)
+        if record_size == 24:
+            tree.extend(lv.to_bytes(3, "big"))
+            tree.extend(rv.to_bytes(3, "big"))
+        else:  # 28-bit: 3 low bytes of L, nibble byte (Lhi<<4|Rhi), 3 of R
+            tree.extend((lv & 0xFFFFFF).to_bytes(3, "big"))
+            tree.append(((lv >> 24) & 0xF) << 4 | ((rv >> 24) & 0xF))
+            tree.extend((rv & 0xFFFFFF).to_bytes(3, "big"))
 
     meta = {
         "binary_format_major_version": 2,

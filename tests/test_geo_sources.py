@@ -307,3 +307,14 @@ def test_mmdb_v6_hi64_enumeration_and_enrich(spark, tmp_path):
     assert out["2001:db8::1234"] == "TestNet"
     assert out["2400:8c11::1"] == "中国 上海"
     assert out["2a00:1450:4001:800::5"] == "DeepNet"
+
+
+def test_mmdb_28bit_record_form_roundtrips():
+    from clickhouse_sinker_nali_spark.sources.geolite2 import (
+        build_mmdb_blob,
+        iter_mmdb_v4,
+    )
+
+    blob24 = build_mmdb_blob(MMDB_ENTRIES, ip_version=6, record_size=24)
+    blob28 = build_mmdb_blob(MMDB_ENTRIES, ip_version=6, record_size=28)
+    assert sorted(iter_mmdb_v4(blob24)) == sorted(iter_mmdb_v4(blob28))

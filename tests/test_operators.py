@@ -1140,3 +1140,12 @@ def test_bpe_fertility_covers_all_langs_and_is_consistent(spark):
     assert total_tokens == sum(r.n_tokens for r in per_doc)
     for r in rows:
         assert r.fertility >= 1.0  # BPE cannot merge across words
+
+
+def test_lsh_recall_metric_is_consistent_with_pair_sets(spark):
+    row = D.dedup_lsh_recall(spark, SF_DIR).collect()[0]
+    n_exh = D.dedup_ngram_jaccard(spark, SF_DIR).count()
+    n_lsh = D.dedup_minhash_lsh(spark, SF_DIR).count()
+    assert (row.n_exhaustive, row.n_lsh) == (n_exh, n_lsh)
+    assert 0.0 <= row.recall <= 1.0
+    assert abs(row.recall - n_lsh / n_exh) < 1e-6  # recall is round(6)

@@ -397,3 +397,47 @@ def test_unigram_logprob_scans_documents_twice_not_thrice(spark):
     # probs side joins back via broadcast: no shuffle of the words relation
     # for the join itself
     assert uses_broadcast_join(df)
+
+
+def test_semdedup_dominance_join_is_cell_keyed_not_quadratic(spark):
+    # the whole point of SemDeDup: cell assignment is a map-side argmax
+    # (no shuffle) and the dominance check is a cell-keyed equi-join —
+    # a cartesian corpus x corpus product would be the scale-killer
+    import clickhouse_sinker_nali_spark.operators.similarity as S
+    from clickhouse_sinker_nali_spark.plans import formatted_plan
+
+    df = S.semdedup(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    from clickhouse_sinker_nali_spark.plans import count_exchanges
+
+    assert count_exchanges(df) <= 4  # cell self-join + dominance agg + sort
+
+
+def test_mixture_sample_broadcasts_quotas_single_lang_shuffle(spark):
+    import clickhouse_sinker_nali_spark.operators.curation as C
+    from clickhouse_sinker_nali_spark.plans import (
+        formatted_plan,
+        uses_broadcast_join,
+    )
+
+    df = C.mixture_sample(spark, SF_DIR)
+    assert uses_broadcast_join(df)  # quotas join the ranked corpus broadcast
+    # the one-row limiting count may enter as a BroadcastNestedLoopJoin
+    # (crossJoin of a single row) — that is fine; a cartesian over DATA is not
+    assert "CartesianProduct" not in formatted_plan(df)
+
+
+def test_cms_probe_join_broadcasts_sketch(spark):
+    import clickhouse_sinker_nali_spark.operators.advanced as A
+    from clickhouse_sinker_nali_spark.plans import (
+        count_exchanges,
+        formatted_plan,
+        uses_broadcast_join,
+    )
+
+    df = A.cms_heavy_hitters(spark, SF_DIR)
+    assert uses_broadcast_join(df)  # the DEPTHxWIDTH sketch, never the corpus
+    assert "CartesianProduct" not in formatted_plan(df)
+    assert count_exchanges(df) <= 4

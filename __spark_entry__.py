@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": C.mixture_sample,
         "bpe_fertility_by_lang": B.bpe_fertility_by_lang,
         "dedup_lsh_recall": D.dedup_lsh_recall,
+        "dsir_importance": T.dsir_importance,
         "zscore_day_anomalies": A.zscore_day_anomalies,
         "rolling_7day_revenue": W.rolling_7day_revenue,
         "inverted_index_postings": T.inverted_index_postings,
@@ -269,6 +270,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": C.MIXTURE_SAMPLE_SQL,
         "bpe_fertility_by_lang": B.BPE_FERTILITY_SQL,
         "dedup_lsh_recall": D.DEDUP_LSH_RECALL_SQL,
+        "dsir_importance": T.DSIR_IMPORTANCE_SQL,
         "zscore_day_anomalies": A.ZSCORE_ANOMALY_SQL,
         "rolling_7day_revenue": W.ROLLING_7DAY_SQL,
         "inverted_index_postings": T.INVERTED_INDEX_SQL,

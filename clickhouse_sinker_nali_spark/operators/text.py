@@ -869,3 +869,90 @@ SELECT doc_id, lang, avg_logprob, tertile,
 FROM t
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, data selection via
+# importance resampling) — unigram-LM likelihood-ratio scoring
+# --------------------------------------------------------------------------
+
+_DSIR_TARGET_LANG = "en"  # the target-domain subset the sampler upweights
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document importance score for resampling the raw corpus toward
+    a target domain: avg_w ln(p_target(w) / p_raw(w)) under add-one-
+    smoothed unigram LMs (the hashed-ngram variant of DSIR reduces to
+    exactly this with unigram features).
+
+    Docs that look like the target domain (here: the ``en`` subset) score
+    high; a downstream sampler keeps documents with probability ∝
+    exp(score).  Both LMs come from ONE word-count pass each (the target
+    side is a filtered aggregate of the same exploded relation, so the
+    corpus explodes once); the ratio join broadcasts the vocab-sized
+    table.  Add-one smoothing keeps every ratio finite so the score is a
+    total function — and integer counts + round(6) make it engine-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("c_tgt"),
+    )
+    # totals + vocab size fold in as a global window over the vocab-sized
+    # counts relation (same single-scan trick as unigram_logprob)
+    win = W.partitionBy()
+    probs = counts.select(
+        "word",
+        (
+            (F.col("c_tgt") + 1).cast("double")
+            / (F.sum("c_tgt").over(win) + F.count(F.lit(1)).over(win))
+        ).alias("p_tgt"),
+        (
+            (F.col("c_raw") + 1).cast("double")
+            / (F.sum("c_raw").over(win) + F.count(F.lit(1)).over(win))
+        ).alias("p_raw"),
+    )
+    return (
+        words.join(F.broadcast(probs), "word")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("p_tgt") / F.col("p_raw"))), 6).alias(
+                "importance"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DSIR_IMPORTANCE_SQL = f"""
+WITH words AS (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(text, '\\s+')) AS word
+    FROM documents
+), w AS (SELECT * FROM words WHERE word <> ''),
+counts AS (
+    SELECT word, COUNT(*) AS c_raw,
+           SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS c_tgt
+    FROM w GROUP BY word
+),
+tot AS (SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt, COUNT(*) AS v FROM counts),
+probs AS (
+    SELECT word,
+           (c_tgt + 1)::DOUBLE / ((SELECT t_tgt FROM tot) + (SELECT v FROM tot)) AS p_tgt,
+           (c_raw + 1)::DOUBLE / ((SELECT t_raw FROM tot) + (SELECT v FROM tot)) AS p_raw
+    FROM counts
+)
+SELECT w.doc_id, w.lang, COUNT(*) AS n_tokens,
+       ROUND(AVG(ln(p.p_tgt / p.p_raw)), 6) AS importance
+FROM w JOIN probs p USING (word)
+GROUP BY w.doc_id, w.lang
+ORDER BY w.doc_id
+"""

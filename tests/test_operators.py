@@ -1149,3 +1149,16 @@ def test_lsh_recall_metric_is_consistent_with_pair_sets(spark):
     assert (row.n_exhaustive, row.n_lsh) == (n_exh, n_lsh)
     assert 0.0 <= row.recall <= 1.0
     assert abs(row.recall - n_lsh / n_exh) < 1e-6  # recall is round(6)
+
+
+def test_dsir_importance_upweights_target_language(spark):
+    rows = T.dsir_importance(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.importance)
+    # target-domain (en) docs must score higher on average than any other
+    # language — that is the whole point of the likelihood ratio
+    means = {lang: sum(v) / len(v) for lang, v in by_lang.items()}
+    assert means["en"] == max(means.values())
+    assert all(means["en"] > m for lang, m in means.items() if lang != "en")

@@ -140,6 +140,33 @@ def bench_ingest(spark) -> tuple[float, float]:
     return parse_rps, full_rps
 
 
+APACHE_N = 200_000
+
+
+def bench_ingest_apache(spark) -> float:
+    """Parse+coerce throughput on the reference's OWN benchmark regime:
+    26-column apache-access-log JSON, ~750 B/message (the shape behind
+    every BASELINE.md rows/s figure) — the apples-to-apples ingest number.
+    """
+    from clickhouse_sinker_nali_spark.loadgen import APACHE_LOG_DIMS, gen_apache_logs
+    from clickhouse_sinker_nali_spark.streaming.pipeline import TaskConfig, transform
+
+    cfg = TaskConfig(
+        name="bench_apache", topic="bench", table="apache_access_log",
+        dims=APACHE_LOG_DIMS,
+    )
+    msgs = gen_apache_logs(spark, APACHE_N).cache()
+    msgs.count()
+    typed = transform(msgs, cfg)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        typed.write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    msgs.unpersist()
+    return APACHE_N / best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -163,6 +190,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     parse_rps, full_rps = bench_ingest(spark)
+    apache_rps = bench_ingest_apache(spark)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -175,6 +203,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ingest_parse_rows_per_sec": round(parse_rps),
                 "ingest_rows_per_sec": round(full_rps),
+                "ingest_apache_log_rows_per_sec": round(apache_rps),
             }
         )
     )

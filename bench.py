@@ -108,36 +108,51 @@ def _gen_messages(spark, n: int):
     )
 
 
-def bench_ingest(spark) -> tuple[float, float]:
+def _timed_reps(fn, n_reps: int) -> list[float]:
+    reps = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        fn()
+        reps.append(round(time.perf_counter() - t0, 3))
+    return reps
+
+
+def bench_ingest(spark) -> tuple[float, float, list[float], list[float]]:
     from clickhouse_sinker_nali_spark.streaming.pipeline import TaskConfig, transform
 
     cfg = TaskConfig(name="bench_ingest", topic="bench", table="t", dims=INGEST_DIMS)
     msgs = _gen_messages(spark, INGEST_N).cache()
     msgs.count()  # materialize inputs so we time the engine, not the generator
 
-    # 5 reps, not 3: the host is time-shared and identical runs vary 2.7s..46s
-    # under external load spikes (measured) — more reps = better odds that at
-    # least one run lands in a quiet window, and min-of-N is the engine cost.
+    # Warm up HotSpot on the generated projection before timing: the parse
+    # plan's codegen'd methods take ~10 invocations × thousands of rows to
+    # tier up to C2, and interpreted-bytecode execution of the same code is
+    # 20-100× slower (measured 0.15s steady vs 7s cold on identical input).
+    # Steady-state throughput is the honest metric — the reference daemon
+    # parses for days, not for one cold batch.
     typed = transform(msgs, cfg)
-    parse_best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
+    for _ in range(6):
         typed.write.format("noop").mode("overwrite").save()
-        parse_best = min(parse_best, time.perf_counter() - t0)
-    parse_rps = INGEST_N / parse_best
+
+    # 5 timed reps, all reported: the host is time-shared and identical runs
+    # vary up to 10× under external load spikes — per-rep arrays make host
+    # noise distinguishable from plan regressions; min-of-N is the engine
+    # cost.
+    parse_reps = _timed_reps(
+        lambda: typed.write.format("noop").mode("overwrite").save(), 5
+    )
+    parse_rps = INGEST_N / min(parse_reps)
 
     out = tempfile.mkdtemp(prefix="bench_ingest_")
     try:
-        full_best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            transform(msgs, cfg).write.mode("overwrite").parquet(out)
-            full_best = min(full_best, time.perf_counter() - t0)
-        full_rps = INGEST_N / full_best
+        full_reps = _timed_reps(
+            lambda: transform(msgs, cfg).write.mode("overwrite").parquet(out), 5
+        )
+        full_rps = INGEST_N / min(full_reps)
     finally:
         shutil.rmtree(out, ignore_errors=True)
     msgs.unpersist()
-    return parse_rps, full_rps
+    return parse_rps, full_rps, parse_reps, full_reps
 
 
 APACHE_N = 200_000
@@ -158,13 +173,13 @@ def bench_ingest_apache(spark) -> float:
     msgs = gen_apache_logs(spark, APACHE_N).cache()
     msgs.count()
     typed = transform(msgs, cfg)
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
+    for _ in range(6):  # JIT warmup, see bench_ingest
         typed.write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
+    reps = _timed_reps(
+        lambda: typed.write.format("noop").mode("overwrite").save(), 5
+    )
     msgs.unpersist()
-    return APACHE_N / best
+    return APACHE_N / min(reps), reps
 
 
 def main() -> None:
@@ -181,16 +196,14 @@ def main() -> None:
     # single run can absorb an external CPU spike; the min is the engine's
     # actual cost (plans are deterministic, data is cached by the OS)
     timings: dict[str, float] = {}
+    query_reps: dict[str, list[float]] = {}
     for name, fn in HEADLINE.items():
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        reps = _timed_reps(lambda f=fn: f(spark, sf_dir).count(), 2)
+        timings[name] = round(min(reps), 3)
+        query_reps[name] = reps
 
-    parse_rps, full_rps = bench_ingest(spark)
-    apache_rps = bench_ingest_apache(spark)
+    parse_rps, full_rps, parse_reps, full_reps = bench_ingest(spark)
+    apache_rps, apache_reps = bench_ingest_apache(spark)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -200,10 +213,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_reps": query_reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ingest_parse_rows_per_sec": round(parse_rps),
                 "ingest_rows_per_sec": round(full_rps),
                 "ingest_apache_log_rows_per_sec": round(apache_rps),
+                "ingest_parse_reps_sec": parse_reps,
+                "ingest_full_reps_sec": full_reps,
+                "ingest_apache_reps_sec": apache_reps,
             }
         )
     )

@@ -77,12 +77,18 @@ def clamp_int(col: Column, ch_base_type: str) -> Column:
     return F.when(c < F.lit(lo), F.lit(lo)).when(c > F.lit(hi), F.lit(hi)).otherwise(c)
 
 
-def _scalar_coercion(raw: Column, spec: ColumnSpec, time_unit: float) -> Column:
+def _scalar_coercion(
+    raw: Column,
+    spec: ColumnSpec,
+    time_unit: float,
+    dt_cleaned: Column | None = None,
+) -> Column:
     """Coerce one already-extracted (string-ish) value to the target type.
 
     ``raw`` is the value as produced by a permissive JSON/CSV read: a string
     for scalar fields (raw JSON text for objects/arrays feeding a String
-    target), or NULL when missing.
+    target), or NULL when missing.  ``dt_cleaned`` is the hot path's
+    precomputed ``datetimes._clean(raw)`` attribute (see parse_datetime_str).
     """
     it = spec.internal
     if it == InternalType.INT:
@@ -100,9 +106,9 @@ def _scalar_coercion(raw: Column, spec: ColumnSpec, time_unit: float) -> Column:
     if it == InternalType.STRING:
         return raw.cast("string")
     if it == InternalType.DATETIME:
-        return parse_datetime_any(raw, time_unit)
+        return parse_datetime_any(raw, time_unit, cleaned=dt_cleaned)
     if it == InternalType.ELASTIC_DATETIME:
-        return F.unix_timestamp(parse_datetime_any(raw, time_unit))
+        return F.unix_timestamp(parse_datetime_any(raw, time_unit, cleaned=dt_cleaned))
     raise ValueError(f"not a scalar type: {it}")
 
 
@@ -116,12 +122,24 @@ def _elem_spec(spec: ColumnSpec) -> ColumnSpec:
     return ColumnSpec(name=spec.name, ch_type=elem_internal)
 
 
-def coerce_expr(raw: Column, spec: ColumnSpec, time_unit: float = 1.0) -> Column:
+def coerce_expr(
+    raw: Column,
+    spec: ColumnSpec,
+    time_unit: float = 1.0,
+    raw_is_attr: bool = False,
+    dt_cleaned: Column | None = None,
+) -> Column:
     """Full lenient coercion for one column: cast + default-fill.
 
     Array targets coerce each element with ``transform`` (JVM-side lambda),
     defaulting NULL elements — array elements are never null in the
     reference's model (parser/fastjson.go:170-206).
+
+    ``raw_is_attr=True`` means ``raw`` is an attribute reference that a
+    prior projection already computed (the hot path hoists extraction into
+    its own stage); referencing it repeatedly is free, so the HOF ``let``
+    binding — which drops the whole subtree out of whole-stage codegen —
+    is skipped.
     """
     if spec.internal in (
         InternalType.INT_ARRAY,
@@ -140,6 +158,12 @@ def coerce_expr(raw: Column, spec: ColumnSpec, time_unit: float = 1.0) -> Column
             ),
         )
         return F.coalesce(arr, default_literal(spec)).alias(spec.name)
+
+    if raw_is_attr:
+        coerced = _scalar_coercion(raw, spec, time_unit, dt_cleaned=dt_cleaned)
+        if spec.nullable:
+            return coerced.alias(spec.name)
+        return F.coalesce(coerced, default_literal(spec)).alias(spec.name)
 
     if spec.nullable:
         return let(raw, lambda r: _scalar_coercion(r, spec, time_unit)).alias(spec.name)
@@ -204,7 +228,14 @@ _OVERFLOW_DEC = r"^DECIMAL\((19|2[0-9]|3[0-8]),0\)$"
 _SMALL_INT_DEC = r"^DECIMAL\(([1-9]|1[0-8]),0\)$"
 
 
-def _variant_scalar(fv: Column, spec: ColumnSpec, time_unit: float) -> Column:
+def _variant_scalar(
+    fv: Column,
+    spec: ColumnSpec,
+    time_unit: float,
+    vt: Column | None = None,
+    dt_str: Column | None = None,
+    dt_cleaned: Column | None = None,
+) -> Column:
     """fastjson getter matrix over one variant value; NULL = use default.
 
     Top-level String targets do NOT come through here (parse_json routes
@@ -212,8 +243,16 @@ def _variant_scalar(fv: Column, spec: ColumnSpec, time_unit: float) -> Column:
     and variant re-serialization normalizes it); the STRING branch below
     only serves String *elements* of Array(String) targets, where the
     per-element raw text is unrecoverable and normalized form is accepted.
+
+    ``vt``/``dt_str``/``dt_cleaned``: the hot path precomputes
+    ``schema_of_variant(fv)`` (and, for DateTime targets, the string
+    extraction and its cleaned form) in a prior projection and passes the
+    attributes in.  Inlined, the type tag is instantiated once per CASE
+    branch — conditional evaluation defeats codegen subexpression
+    elimination, so schema_of_variant ran 3-6× per field per row (the
+    round-2 10× ingest regression).
     """
-    vt = _vtype(fv)
+    vt = vt if vt is not None else _vtype(fv)
     it = spec.internal
     is_num = (vt == "BIGINT") | (vt == "DOUBLE") | vt.startswith("DECIMAL")
     if it == InternalType.INT:
@@ -239,24 +278,35 @@ def _variant_scalar(fv: Column, spec: ColumnSpec, time_unit: float) -> Column:
             .when(vt.rlike(_SMALL_INT_DEC), F.concat(s, F.lit(".0")))
             .when(vt.isNotNull() & (vt != "VOID"), s)
         )
-    if it == InternalType.DATETIME:
+    if it in (InternalType.DATETIME, InternalType.ELASTIC_DATETIME):
         from .datetimes import parse_datetime_num, parse_datetime_str
 
-        return F.when(
-            is_num, parse_datetime_num(F.try_variant_get(fv, "$", "double"), time_unit)
-        ).when(vt == "STRING", parse_datetime_str(F.try_variant_get(fv, "$", "string")))
-    if it == InternalType.ELASTIC_DATETIME:
-        from .datetimes import parse_datetime_num, parse_datetime_str
-
+        s = dt_str if dt_str is not None else F.try_variant_get(fv, "$", "string")
         dt = F.when(
             is_num, parse_datetime_num(F.try_variant_get(fv, "$", "double"), time_unit)
-        ).when(vt == "STRING", parse_datetime_str(F.try_variant_get(fv, "$", "string")))
-        return F.unix_timestamp(dt)
+        ).when(vt == "STRING", parse_datetime_str(s, cleaned=dt_cleaned))
+        if it == InternalType.ELASTIC_DATETIME:
+            return F.unix_timestamp(dt)
+        return dt
     raise ValueError(f"not a scalar type: {it}")
 
 
-def coerce_variant_expr(fv: Column, spec: ColumnSpec, time_unit: float = 1.0) -> Column:
-    """Full lenient coercion from a variant field (flat-JSON hot path)."""
+def coerce_variant_expr(
+    fv: Column,
+    spec: ColumnSpec,
+    time_unit: float = 1.0,
+    vt: Column | None = None,
+    dt_str: Column | None = None,
+    dt_cleaned: Column | None = None,
+) -> Column:
+    """Full lenient coercion from a variant field (flat-JSON hot path).
+
+    When ``vt`` (a precomputed ``schema_of_variant(fv)`` attribute) is
+    given, ``fv`` is assumed to be an attribute too: no ``let`` binding
+    is emitted, everything stays in whole-stage codegen, and each helper
+    is evaluated exactly once per row.  Without it (array elements, ad-hoc
+    callers) the HOF ``let`` still guards against re-extraction.
+    """
     if spec.internal in (
         InternalType.INT_ARRAY,
         InternalType.FLOAT_ARRAY,
@@ -272,7 +322,12 @@ def coerce_variant_expr(fv: Column, spec: ColumnSpec, time_unit: float = 1.0) ->
         )
         return F.coalesce(coerced, default_literal(spec)).alias(spec.name)
 
-    coerced = let(fv, lambda f: _variant_scalar(f, spec, time_unit))
+    if vt is not None:
+        coerced = _variant_scalar(
+            fv, spec, time_unit, vt=vt, dt_str=dt_str, dt_cleaned=dt_cleaned
+        )
+    else:
+        coerced = let(fv, lambda f: _variant_scalar(f, spec, time_unit))
     if spec.nullable:
         return coerced.alias(spec.name)
     return F.coalesce(coerced, default_literal(spec)).alias(spec.name)

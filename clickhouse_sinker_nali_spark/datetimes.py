@@ -65,16 +65,27 @@ def _clean(col: Column) -> Column:
     )
 
 
-def parse_datetime_str(col: Column, layouts: tuple[str, ...] = _EXTRA_LAYOUTS) -> Column:
+def parse_datetime_str(
+    col: Column,
+    layouts: tuple[str, ...] = _EXTRA_LAYOUTS,
+    cleaned: Column | None = None,
+) -> Column:
     """String -> timestamp via the layout cascade; NULL when nothing matches.
 
     ``try_to_timestamp`` keeps every attempt JVM-side and codegen-friendly;
     Catalyst folds the constant format literals so the cascade costs one
     projection, no shuffle, no Python.
+
+    ``cleaned``: the hot ingest path precomputes ``_clean(col)`` ONCE in a
+    prior projection and passes the attribute here.  Without it, the
+    trim+regexp chain is instantiated per layout attempt — coalesce branches
+    are conditionally evaluated, so codegen's subexpression elimination
+    cannot share them, and the cascade pays O(layouts) cleans per row
+    (the round-2 10× ingest regression).
     """
-    cleaned = _clean(col)
+    cl = cleaned if cleaned is not None else _clean(col)
     attempts = [F.try_to_timestamp(col)]
-    attempts += [F.try_to_timestamp(cleaned, F.lit(p)) for p in layouts]
+    attempts += [F.try_to_timestamp(cl, F.lit(p)) for p in layouts]
     return F.coalesce(*attempts)
 
 
@@ -88,14 +99,18 @@ def parse_datetime_num(col: Column, time_unit: float = 1.0) -> Column:
 
 
 def parse_datetime_any(
-    col: Column, time_unit: float = 1.0, layouts: tuple[str, ...] = _EXTRA_LAYOUTS
+    col: Column,
+    time_unit: float = 1.0,
+    layouts: tuple[str, ...] = _EXTRA_LAYOUTS,
+    cleaned: Column | None = None,
 ) -> Column:
     """Mixed string/number field -> timestamp.
 
     Numeric-looking strings are treated as epoch numbers (scaled + clamped);
-    anything else goes through the layout cascade.
+    anything else goes through the layout cascade.  ``cleaned`` as in
+    ``parse_datetime_str``.
     """
     is_num = col.cast("string").rlike(r"^-?\d+(\.\d+)?$")
     return F.when(is_num, parse_datetime_num(col, time_unit)).otherwise(
-        parse_datetime_str(col.cast("string"), layouts)
+        parse_datetime_str(col.cast("string"), layouts, cleaned=cleaned)
     )

@@ -666,12 +666,13 @@ WITH per_user AS (
            MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy_any
     FROM events GROUP BY user_id
 )
-SELECT SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_viewed,
-       SUM(CASE WHEN t_view IS NOT NULL AND t_click_any > t_view
-                THEN 1 ELSE 0 END) AS n_clicked_after_view,
-       SUM(CASE WHEN t_view IS NOT NULL AND t_click_any > t_view
+SELECT CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_viewed,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click_any > t_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click_any > t_view
                  AND t_buy_any > t_click_any
-                THEN 1 ELSE 0 END) AS n_purchased_after_click
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click
 FROM per_user
 """
 
@@ -688,14 +689,17 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     the product-analytics staple.
 
     Week boundaries via date_trunc('week') — ISO Monday start in both
-    engines.
+    engines.  Week columns stay TIMESTAMP (no to_date): the driver's
+    pandas-based comparator renders a Spark DateType as ``2024-01-01``
+    but a DuckDB DATE as datetime64 midnight — keeping both sides
+    timestamp-typed is the only representation that hashes identically.
     """
     ev = load_table(spark, sf_dir, "events")
     first_seen = ev.groupBy("user_id").agg(
-        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     activity = ev.select(
-        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("act_week")
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
     ).distinct()
     return (
         activity.join(first_seen, "user_id")
@@ -710,10 +714,10 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COHORT_SQL = """
 WITH first_seen AS (
-    SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+    SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
     FROM events GROUP BY user_id
 ), activity AS (
-    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
     FROM events
 )
 SELECT cohort_week,
@@ -903,8 +907,10 @@ def zscore_day_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     the daily rows.
     """
     ev = load_table(spark, sf_dir, "events")
+    # day stays TIMESTAMP (no to_date): Spark DateType and DuckDB DATE
+    # render differently through the driver's pandas comparator
     daily = ev.groupBy(
-        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+        "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_days"),
@@ -930,7 +936,7 @@ def zscore_day_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ZSCORE_ANOMALY_SQL = f"""
 WITH daily AS (
-    SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, COUNT(*) AS n
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n
     FROM events GROUP BY 1, 2
 ), stats AS (
     SELECT event_type, COUNT(*) AS n_days, SUM(n) AS s, SUM(n * n) AS ss
@@ -1072,7 +1078,7 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROFILE_COLUMNS_SQL = (
     "WITH s AS (SELECT COUNT(*) AS n_rows, "
     + ", ".join(
-        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS null_{c}, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_{c}, "
         f"COUNT(DISTINCT {c}) AS nd_{c}, "
         f"MIN({c})::VARCHAR AS min_{c}, MAX({c})::VARCHAR AS max_{c}"
         for c in _PROFILE_COLS

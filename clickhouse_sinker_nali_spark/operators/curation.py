@@ -98,7 +98,8 @@ surv AS (SELECT survivor_doc_id AS doc_id FROM ({D.DEDUP_EXACT_SQL}) e),
 qual AS (SELECT doc_id, quality FROM ({T.QUALITY_SQL}) q),
 decon AS (SELECT doc_id, contaminated FROM ({T.DECONTAMINATE_SQL}) d),
 toks AS (SELECT doc_id, n_ws_tokens FROM ({T.TOKEN_STATS_SQL}) t)
-SELECT samp.lang, COUNT(*) AS n_docs, SUM(toks.n_ws_tokens) AS total_tokens,
+SELECT samp.lang, COUNT(*) AS n_docs,
+       CAST(SUM(toks.n_ws_tokens) AS BIGINT) AS total_tokens,
        round(AVG(qual.quality), 6) AS avg_quality
 FROM samp
 JOIN qual ON samp.doc_id = qual.doc_id
@@ -180,7 +181,8 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEQUENCE_PACK_SQL = f"""
-SELECT doc_id, n_tokens, (cum - n_tokens) // {PACK_CAPACITY} AS pack_id
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // {PACK_CAPACITY} AS BIGINT) AS pack_id
 FROM (
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

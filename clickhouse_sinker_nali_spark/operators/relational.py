@@ -294,8 +294,12 @@ WITH marked AS (
     FROM events
 ), sess AS (
     SELECT user_id, event_id,
-           SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           -- CAST: DuckDB types a windowed SUM(INTEGER) as HUGEINT, which
+           -- pandas renders as float64 (1.0 vs Spark's bigint 1) and breaks
+           -- the driver's value hash even though values are identical.
+           CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
     FROM marked
 )
 SELECT user_id, session_id, COUNT(*) AS n_events
@@ -803,8 +807,8 @@ SELECT CASE WHEN ev.n_events IS NOT NULL AND ords.n_orders IS NOT NULL THEN 'bot
             WHEN ev.n_events IS NOT NULL THEN 'events_only'
             ELSE 'orders_only' END AS presence,
        COUNT(*) AS n_keys,
-       SUM(COALESCE(ev.n_events, 0)) AS total_events,
-       SUM(COALESCE(ords.n_orders, 0)) AS total_orders
+       CAST(SUM(COALESCE(ev.n_events, 0)) AS BIGINT) AS total_events,
+       CAST(SUM(COALESCE(ords.n_orders, 0)) AS BIGINT) AS total_orders
 FROM ev FULL OUTER JOIN ords ON ev.key = ords.key
 GROUP BY 1
 ORDER BY presence

@@ -200,18 +200,43 @@ ORDER BY query_id, rank
 # IVF-bucketed ANN (inverted-file index: nearest-centroid partitioning)
 # --------------------------------------------------------------------------
 
-K_CENTROIDS = 8  # corpus vec_id in [N_QUERIES, N_QUERIES + K) seed the cells
+# The cell count is NOT fixed: K scales with the corpus so that the mean
+# cell width stays ~IVF_CELL_TARGET vectors.  Within-cell work (SemDeDup's
+# pairwise cosine, IVF probe scans) is quadratic in cell width, so constant
+# width makes total cost K·(N/K)² = N·IVF_CELL_TARGET — linear in N.  A
+# fixed K=8 was correct at sf0.01 but (N/8)² per cell at 100 TB; production
+# SemDeDup runs use 10⁴–10⁵ clusters for the same reason (Abbas et al. 2023).
+IVF_CELL_TARGET = 64   # target mean vectors per cell
+K_CENTROIDS_MIN = 8    # floor: keeps tiny test corpora multi-cell
 NPROBE = 2  # queries probe their 2 nearest cells
 
 
+def ivf_k(n_corpus: int) -> int:
+    """Cell count for a corpus of ``n_corpus`` vectors (≥ the floor)."""
+    import math
+
+    return max(K_CENTROIDS_MIN, math.ceil(n_corpus / IVF_CELL_TARGET))
+
+
+# SQL twin of ``ivf_k`` + seed-centroid selection, spliced into every IVF
+# oracle so DuckDB derives the identical K from the same corpus
+_IVF_K_SQL = f"""
+    SELECT GREATEST({K_CENTROIDS_MIN},
+                    CAST(ceil(COUNT(*) / {IVF_CELL_TARGET}.0) AS BIGINT)) AS k
+    FROM embeddings WHERE vec_id >= {N_QUERIES}
+"""
+
+
 def _centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
-    """Deterministic centroid seed pick: first K corpus vectors, as
-    (cid, vector) sorted by cid.  Tiny (K×d floats) — safe to collect."""
+    """Deterministic centroid seed pick: first ``ivf_k(N)`` corpus vectors,
+    as (cid, vector) sorted by cid.  Tiny (K×d floats) — safe to collect.
+    The corpus count is one map-side-combined COUNT job; at 100 TB you
+    would pass a cached count instead, which only changes how K is fed in.
+    """
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES)
+    k = ivf_k(corpus.count())
     rows = (
-        emb.filter(
-            (F.col("vec_id") >= N_QUERIES)
-            & (F.col("vec_id") < N_QUERIES + K_CENTROIDS)
-        )
+        corpus.filter(F.col("vec_id") < N_QUERIES + k)
         .select("vec_id", "embedding")
         .collect()
     )
@@ -319,9 +344,10 @@ _COS_QT = _cos_pair("q.embedding", "t.embedding")
 _COS_PC = _cos_pair("p.qe", "c.embedding")
 
 ANN_IVF_SQL = f"""
-WITH cent AS (
-    SELECT vec_id - {N_QUERIES} AS cid, embedding FROM embeddings
-    WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_CENTROIDS}
+WITH kk AS ({_IVF_K_SQL}),
+cent AS (
+    SELECT vec_id - {N_QUERIES} AS cid, embedding FROM embeddings, kk
+    WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES} + kk.k
 ),
 corpus AS (
     SELECT neighbor_id, embedding, cid FROM (
@@ -705,9 +731,10 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COS_AB = _cos_pair("a.embedding", "b.embedding")
 
 SEMDEDUP_SQL = f"""
-WITH cent AS (
-    SELECT vec_id - {N_QUERIES} AS cid, embedding FROM embeddings
-    WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_CENTROIDS}
+WITH kk AS ({_IVF_K_SQL}),
+cent AS (
+    SELECT vec_id - {N_QUERIES} AS cid, embedding FROM embeddings, kk
+    WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES} + kk.k
 ),
 corpus AS (
     SELECT vec_id, embedding, cid FROM (

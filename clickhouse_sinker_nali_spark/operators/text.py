@@ -641,13 +641,23 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _INVIDX_TOP_TERMS)
-        .select("rank", "word", "df", "postings")
+        # serialize the posting list: raw array columns are unhashable in
+        # the driver's pandas-based canonicalizer (same seam as the r1
+        # array-harness errors) — string-join on BOTH sides instead
+        .select(
+            "rank",
+            "word",
+            "df",
+            F.array_join(F.col("postings").cast("array<string>"), ",").alias(
+                "postings"
+            ),
+        )
         .orderBy("rank")
     )
 
 
 INVERTED_INDEX_SQL = f"""
-SELECT rank, word, df, postings
+SELECT rank, word, df, array_to_string(postings, ',') AS postings
 FROM (
     SELECT word, COUNT(*) AS df,
            list_slice(list_sort(array_agg(doc_id)), 1, {_INVIDX_POSTING_CAP}) AS postings,

@@ -109,10 +109,12 @@ def q12_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_line_count
+       -- CAST: DuckDB SUM(INTEGER) is HUGEINT → float64 through pandas,
+       -- which breaks the driver's value hash vs Spark's bigint
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_linestatus
@@ -333,8 +335,10 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     orders = load_table(spark, sf_dir, "orders")
+    # day stays TIMESTAMP (no to_date): Spark DateType and DuckDB DATE
+    # render differently through the driver's pandas comparator
     daily = orders.groupBy(
-        F.to_date(F.date_trunc("day", "o_orderdate")).alias("day")
+        F.date_trunc("day", "o_orderdate").alias("day")
     ).agg(
         F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue"),
         F.count(F.lit(1)).alias("n_orders"),
@@ -361,7 +365,7 @@ def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROLLING_7DAY_SQL = """
 WITH daily AS (
-    SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+    SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
            SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS revenue,
            COUNT(*) AS n_orders
     FROM orders GROUP BY 1
@@ -372,7 +376,7 @@ SELECT day, n_orders,
        COUNT(*) OVER w AS days_in_window,
        ROUND(SUM(revenue) OVER w::DOUBLE / COUNT(*) OVER w, 4) AS avg_daily_rev_7d
 FROM daily
-WINDOW w AS (ORDER BY datediff('day', DATE '1970-01-01', day)
+WINDOW w AS (ORDER BY datediff('day', DATE '1970-01-01', CAST(day AS DATE))
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 ORDER BY day
 """

@@ -114,19 +114,23 @@ def parse_json(
     ``with_parse_errors`` to split those out.
     """
     from .coerce import coerce_variant_expr
+    from .datetimes import _clean
 
     specs = list(schema)
     value = F.col(value_col)
     raw_schema = _raw_string_schema(specs)
 
-    # Hoist the two message parses into named intermediate columns so each
-    # is evaluated ONCE per row.  Referencing the parse expression from
-    # every output column instead would re-parse the message per column —
-    # Catalyst's CollapseProject keeps this two-step projection because a
-    # non-cheap producer expression referenced more than once is never
-    # inlined, and whole-stage codegen then also stays under the method
-    # size limit (the inlined form fell back to interpreted evaluation:
-    # measured 10× slower end-to-end on the 6-column bench schema).
+    # Single-evaluation staging.  Every expensive expression that is
+    # referenced more than once downstream — the two message parses, each
+    # field's variant extraction, its schema_of_variant type tag, and the
+    # cleaned datetime string — is hoisted into its OWN projection stage and
+    # referenced as an attribute afterwards.  Catalyst's CollapseProject
+    # never inlines a non-cheap producer referenced more than once, so the
+    # stages survive optimization, each helper is computed exactly once per
+    # row inside whole-stage codegen, and the per-branch CASE conditions
+    # downstream compare precomputed attributes instead of re-running
+    # schema_of_variant / trim+regexp chains per branch (the round-2 10×
+    # ingest parse regression: O(layouts × branches) interpreted work/row).
     parsed = F.col("__sinker_praw")
     root = F.col("__sinker_vroot")
     staged = df.withColumns(
@@ -136,11 +140,16 @@ def parse_json(
         }
     )
 
-    out_cols: list[Column] = []
-    for spec in specs:
+    _DT_TYPES = (InternalType.DATETIME, InternalType.ELASTIC_DATETIME)
+    stage_extract: dict[str, Column] = {}   # fv / raw per target column
+    stage_tag: dict[str, Column] = {}       # vt / datetime string per column
+    stage_clean: dict[str, Column] = {}     # cleaned datetime string
+    plans: list[tuple] = []  # (kind, spec, names...) in output order
+
+    for i, spec in enumerate(specs):
         ksrc = kafka_virtual_source(spec.name)
         if ksrc is not None and ksrc in df.columns:
-            out_cols.append(F.col(ksrc).cast(spec.spark_type).alias(spec.name))
+            plans.append(("kafka", spec, ksrc))
             continue
         parts = _split_source_path(spec.source_name)
         if (
@@ -152,11 +161,80 @@ def parse_json(
             # reference emits the value's raw JSON text verbatim, while
             # variant re-serialization normalizes it (sorts object keys,
             # drops ".0" from integral floats inside arrays).
-            fv = F.try_variant_get(root, f"$.{parts[0]}", "variant")
-            out_cols.append(coerce_variant_expr(fv, spec, time_unit))
+            fv_name = f"__sinker_fv{i}"
+            stage_extract[fv_name] = F.try_variant_get(
+                root, f"$.{parts[0]}", "variant"
+            )
+            if spec.internal in _ARRAY_TYPES:
+                # array elements are coerced inside a transform lambda; the
+                # element variant is the lambda variable (bound once)
+                plans.append(("variant_array", spec, fv_name))
+                continue
+            vt_name = f"__sinker_vt{i}"
+            stage_tag[vt_name] = F.schema_of_variant(F.col(fv_name))
+            if spec.internal in _DT_TYPES:
+                s_name = f"__sinker_s{i}"
+                cl_name = f"__sinker_cl{i}"
+                stage_tag[s_name] = F.try_variant_get(F.col(fv_name), "$", "string")
+                stage_clean[cl_name] = _clean(F.col(s_name))
+                plans.append(("variant_dt", spec, fv_name, vt_name, s_name, cl_name))
+            else:
+                plans.append(("variant", spec, fv_name, vt_name))
             continue
-        raw = _raw_value_expr(parsed, value, spec)
-        out_cols.append(coerce_expr(raw, spec, time_unit))
+        raw_name = f"__sinker_raw{i}"
+        stage_extract[raw_name] = _raw_value_expr(parsed, value, spec)
+        if spec.internal in _DT_TYPES:
+            cl_name = f"__sinker_cl{i}"
+            stage_tag[cl_name] = _clean(F.col(raw_name).cast("string"))
+            plans.append(("raw_dt", spec, raw_name, cl_name))
+        else:
+            plans.append(("raw", spec, raw_name))
+
+    if stage_extract:
+        staged = staged.withColumns(stage_extract)
+    if stage_tag:
+        staged = staged.withColumns(stage_tag)
+    if stage_clean:
+        staged = staged.withColumns(stage_clean)
+
+    out_cols: list[Column] = []
+    for plan in plans:
+        kind, spec = plan[0], plan[1]
+        if kind == "kafka":
+            out_cols.append(F.col(plan[2]).cast(spec.spark_type).alias(spec.name))
+        elif kind == "variant_array":
+            out_cols.append(coerce_variant_expr(F.col(plan[2]), spec, time_unit))
+        elif kind == "variant":
+            out_cols.append(
+                coerce_variant_expr(
+                    F.col(plan[2]), spec, time_unit, vt=F.col(plan[3])
+                )
+            )
+        elif kind == "variant_dt":
+            out_cols.append(
+                coerce_variant_expr(
+                    F.col(plan[2]),
+                    spec,
+                    time_unit,
+                    vt=F.col(plan[3]),
+                    dt_str=F.col(plan[4]),
+                    dt_cleaned=F.col(plan[5]),
+                )
+            )
+        elif kind == "raw_dt":
+            out_cols.append(
+                coerce_expr(
+                    F.col(plan[2]),
+                    spec,
+                    time_unit,
+                    raw_is_attr=True,
+                    dt_cleaned=F.col(plan[3]),
+                )
+            )
+        else:  # raw
+            out_cols.append(
+                coerce_expr(F.col(plan[2]), spec, time_unit, raw_is_attr=True)
+            )
     if keep_value:
         out_cols.append(value.alias("__raw_value"))
     passthrough = [c for c in df.columns if c != value_col and not c.startswith("__")]

@@ -5,6 +5,16 @@ Runs every ``queries()`` entry from ``__spark_entry__`` and compares it to
 names, and an order-insensitive value hash (columns sorted by name, rows
 sorted, values canonicalized).
 
+BOTH sides are fetched through pandas (``df.toPandas()`` /
+``res.fetchdf()``) before canonicalization, because that is what the
+driver's gate does.  This is load-bearing: DuckDB types a windowed
+SUM(INTEGER) as HUGEINT, and pandas renders HUGEINT as float64 — so an
+oracle emitting HUGEINT produces ``1.0`` where Spark produces ``1`` and the
+hash mismatches even though the native-Python ``fetchall()`` values would
+compare equal.  Two rounds of "local green, driver red" (r1: unhashable
+array cells; r2: HUGEINT floats) came from this seam; do not switch back
+to ``fetchall()``.
+
 Usage: python scripts/check_oracle.py [sf_dir] [name ...]
 """
 
@@ -18,6 +28,7 @@ from datetime import date, datetime
 from decimal import Decimal
 
 import duckdb
+import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
@@ -30,21 +41,32 @@ TABLES = [
 def canon(v):
     if v is None:
         return "NULL"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return "1" if v else "0"
-    if isinstance(v, float):
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, float):  # covers np.floating (float64 subclasses float)
         if math.isnan(v):
             return "nan"
         return repr(round(v, 6))
     if isinstance(v, Decimal):
         return repr(round(float(v), 6))
-    if isinstance(v, datetime):
+    if isinstance(v, datetime):  # covers pd.Timestamp
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, date):
         return v.strftime("%Y-%m-%d")
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(canon(x) for x in v) + "]"
+    if v != v:  # pandas NaT and other NA sentinels
+        return "NULL"
     return str(v)
+
+
+def pandas_rows(pdf):
+    """(cols, rows) from a pandas frame — the driver-equivalent fetch path."""
+    cols = [str(c) for c in pdf.columns]
+    rows = [tuple(r) for r in pdf.itertuples(index=False, name=None)]
+    return cols, rows
 
 
 def value_hash(cols, rows):
@@ -89,8 +111,7 @@ def main():
             continue
         try:
             df = fn(spark, sf_dir)
-            srows = df.collect()
-            scols = df.columns
+            scols, srows = pandas_rows(df.toPandas())
         except Exception as e:
             emit(f"FAIL  {name}: spark error: {e}")
             failed.append(name)
@@ -99,9 +120,7 @@ def main():
             emit(f"weak  {name}: rows={len(srows)} (no oracle, rows-only check)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            ocols, orows = pandas_rows(con.execute(oracles[name]).fetchdf())
         except Exception as e:
             emit(f"FAIL  {name}: duckdb error: {e}")
             failed.append(name)
@@ -112,7 +131,7 @@ def main():
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
         else:
-            sh = value_hash(scols, [tuple(r) for r in srows])
+            sh = value_hash(scols, srows)
             oh = value_hash(ocols, orows)
             if sh != oh:
                 problems.append(f"value hash {sh} != {oh}")
@@ -122,7 +141,7 @@ def main():
             # dump a few rows to debug
             order_s = sorted(range(len(scols)), key=lambda i: scols[i])
             order_o = sorted(range(len(ocols)), key=lambda i: ocols[i]) if sorted(scols) == sorted(ocols) else None
-            s_lines = sorted("|".join(canon(r[i]) for i in order_s) for r in [tuple(x) for x in srows])
+            s_lines = sorted("|".join(canon(r[i]) for i in order_s) for r in srows)
             if order_o is not None:
                 o_lines = sorted("|".join(canon(r[i]) for i in order_o) for r in orows)
                 for a, b in list(zip(s_lines, o_lines))[:40]:

@@ -622,9 +622,12 @@ def test_inverted_index_postings_sorted_and_capped(spark):
     dfs = [r.df for r in rows]
     assert dfs == sorted(dfs, reverse=True)
     for r in rows:
-        assert 1 <= len(r.postings) <= T._INVIDX_POSTING_CAP
-        assert list(r.postings) == sorted(r.postings)
-        assert len(r.postings) == min(r.df, T._INVIDX_POSTING_CAP)
+        # postings is a comma-joined string (raw arrays are unhashable in
+        # the driver's pandas canonicalizer)
+        postings = [int(x) for x in r.postings.split(",")]
+        assert 1 <= len(postings) <= T._INVIDX_POSTING_CAP
+        assert postings == sorted(postings)
+        assert len(postings) == min(r.df, T._INVIDX_POSTING_CAP)
 
 
 def test_zscore_anomalies_are_extreme_days(spark):
@@ -783,6 +786,34 @@ def test_kmeans_refine_monotone_and_matches_numpy(spark):
                 C[k] = X[best == k].mean(axis=0)
     for got, want in zip(trace, np_trace):
         assert abs(got - want) / max(abs(want), 1e-12) < 1e-6
+
+
+def test_ivf_k_scales_with_corpus():
+    """K must grow ~linearly with corpus size (constant cell width): a fixed
+    K makes within-cell joins quadratic in N/K at scale (the r2 verdict's
+    SemDeDup finding)."""
+    assert S.ivf_k(0) == S.K_CENTROIDS_MIN
+    assert S.ivf_k(492) == S.K_CENTROIDS_MIN          # sf0.01 corpus: unchanged
+    assert S.ivf_k(1992) > S.ivf_k(492)               # sf0.1 corpus: more cells
+    assert S.ivf_k(10_000_000) >= 10_000_000 // S.IVF_CELL_TARGET
+    # mean cell width stays bounded by the target for large N
+    for n in (10_000, 1_000_000, 10_000_000):
+        assert n / S.ivf_k(n) <= S.IVF_CELL_TARGET + 1e-9
+
+
+def test_ivf_scaled_k_consistent_at_test_scale(spark):
+    """With the scaled K the seeded IVF answer still matches its DuckDB
+    oracle shape and returns full top-k per query (results-consistency
+    gate for the K parameterization)."""
+    rows = S.ann_ivf_topk(spark, SF_DIR).collect()
+    assert len(rows) == S.N_QUERIES * S.TOP_K
+    from clickhouse_sinker_nali_spark.session import load_table
+
+    n_corpus = load_table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") >= S.N_QUERIES
+    ).count()
+    k = S.ivf_k(n_corpus)
+    assert all(0 <= r.cid < k for r in rows)
 
 
 def test_ann_ivf_kmeans_recall_not_worse_than_seeded(spark):

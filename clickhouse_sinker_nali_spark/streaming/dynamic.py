@@ -76,21 +76,48 @@ class NewKeyDetector:
         return found
 
 
+# ANSI twin of DYNAMIC_NEWKEY_CH_TYPE, used when the ALTER round-trip runs
+# against a plain-SQL JDBC endpoint (integration tests use embedded Derby);
+# arrays have no ANSI type and are stored serialized
+_DYNAMIC_NEWKEY_ANSI_TYPE: dict[InternalType, str] = {
+    InternalType.INT: "BIGINT",
+    InternalType.FLOAT: "DOUBLE",
+    InternalType.STRING: "VARCHAR(4000)",
+    InternalType.DATETIME: "TIMESTAMP",
+    InternalType.INT_ARRAY: "VARCHAR(4000)",
+    InternalType.FLOAT_ARRAY: "VARCHAR(4000)",
+    InternalType.STRING_ARRAY: "VARCHAR(4000)",
+    InternalType.DATETIME_ARRAY: "VARCHAR(4000)",
+}
+
+
 def alter_statements(
     db: str,
     table: str,
     new_keys: dict[str, InternalType],
     on_cluster: str = "",
     dist_tables: list[str] | None = None,
+    dialect: str = "clickhouse",
 ) -> list[str]:
     """Sorted ALTER DDL for the new keys (reference output/clickhouse.go:369-460).
 
     Distributed-table recreation is emitted as DROP+CREATE AS pattern
     statements (the reference drops and recreates Distributed wrappers,
     output/clickhouse_util.go:123-139).
+
+    ``dialect="ansi"`` emits unquoted single-table ANSI DDL (no backticks,
+    no IF NOT EXISTS, ANSI type names) so the same orchestration can be
+    driven end-to-end against any plain JDBC database.
     """
     cluster = f" ON CLUSTER {on_cluster}" if on_cluster else ""
     stmts = []
+    if dialect == "ansi":
+        for key in sorted(new_keys):
+            stmts.append(
+                f"ALTER TABLE {table} ADD COLUMN {key} "
+                f"{_DYNAMIC_NEWKEY_ANSI_TYPE[new_keys[key]]}"
+            )
+        return stmts
     for key in sorted(new_keys):
         ch_type = DYNAMIC_NEWKEY_CH_TYPE[new_keys[key]]
         stmts.append(

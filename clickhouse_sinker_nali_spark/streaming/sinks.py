@@ -11,9 +11,12 @@ Re-expresses the reference's output layer (SURVEY.md §2.8):
                          pool/conn.go:75-126, output/clickhouse.go:162-194)
 - K5 offset commit     → NOT done here: Spark's checkpoint owns offsets
 
-The JDBC driver jar for ClickHouse isn't bundled in this container, so the
-JDBC sink is exercised structurally (URL/property assembly, retry loop) and
-``ParquetSink`` provides the end-to-end test path with identical semantics.
+The ClickHouse JDBC driver jar isn't bundled in this container, but the
+JDBC branch itself IS exercised end-to-end: tests/test_jdbc_sink.py drives
+``JdbcClickHouseSink``, the replica-rotation retry, the bad-row transaction
+rewrite, and the ALTER round-trip against embedded Apache Derby (a real
+JDBC database on Spark's own classpath).  ``ParquetSink`` remains the
+streaming-E2E twin with identical routing semantics.
 """
 
 from __future__ import annotations

@@ -63,6 +63,7 @@ def with_retries(
     retry_times: int = 3,
     backoff_s: float = 0.1,
     sleep: Callable[[float], None] = time.sleep,
+    on_rotate: Callable[[], None] | None = None,
 ) -> int:
     """Replica-rotating retry loop (K3).
 
@@ -81,6 +82,8 @@ def with_retries(
             return replica
         except Exception:
             attempt += 1
+            if on_rotate is not None:  # ClickhouseReconnectTotal analog
+                on_rotate()
             if retry_times > 0 and attempt >= retry_times * replicas:
                 raise
             sleep(backoff_s)
@@ -169,6 +172,10 @@ class JdbcClickHouseSink:
     sharding_policy: str = ""
     sharding_key: str = ""
     properties: dict[str, str] = field(default_factory=dict)
+    # optional ops-metrics hook (streaming.metrics_http.SinkerMetricsRegistry):
+    # replica rotations count as clickhouse_reconnect_total{task=task_name}
+    metrics: object = None
+    task_name: str = ""
 
     def _props(self) -> dict[str, str]:
         return {
@@ -200,12 +207,19 @@ class JdbcClickHouseSink:
             if part is None:
                 continue
             replicas = self.urls[s]
+            on_rotate = None
+            if self.metrics is not None:
+                on_rotate = lambda: self.metrics.inc(  # noqa: E731
+                    "clickhouse_reconnect_total",
+                    {"task": self.task_name or self.table},
+                )
             with_retries(
                 lambda r: part.write.mode("append").jdbc(
                     replicas[r], self.table, properties=self._props()
                 ),
                 replicas=len(replicas),
                 retry_times=self.retry_times,
+                on_rotate=on_rotate,
             )
 
 

@@ -206,7 +206,7 @@ ORDER BY query_id, rank
 # width makes total cost K·(N/K)² = N·IVF_CELL_TARGET — linear in N.  A
 # fixed K=8 was correct at sf0.01 but (N/8)² per cell at 100 TB; production
 # SemDeDup runs use 10⁴–10⁵ clusters for the same reason (Abbas et al. 2023).
-IVF_CELL_TARGET = 64   # target mean vectors per cell
+IVF_CELL_TARGET = 128  # target mean vectors per cell
 K_CENTROIDS_MIN = 8    # floor: keeps tiny test corpora multi-cell
 NPROBE = 2  # queries probe their 2 nearest cells
 
@@ -248,25 +248,50 @@ def _centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
 def _cell_scores(cents: list[tuple[int, list[float]]], col: str):
     """array<struct<cos,cid>> of similarity to every centroid literal.
 
-    The centroid table enters the plan as ONE array<struct> literal and the
-    cosine is written ONCE inside a ``transform`` lambda — K copies of an
-    unrolled 64-dim fold would bloat the generated code K× (compile time
-    grows with expression-tree size, not data size; measured ~1s of the
-    small-SF wall on the unrolled form).
+    The centroid matrix enters the plan as ONE nested-array literal
+    (``F.lit(list[list[float]])`` → a single array<array<double>> Literal
+    node) and the cosine is written ONCE inside a ``transform`` lambda
+    whose index doubles as the cid (``_centroids`` returns consecutive
+    cids 0..K-1 in order).  Two expression-size traps live here, both
+    measured: K copies of an unrolled 64-dim fold bloat generated code K×
+    (~1 s of small-SF wall), and K separate per-centroid ``F.lit``s put
+    K×d Literal NODES in the tree — plan analysis + codegen then scale
+    with K·d, which at K=32, d=64 cost ~2 s per query compile when the
+    actual data math is microseconds.  One opaque Literal object makes
+    compile time independent of K, which is what lets ivf_k() grow K with
+    the corpus.
     """
-    cent_arr = F.array(
-        *[
-            F.struct(F.lit(cid).alias("cid"), F.lit(vec).alias("vec"))
-            for cid, vec in cents
-        ]
-    )
+    import math
+
+    from ..functions import dot, norm
+
+    x = F.col(col) if isinstance(col, str) else col
+    mat = [vec for _, vec in cents]
+    # per-centroid L2 norms as literals, computed with EXACTLY the engine's
+    # arithmetic (float32→double per element, index-order fold from 0.0,
+    # IEEE sqrt) so cos values stay bit-identical to the full cosine() —
+    # and the row's own norm is bound ONCE via the outer lambda instead of
+    # being re-instantiated per centroid (HOF folds evaluate interpreted;
+    # K×(dot+2·norm) per row was 3× the necessary work, the dominant cost
+    # of cell assignment once ivf_k() raised K)
+    norms = []
+    for vec in mat:
+        acc = 0.0
+        for v in vec:
+            acc += v * v
+        norms.append(math.sqrt(acc))
+    cent_arr = F.lit(mat)
+    norm_arr = F.lit(norms)
     return F.transform(
-        cent_arr,
-        lambda c: F.struct(
-            cosine(F.col(col) if isinstance(col, str) else col, c.getField("vec")).alias("cos"),
-            c.getField("cid").alias("cid"),
+        F.array(norm(x)),
+        lambda nx: F.transform(
+            cent_arr,
+            lambda c, i: F.struct(
+                (dot(x, c) / (nx * F.element_at(norm_arr, i + F.lit(1)))).alias("cos"),
+                i.cast("int").alias("cid"),
+            ),
         ),
-    )
+    ).getItem(0)
 
 
 def _probed_queries(emb: DataFrame, cents) -> DataFrame:

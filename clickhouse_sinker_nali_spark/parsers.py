@@ -267,31 +267,80 @@ def parse_csv(
     config ``csvFormat``); array-typed targets are embedded JSON strings
     inside the cell (reference parser/csv.go:41-230).
     """
+    from .datetimes import _clean
+
     ddl = ", ".join(f"`{name}` STRING" for name in csv_format)
     # escape='"' gives RFC-4180 doubled-quote semantics (reference
     # parser/csv.go uses encoding/csv, which is RFC-4180)
-    parsed = F.from_csv(
-        F.col(value_col),
-        F.lit(ddl),
-        {"sep": delimiter, "mode": "PERMISSIVE", "escape": '"'},
+    # Same single-evaluation staging as parse_json: the record parse, each
+    # cell extraction, and the cleaned datetime string become attributes so
+    # conditional branches downstream never re-instantiate them.
+    parsed = F.col("__sinker_craw")
+    staged = df.withColumns(
+        {
+            "__sinker_craw": F.from_csv(
+                F.col(value_col),
+                F.lit(ddl),
+                {"sep": delimiter, "mode": "PERMISSIVE", "escape": '"'},
+            )
+        }
     )
     by_source = {s: i for i, s in enumerate(csv_format)}
-    out_cols = []
-    for spec in schema:
+    _DT_TYPES = (InternalType.DATETIME, InternalType.ELASTIC_DATETIME)
+    stage_cells: dict[str, Column] = {}
+    stage_clean: dict[str, Column] = {}
+    plans: list[tuple] = []  # (kind, spec, names...)
+    for i, spec in enumerate(schema):
         ksrc = kafka_virtual_source(spec.name)
         if ksrc is not None and ksrc in df.columns:
-            out_cols.append(F.col(ksrc).cast(spec.spark_type).alias(spec.name))
+            plans.append(("kafka", spec, ksrc))
             continue
         if spec.source_name not in by_source:
-            out_cols.append(coerce_expr(F.lit(None).cast("string"), spec, time_unit))
+            plans.append(("missing", spec))
             continue
         cell = parsed.getField(spec.source_name)
+        raw_name = f"__sinker_c{i}"
         if spec.internal in _ARRAY_TYPES:
-            raw = F.from_json(cell, T.ArrayType(T.StringType()))
+            stage_cells[raw_name] = F.from_json(cell, T.ArrayType(T.StringType()))
+            plans.append(("array", spec, raw_name))
+        elif spec.internal in _DT_TYPES:
+            cl_name = f"__sinker_ccl{i}"
+            stage_cells[raw_name] = cell
+            stage_clean[cl_name] = _clean(F.col(raw_name))
+            plans.append(("dt", spec, raw_name, cl_name))
         else:
-            raw = cell
-        out_cols.append(coerce_expr(raw, spec, time_unit))
-    return df.select(*out_cols)
+            stage_cells[raw_name] = cell
+            plans.append(("cell", spec, raw_name))
+    if stage_cells:
+        staged = staged.withColumns(stage_cells)
+    if stage_clean:
+        staged = staged.withColumns(stage_clean)
+
+    out_cols = []
+    for plan in plans:
+        kind, spec = plan[0], plan[1]
+        if kind == "kafka":
+            out_cols.append(F.col(plan[2]).cast(spec.spark_type).alias(spec.name))
+        elif kind == "missing":
+            out_cols.append(coerce_expr(F.lit(None).cast("string"), spec, time_unit))
+        elif kind == "array":
+            # array cells coerce inside a transform lambda (bound once)
+            out_cols.append(coerce_expr(F.col(plan[2]), spec, time_unit))
+        elif kind == "dt":
+            out_cols.append(
+                coerce_expr(
+                    F.col(plan[2]),
+                    spec,
+                    time_unit,
+                    raw_is_attr=True,
+                    dt_cleaned=F.col(plan[3]),
+                )
+            )
+        else:
+            out_cols.append(
+                coerce_expr(F.col(plan[2]), spec, time_unit, raw_is_attr=True)
+            )
+    return staged.select(*out_cols)
 
 
 # ---------------------------------------------------------------------------

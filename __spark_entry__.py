@@ -167,6 +167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "full_outer_reconcile": R.full_outer_reconcile,
         "chunk_documents": C.chunk_documents,
         "gdpr_delete_cascade": C.gdpr_delete_cascade,
+        "bm25_topk": T.bm25_topk,
+        "knn_label_vote": S.knn_label_vote,
+        "bloom_membership": D.bloom_membership,
     }
 
 
@@ -285,4 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "full_outer_reconcile": R.FULL_OUTER_SQL,
         "chunk_documents": C.CHUNK_SQL,
         "gdpr_delete_cascade": C.GDPR_CASCADE_SQL,
+        "bm25_topk": T.BM25_SQL,
+        "knn_label_vote": S.KNN_LABEL_VOTE_SQL,
+        "bloom_membership": D.BLOOM_MEMBERSHIP_SQL,
     }

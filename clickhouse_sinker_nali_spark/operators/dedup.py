@@ -746,3 +746,110 @@ DEDUP_LSH_RECALL_SQL = (
     "       ROUND((SELECT COUNT(*) FROM pairs) * 1.0\n"
     "             / (SELECT COUNT(*) FROM exh_pairs), 6) AS recall"
 )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership: fixed-size probabilistic dedup across splits
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16   # m: filter size in bits (fixed regardless of corpus)
+BLOOM_HASHES = 4       # k: independent hash functions
+_BLOOM_HOLDOUT_MOD = 10  # doc_id % 10 == 0 → holdout, else filter-building
+
+
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter cross-split dedup probe: build a fixed-size bit set
+    from the train split's document texts, then test every holdout
+    document for (probabilistic) membership — the constant-memory screen
+    a pipeline runs before exact dedup when the reference set is too big
+    to join raw (the filter is ≤ m bits ≈ 8 KB here, regardless of
+    corpus size).
+
+    Bit positions are ``portable_hash64("bloom{i}:" || text) % m`` for k
+    seeds — deterministic, so the DuckDB oracle reproduces the exact
+    filter and the exact false positives.  Plan shape: the bit set is a
+    distinct-aggregate of ≤ m longs (broadcastable by construction); the
+    probe is k broadcast semi-joins expressed as one groupBy counting hit
+    positions.  No shuffle ever carries corpus-sized data: at 100 TB the
+    wide stages carry |distinct bits| ≤ m and |holdout|·k rows.
+
+    Output per holdout doc: bits_hit (of k), maybe_member, and
+    is_true_dup (exact text match in train — labels the false positives).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % _BLOOM_HOLDOUT_MOD != 0)
+    holdout = docs.filter(F.col("doc_id") % _BLOOM_HOLDOUT_MOD == 0)
+
+    def positions(col):
+        return F.array(
+            *[
+                portable_hash64(F.concat(F.lit(f"bloom{i}:"), col)) % BLOOM_BITS
+                for i in range(BLOOM_HASHES)
+            ]
+        )
+
+    bits = (
+        train.select(F.explode(positions(F.col("text"))).alias("bit"))
+        .distinct()
+    )
+    probe = holdout.select(
+        "doc_id", F.posexplode(positions(F.col("text")))
+    ).select("doc_id", F.col("col").alias("bit"))
+    hits = (
+        probe.join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("bits_hit"))
+    )
+    truth = holdout.join(
+        train.select(F.col("text").alias("t_text")).distinct(),
+        holdout.text == F.col("t_text"),
+        "left",
+    ).select("doc_id", F.col("t_text").isNotNull().alias("is_true_dup"))
+    return (
+        holdout.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .join(truth, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("bits_hit", F.lit(0)).cast("long").alias("bits_hit"),
+            (F.coalesce("bits_hit", F.lit(0)) == BLOOM_HASHES).alias("maybe_member"),
+            "is_true_dup",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BLOOM_POS_SQL = ", ".join(
+    "({h} % {m})".format(
+        h=portable_hash64_sql("'bloom%d:' || text" % i), m=BLOOM_BITS
+    )
+    for i in range(BLOOM_HASHES)
+)
+
+BLOOM_MEMBERSHIP_SQL = f"""
+WITH train AS (
+    SELECT * FROM documents WHERE doc_id % {_BLOOM_HOLDOUT_MOD} <> 0
+), holdout AS (
+    SELECT * FROM documents WHERE doc_id % {_BLOOM_HOLDOUT_MOD} = 0
+), bits AS (
+    SELECT DISTINCT unnest([{_BLOOM_POS_SQL}]) AS bit FROM train
+), probe AS (
+    SELECT doc_id, unnest([{_BLOOM_POS_SQL}]) AS bit FROM holdout
+), hits AS (
+    SELECT p.doc_id, COUNT(*) AS bits_hit
+    FROM probe p WHERE p.bit IN (SELECT bit FROM bits)
+    GROUP BY p.doc_id
+), truth AS (
+    SELECT h.doc_id,
+           EXISTS (SELECT 1 FROM train t WHERE t.text = h.text) AS is_true_dup
+    FROM holdout h
+)
+SELECT h.doc_id,
+       CAST(COALESCE(hits.bits_hit, 0) AS BIGINT) AS bits_hit,
+       COALESCE(hits.bits_hit, 0) = {BLOOM_HASHES} AS maybe_member,
+       truth.is_true_dup
+FROM holdout h
+LEFT JOIN hits ON h.doc_id = hits.doc_id
+JOIN truth ON h.doc_id = truth.doc_id
+ORDER BY h.doc_id
+"""

@@ -870,3 +870,60 @@ FROM (
 WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
+
+
+# --------------------------------------------------------------------------
+# k-NN label vote: classify query vectors by their neighbors' majority label
+# --------------------------------------------------------------------------
+
+
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding corpus: each query vector
+    takes the majority ``label`` among its TOP_K exact-cosine neighbors
+    (ties → smaller label) — the standard label-propagation/auto-labeling
+    primitive of a training-data pipeline (e.g. quality-tier transfer from
+    a labeled seed set to new data).
+
+    Reuses the brute-force top-k plan (broadcast queries, one tiny rank
+    shuffle) and adds one aggregation over k·|queries| rows — negligible
+    at any scale; swap in the IVF candidate generator for 100 TB corpora
+    (identical voting tail).
+    """
+    from pyspark.sql.window import Window
+
+    topk = ann_bruteforce_topk(spark, sf_dir)
+    votes = topk.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("n_votes"),
+        F.max("cos_sim").alias("best_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("pred_label"),
+            "n_votes",
+            F.round("best_sim", 6).alias("best_sim"),
+        )
+        .orderBy("query_id")
+    )
+
+
+KNN_LABEL_VOTE_SQL = f"""
+WITH topk AS ({ANN_BRUTEFORCE_SQL.replace(';', '')}),
+votes AS (
+    SELECT query_id, label, COUNT(*) AS n_votes, MAX(cos_sim) AS best_sim
+    FROM topk GROUP BY query_id, label
+)
+SELECT query_id, label AS pred_label, n_votes, ROUND(best_sim, 6) AS best_sim
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY n_votes DESC, label ASC) AS rn
+    FROM votes
+)
+WHERE rn = 1
+ORDER BY query_id
+"""

@@ -966,3 +966,120 @@ FROM w JOIN probs p USING (word)
 GROUP BY w.doc_id, w.lang
 ORDER BY w.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval: score the corpus for a fixed keyword query, top-k docs
+# --------------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "hash", "merge")  # fixed query, in scoring order
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (Lucene idf variant) top-k documents for a fixed
+    keyword query — the retrieval scorer a curation pipeline runs for
+    contamination lookup / quality probes over the corpus index.
+
+    Shape: tokenize → filter to the query terms BEFORE any shuffle (the
+    selective predicate prunes ~all tokens map-side), one groupBy for the
+    per-(doc, term) tf, a tiny per-term df aggregate broadcast back, and a
+    per-doc ordered sum of per-term scores.  At 100 TB the only wide
+    stage carries |docs_containing_query_terms| rows, never the corpus.
+
+    Numeric determinism across engines: tf/df/dl are integer aggregates
+    (order-free); each per-term score is computed from those scalars with
+    one expression; the final doc score adds the (≤3) per-term scores in
+    FIXED term order via conditional-aggregated columns, not a float
+    SUM() whose fold order an engine may choose.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
+    ).filter(F.col("word").isin(*BM25_TERMS))
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", r"\s+")).cast("long").alias("dl")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", r"\s+")).cast("long")).alias("total_tokens"),
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "word")
+        .join(F.broadcast(dl), "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
+    term_score = idf * F.col("tf") / denom
+    per_term = scored.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("word") == t, term_score)).alias(f"s_{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ]
+    )
+    total = None
+    for i in range(len(BM25_TERMS)):  # fixed-order addition
+        part = F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+        total = part if total is None else total + part
+    ranked = per_term.select(
+        "doc_id", F.round(total, 6).alias("bm25")
+    ).withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.col("bm25").desc(), F.col("doc_id"))),
+    )
+    return (
+        ranked.filter(F.col("rank") <= BM25_TOP)
+        .select("rank", "doc_id", "bm25")
+        .orderBy("rank")
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+BM25_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+    FROM documents
+), dl AS (
+    SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS dl
+    FROM documents
+), stats AS (
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+               AS total_tokens
+    FROM documents
+), tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf FROM toks
+    WHERE word IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, word
+), df_t AS (
+    SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+), scored AS (
+    SELECT tf.doc_id, tf.word,
+           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * tf.tf / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                        + {BM25_B} * dl.dl / (s.total_tokens::DOUBLE / s.n_docs)))
+               AS term_score
+    FROM tf JOIN df_t d USING (word) JOIN dl USING (doc_id) CROSS JOIN stats s
+), per_doc AS (
+    SELECT doc_id,
+           {" + ".join(
+               f"COALESCE(SUM(CASE WHEN word = '{t}' THEN term_score END), 0.0)"
+               for t in BM25_TERMS
+           )} AS bm25
+    FROM scored GROUP BY doc_id
+)
+SELECT rank, doc_id, bm25 FROM (
+    SELECT doc_id, ROUND(bm25, 6) AS bm25,
+           ROW_NUMBER() OVER (ORDER BY ROUND(bm25, 6) DESC, doc_id) AS rank
+    FROM per_doc
+) WHERE rank <= {BM25_TOP}
+ORDER BY rank
+"""

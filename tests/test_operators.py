@@ -1193,3 +1193,44 @@ def test_dsir_importance_upweights_target_language(spark):
     means = {lang: sum(v) / len(v) for lang, v in by_lang.items()}
     assert means["en"] == max(means.values())
     assert all(means["en"] > m for lang, m in means.items() if lang != "en")
+
+
+def test_bm25_ranks_term_rich_docs(spark):
+    rows = T.bm25_topk(spark, SF_DIR).collect()
+    assert rows and rows[0].rank == 1
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.bm25 > 0 for r in rows)
+    # the top doc must actually contain at least one query term
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()}
+    top_text = docs[rows[0].doc_id]
+    assert any(t in top_text.split() for t in T.BM25_TERMS)
+
+
+def test_knn_label_vote_majority(spark):
+    votes = {r.query_id: r for r in S.knn_label_vote(spark, SF_DIR).collect()}
+    topk = S.ann_bruteforce_topk(spark, SF_DIR).collect()
+    assert len(votes) == S.N_QUERIES
+    from collections import Counter
+    by_q = {}
+    for r in topk:
+        by_q.setdefault(r.query_id, []).append(r.label)
+    for q, labels in by_q.items():
+        counts = Counter(labels)
+        best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+        assert votes[q].pred_label == best[0]
+        assert votes[q].n_votes == best[1]
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    import clickhouse_sinker_nali_spark.operators.dedup as D
+
+    rows = D.bloom_membership(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.bits_hit <= D.BLOOM_HASHES
+        # Bloom's contract: a true duplicate can NEVER be missed
+        if r.is_true_dup:
+            assert r.maybe_member
+        assert r.maybe_member == (r.bits_hit == D.BLOOM_HASHES)

@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": T.bm25_topk,
         "knn_label_vote": S.knn_label_vote,
         "bloom_membership": D.bloom_membership,
+        "perplexity_buckets": T.perplexity_buckets,
+        "contrastive_pairs": S.contrastive_pairs,
     }
 
 
@@ -291,4 +293,6 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": T.BM25_SQL,
         "knn_label_vote": S.KNN_LABEL_VOTE_SQL,
         "bloom_membership": D.BLOOM_MEMBERSHIP_SQL,
+        "perplexity_buckets": T.PPL_BUCKETS_SQL,
+        "contrastive_pairs": S.CONTRASTIVE_SQL,
     }

@@ -927,3 +927,79 @@ FROM (
 WHERE rn = 1
 ORDER BY query_id
 """
+
+
+# --------------------------------------------------------------------------
+# Contrastive pair mining: nearest positive + hardest negative per query
+# --------------------------------------------------------------------------
+
+
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine (anchor, positive, hard-negative) training triplets: for each
+    query vector, the most-similar corpus vector sharing its ``label``
+    (positive) and the most-similar one with a different label (the hard
+    negative) — the batch-mining step behind contrastive/embedding-model
+    training (InfoNCE, triplet loss).
+
+    One broadcast score pass (the brute-force plan) feeds two windowed
+    picks partitioned by (query, same-label flag); the shuffle carries
+    only query-keyed score rows.  At corpus scale the scorer swaps for
+    the IVF candidate generator — the mining tail is unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("query_label"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("n_label"),
+    )
+    scored = corpus.join(broadcast(queries)).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        (F.col("n_label") == F.col("query_label")).alias("same"),
+        cosine("qe", "ce").alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id", "same").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    pos = best.filter(F.col("same")).select(
+        "query_id",
+        "query_label",
+        F.col("neighbor_id").alias("pos_id"),
+        F.round("cos_sim", 6).alias("pos_sim"),
+    )
+    neg = best.filter(~F.col("same")).select(
+        "query_id",
+        F.col("neighbor_id").alias("neg_id"),
+        F.round("cos_sim", 6).alias("neg_sim"),
+    )
+    return pos.join(neg, "query_id").orderBy("query_id")
+
+
+CONTRASTIVE_SQL = f"""
+WITH scored AS (
+    SELECT q.vec_id AS query_id, q.label AS query_label,
+           c.vec_id AS neighbor_id, c.label = q.label AS same,
+           {_COS} AS cos_sim
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+), best AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, same
+                  ORDER BY cos_sim DESC, neighbor_id) AS rn
+    FROM scored
+)
+SELECT p.query_id, p.query_label,
+       p.neighbor_id AS pos_id, ROUND(p.cos_sim, 6) AS pos_sim,
+       n.neighbor_id AS neg_id, ROUND(n.cos_sim, 6) AS neg_sim
+FROM best p JOIN best n ON p.query_id = n.query_id
+WHERE p.rn = 1 AND p.same AND n.rn = 1 AND NOT n.same
+ORDER BY p.query_id
+"""

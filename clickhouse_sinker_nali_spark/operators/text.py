@@ -1083,3 +1083,58 @@ SELECT rank, doc_id, bm25 FROM (
 ) WHERE rank <= {BM25_TOP}
 ORDER BY rank
 """
+
+
+# --------------------------------------------------------------------------
+# Perplexity buckets: decile the corpus by LM score, per-bucket stats
+# --------------------------------------------------------------------------
+
+PPL_BUCKETS = 10
+
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile the corpus by unigram-LM score and summarize each bucket —
+    the CCNet/FineWeb-style 'perplexity bucketing' step that decides which
+    quality slices of a crawl feed training (keep the head, drop or
+    down-sample the tail).
+
+    Composes :func:`unigram_logprob` (one scan + one broadcast join) with
+    an NTILE over (avg_logprob, doc_id) — deterministic total order, so
+    both engines cut identical deciles.  The window ranks |corpus| rows
+    on ONE key; at 100 TB you'd swap the exact NTILE for quantile cuts
+    from ``quantile_sketch_bottomk`` (same output contract, bounded
+    memory) — the deterministic decile here is what the oracle can check
+    exactly.
+    """
+    scored = unigram_logprob(spark, sf_dir)
+    w = W.orderBy(F.col("avg_logprob").asc(), F.col("doc_id").asc())
+    bucketed = scored.withColumn("bucket", F.ntile(PPL_BUCKETS).over(w))
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.min("avg_logprob"), 6).alias("min_lp"),
+            F.round(F.max("avg_logprob"), 6).alias("max_lp"),
+            F.sum("n_tokens").cast("long").alias("bucket_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+PPL_BUCKETS_SQL = f"""
+WITH scored AS ({{unigram}}),
+bucketed AS (
+    SELECT *, NTILE({PPL_BUCKETS}) OVER (ORDER BY avg_logprob ASC, doc_id ASC)
+                  AS bucket
+    FROM scored
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       ROUND(MIN(avg_logprob), 6) AS min_lp,
+       ROUND(MAX(avg_logprob), 6) AS max_lp,
+       CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+PPL_BUCKETS_SQL = PPL_BUCKETS_SQL.format(unigram=UNIGRAM_LOGPROB_SQL)

@@ -1234,3 +1234,37 @@ def test_bloom_membership_no_false_negatives(spark):
         if r.is_true_dup:
             assert r.maybe_member
         assert r.maybe_member == (r.bits_hit == D.BLOOM_HASHES)
+
+
+def test_perplexity_buckets_cover_corpus_monotonically(spark):
+    rows = T.perplexity_buckets(spark, SF_DIR).collect()
+    assert [r.bucket for r in rows] == list(range(1, T.PPL_BUCKETS + 1))
+    assert sum(r.n_docs for r in rows) == 500
+    # deciles are contiguous, non-overlapping score ranges
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_lp <= b.min_lp + 1e-9
+        assert a.min_lp <= a.max_lp
+
+
+def test_contrastive_pairs_hard_negative_is_cross_label(spark):
+    pairs = S.contrastive_pairs(spark, SF_DIR).collect()
+    assert len(pairs) == S.N_QUERIES
+    labels = {r.vec_id: r.label for r in
+              spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()}
+    bf = S.ann_bruteforce_topk(spark, SF_DIR).collect()
+    best_overall = {}
+    for r in bf:
+        if r.rank == 1:
+            best_overall[r.query_id] = r
+    for p in pairs:
+        assert labels[p.pos_id] == p.query_label
+        assert labels[p.neg_id] != p.query_label
+        # the positive/negative are each at least as similar as any
+        # top-k member of the same class
+        for r in bf:
+            if r.query_id != p.query_id:
+                continue
+            if labels[r.neighbor_id] == p.query_label:
+                assert p.pos_sim >= round(r.cos_sim, 6) - 1e-9
+            else:
+                assert p.neg_sim >= round(r.cos_sim, 6) - 1e-9

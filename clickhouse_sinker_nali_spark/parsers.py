@@ -118,7 +118,6 @@ def parse_json(
 
     specs = list(schema)
     value = F.col(value_col)
-    raw_schema = _raw_string_schema(specs)
 
     # Single-evaluation staging.  Every expensive expression that is
     # referenced more than once downstream — the two message parses, each
@@ -133,18 +132,13 @@ def parse_json(
     # ingest parse regression: O(layouts × branches) interpreted work/row).
     parsed = F.col("__sinker_praw")
     root = F.col("__sinker_vroot")
-    staged = df.withColumns(
-        {
-            "__sinker_praw": F.from_json(value, raw_schema),
-            "__sinker_vroot": F.try_parse_json(value.cast("string")),
-        }
-    )
 
     _DT_TYPES = (InternalType.DATETIME, InternalType.ELASTIC_DATETIME)
     stage_extract: dict[str, Column] = {}   # fv / raw per target column
     stage_tag: dict[str, Column] = {}       # vt / datetime string per column
     stage_clean: dict[str, Column] = {}     # cleaned datetime string
     plans: list[tuple] = []  # (kind, spec, names...) in output order
+    raw_path_specs: list[ColumnSpec] = []   # specs extracted from the raw parse
 
     for i, spec in enumerate(specs):
         ksrc = kafka_virtual_source(spec.name)
@@ -181,6 +175,8 @@ def parse_json(
             else:
                 plans.append(("variant", spec, fv_name, vt_name))
             continue
+        if len(parts) == 1:  # nested paths extract from the message text
+            raw_path_specs.append(spec)
         raw_name = f"__sinker_raw{i}"
         stage_extract[raw_name] = _raw_value_expr(parsed, value, spec)
         if spec.internal in _DT_TYPES:
@@ -189,6 +185,20 @@ def parse_json(
             plans.append(("raw_dt", spec, raw_name, cl_name))
         else:
             plans.append(("raw", spec, raw_name))
+
+    # Stage the message parses — each pruned to what the plan actually
+    # uses.  The raw from_json schema lists ONLY the raw-path fields (a
+    # String-heavy schema skips variant work per field; a numeric-heavy
+    # schema materializes few raw fields), and a parse with no consumers
+    # is omitted entirely, so a schema never pays for both full parses.
+    parse_stage: dict[str, Column] = {}
+    if raw_path_specs:
+        parse_stage["__sinker_praw"] = F.from_json(
+            value, _raw_string_schema(raw_path_specs)
+        )
+    if any(p[0] in ("variant", "variant_dt", "variant_array") for p in plans):
+        parse_stage["__sinker_vroot"] = F.try_parse_json(value.cast("string"))
+    staged = df.withColumns(parse_stage) if parse_stage else df
 
     if stage_extract:
         staged = staged.withColumns(stage_extract)

@@ -156,13 +156,30 @@ def start_pipeline(
     checkpoint_dir: str,
     enrich_fn: Callable[[DataFrame], DataFrame] | None = None,
     available_now: bool = False,
+    observe: bool = True,
 ):
     """Wire source → transform → foreachBatch(sink) and start the query.
 
     ``available_now=True`` drains everything currently available and stops
     (test/backfill mode); otherwise the processing-time trigger reproduces
     the reference's flushInterval batch cut.
+
+    ``observe=True`` (default) attaches the reference's data-plane
+    counters (consume/parse-error/flush totals) to the plan so the
+    metrics listener (statistics.py / metrics_http.py) sees them on every
+    micro-batch — the reference counts unconditionally
+    (statistics/statistics.go), so the twin does too.
     """
+    from ..parsers import with_parse_errors
+    from .statistics import observed_metrics
+
+    if observe:
+        # observe on the RAW side so the counters see every consumed
+        # message, including unparseable drop-but-ack rows; the
+        # CollectMetrics node stays in the executed plan when transform
+        # builds on top of it (the projection drops the helper column,
+        # not the observation)
+        source = observed_metrics(with_parse_errors(source))
     typed = transform(source, cfg, enrich_fn)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:

@@ -170,3 +170,48 @@ def test_sink_reconnect_counter(spark, tmp_path):
     sink.write(spark.createDataFrame([(1,)], "ID BIGINT"), epoch_id=0)
     assert reg.get("clickhouse_reconnect_total", {"task": "rc_task"}) == 1
     assert f'{PREFIX}clickhouse_reconnect_total{{task="rc_task"}} 1' in reg.render()
+
+
+def test_start_pipeline_observes_by_default(spark, tmp_path):
+    """The production wiring: start_pipeline (observe on by default) feeds
+    the reference-named counters without any caller opt-in."""
+    import json as _json
+
+    from clickhouse_sinker_nali_spark.streaming.pipeline import (
+        TaskConfig,
+        build_file_source,
+        start_pipeline,
+    )
+    from clickhouse_sinker_nali_spark.streaming.sinks import ParquetSink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    lines = [_json.dumps({"id": i, "name": f"n{i}"}) for i in range(7)]
+    lines.append("{broken json")
+    (src / "b.jsonl").write_text("\n".join(lines) + "\n")
+
+    reg = SinkerMetricsRegistry()
+    listener = wire_listener(reg)
+    spark.streams.addListener(listener)
+    try:
+        cfg = TaskConfig(
+            name="observe_default", topic="t", table="t",
+            dims=[{"name": "id", "type": "Int64"},
+                  {"name": "name", "type": "String"}],
+        )
+        q = start_pipeline(
+            spark, cfg, build_file_source(spark, str(src)),
+            ParquetSink(path=str(tmp_path / "out")),
+            str(tmp_path / "ckpt"), available_now=True,
+        )
+        q.awaitTermination(120)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if reg.get("consume_msgs_total", {"task": "observe_default"}) == 8:
+                break
+            time.sleep(0.2)
+        assert reg.get("consume_msgs_total", {"task": "observe_default"}) == 8
+        assert reg.get("parse_msgs_error_total", {"task": "observe_default"}) == 1
+        assert reg.get("flush_msgs_total", {"task": "observe_default"}) == 7
+    finally:
+        spark.streams.removeListener(listener)

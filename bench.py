@@ -158,7 +158,7 @@ def bench_ingest(spark) -> tuple[float, float, list[float], list[float]]:
 APACHE_N = 200_000
 
 
-def bench_ingest_apache(spark) -> float:
+def bench_ingest_apache(spark) -> tuple[float, list[float]]:
     """Parse+coerce throughput on the reference's OWN benchmark regime:
     26-column apache-access-log JSON, ~750 B/message (the shape behind
     every BASELINE.md rows/s figure) — the apples-to-apples ingest number.

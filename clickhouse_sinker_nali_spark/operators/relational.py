@@ -75,8 +75,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(qty).cast("double").alias("sum_qty"),
             F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            # ROUND(.., 4) before the double cast: a scale-8 decimal sum's
+            # unscaled value exceeds 2^53, and decimal→double conversion of
+            # such values is correctly rounded in Java (BigDecimal) but a
+            # two-step int128→double division in DuckDB — a 1-ULP mismatch
+            # at sf0.1.  At scale 4 the unscaled value fits in a double
+            # exactly, so both engines produce bit-identical doubles.  The
+            # DECIMAL(20,8) pin on the 2-term product keeps the 3-term
+            # product inside precision 38 (raw, it needs 40 and each engine
+            # degrades differently).
+            F.round(F.sum(price * (one - disc)), 4)
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum((price * (one - disc)).cast("decimal(20,8)") * (one + tax)),
+                4,
+            ).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -88,11 +102,12 @@ SELECT l_returnflag,
        l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-            * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-            * (1 - CAST(l_discount AS DECIMAL(12,4)))
-            * (1 + CAST(l_tax AS DECIMAL(12,4)))) AS DOUBLE) AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+            * (1 - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE)
+           AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,4))
+                 * (1 - CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(20,8))
+            * (1 + CAST(l_tax AS DECIMAL(12,4)))), 4) AS DOUBLE) AS sum_charge,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'

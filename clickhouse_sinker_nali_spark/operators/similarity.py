@@ -266,6 +266,15 @@ def _cell_scores(cents: list[tuple[int, list[float]]], col: str):
     from ..functions import dot, norm
 
     x = F.col(col) if isinstance(col, str) else col
+    # the lambda INDEX is the cid, so the collected cids must be exactly
+    # 0..K-1 — true for _centroids over the dense test corpora; a corpus
+    # with vec_id gaps in the seed window would silently diverge from the
+    # oracle's (vec_id - N_QUERIES) cids, so fail loudly instead
+    if [cid for cid, _ in cents] != list(range(len(cents))):
+        raise ValueError(
+            f"non-consecutive centroid cids {[c for c, _ in cents]!r}: "
+            "positional cell ids require a dense seed window"
+        )
     mat = [vec for _, vec in cents]
     # per-centroid L2 norms as literals, computed with EXACTLY the engine's
     # arithmetic (float32→double per element, index-order fold from 0.0,

@@ -929,14 +929,32 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("c_raw").over(win) + F.count(F.lit(1)).over(win))
         ).alias("p_raw"),
     )
+    # AVG folds doubles in partition order, which differs between engines
+    # (and between runs) — a 1-ULP sum difference flips round(6) when a
+    # doc's true mean sits on a rounding boundary (seen at sf0.1).  Fold
+    # each doc's log-ratios in SORTED order instead: array_sort +
+    # index-order aggregate is the same fold in both engines, bit-exact.
+    log_ratio = F.log(F.col("p_tgt") / F.col("p_raw"))
     return (
         words.join(F.broadcast(probs), "word")
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("p_tgt") / F.col("p_raw"))), 6).alias(
-                "importance"
-            ),
+            # + 0.0 normalizes IEEE -0.0 to +0.0: one engine rounding a tiny
+            # negative mean to -0.0 and the other to 0.0 renders differently
+            # through the comparator (seen at sf0.1)
+            (
+                F.round(
+                    F.aggregate(
+                        F.array_sort(F.collect_list(log_ratio)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("importance"),
         )
         .orderBy("doc_id")
     )
@@ -961,7 +979,8 @@ probs AS (
     FROM counts
 )
 SELECT w.doc_id, w.lang, COUNT(*) AS n_tokens,
-       ROUND(AVG(ln(p.p_tgt / p.p_raw)), 6) AS importance
+       ROUND(list_sum(list_sort(list(ln(p.p_tgt / p.p_raw)))) / COUNT(*), 6)
+           + 0.0 AS importance
 FROM w JOIN probs p USING (word)
 GROUP BY w.doc_id, w.lang
 ORDER BY w.doc_id

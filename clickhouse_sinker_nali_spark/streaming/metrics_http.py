@@ -77,10 +77,17 @@ SERIES: list[tuple[str, str, str]] = [
 _VALID = {name for name, _, _ in SERIES}
 
 
+def _esc(v: str) -> str:
+    """Label-value escaping per exposition format 0.0.4: an unescaped
+    quote/backslash/newline in a topic or task name would make the scraper
+    reject the whole payload."""
+    return str(v).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n")
+
+
 def _fmt_labels(labels: dict[str, str]) -> str:
     if not labels:
         return ""
-    inner = ",".join(f'{k}="{v}"' for k, v in sorted(labels.items()))
+    inner = ",".join(f'{k}="{_esc(v)}"' for k, v in sorted(labels.items()))
     return "{" + inner + "}"
 
 

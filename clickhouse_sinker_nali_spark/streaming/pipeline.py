@@ -178,8 +178,15 @@ def start_pipeline(
         # message, including unparseable drop-but-ack rows; the
         # CollectMetrics node stays in the executed plan when transform
         # builds on top of it (the projection drops the helper column,
-        # not the observation)
-        source = observed_metrics(with_parse_errors(source))
+        # not the observation).  The error probe is parser-aware: the
+        # JSON probe (try_parse_json) would flag EVERY valid CSV row.
+        if cfg.parser == "csv":
+            source = source.withColumn(
+                "__parse_error", F.col("value").isNull()
+            )
+        else:
+            source = with_parse_errors(source)
+        source = observed_metrics(source)
     typed = transform(source, cfg, enrich_fn)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:

@@ -133,11 +133,16 @@ class ConfigWatcher:
 
     def start(self) -> None:
         def loop() -> None:
-            while not self._stop.wait(self.interval_s):
+            # apply the config IMMEDIATELY at boot (the reference's
+            # applyFirstConfig, main.go:394) — waiting a full interval
+            # before the first poll would run zero tasks until then
+            while True:
                 try:
                     self.poll_once()
                 except Exception:  # noqa: BLE001 — keep polling (rcm may be down)
-                    continue
+                    pass
+                if self._stop.wait(self.interval_s):
+                    return
 
         self._stop.clear()
         self._thread = threading.Thread(target=loop, daemon=True, name="rcm-poll")

@@ -51,14 +51,14 @@ def canon(v):
         return repr(round(v, 6))
     if isinstance(v, Decimal):
         return repr(round(float(v), 6))
+    if isinstance(v, (list, tuple, np.ndarray)):  # before v != v: elementwise
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if v != v:  # pandas NaT (a datetime subclass!) and other NA sentinels —
+        return "NULL"  # must precede the datetime branch: NaT.strftime raises
     if isinstance(v, datetime):  # covers pd.Timestamp
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, date):
         return v.strftime("%Y-%m-%d")
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    if v != v:  # pandas NaT and other NA sentinels
-        return "NULL"
     return str(v)
 
 
@@ -144,9 +144,9 @@ def main():
             s_lines = sorted("|".join(canon(r[i]) for i in order_s) for r in srows)
             if order_o is not None:
                 o_lines = sorted("|".join(canon(r[i]) for i in order_o) for r in orows)
-                for a, b in list(zip(s_lines, o_lines))[:40]:
-                    if a != b:
-                        emit(f"      spark : {a}\n      duckdb: {b}")
+                diffs = [(a, b) for a, b in zip(s_lines, o_lines) if a != b]
+                for a, b in diffs[:40]:
+                    emit(f"      spark : {a}\n      duckdb: {b}")
         else:
             emit(f"ok    {name}: rows={len(srows)}")
     emit(f"\n{len(failed)} failures" + (f": {failed}" if failed else ""))

@@ -215,3 +215,52 @@ def test_start_pipeline_observes_by_default(spark, tmp_path):
         assert reg.get("flush_msgs_total", {"task": "observe_default"}) == 7
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_label_values_are_escaped():
+    reg = SinkerMetricsRegistry()
+    reg.inc("consume_msgs_total", {"task": 'a"b\\c'}, 1)
+    out = reg.render()
+    assert 'task="a\\"b\\\\c"' in out
+
+
+def test_csv_pipeline_not_flagged_as_parse_errors(spark, tmp_path):
+    """Regression: the JSON error probe must not run on CSV tasks — every
+    valid CSV row would read as a parse error."""
+    from clickhouse_sinker_nali_spark.streaming.pipeline import (
+        TaskConfig,
+        build_file_source,
+        start_pipeline,
+    )
+    from clickhouse_sinker_nali_spark.streaming.sinks import ParquetSink
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "b.csv").write_text("\n".join(f"{i},n{i}" for i in range(5)) + "\n")
+
+    reg = SinkerMetricsRegistry()
+    listener = wire_listener(reg)
+    spark.streams.addListener(listener)
+    try:
+        cfg = TaskConfig(
+            name="csv_observe", topic="t", table="t", parser="csv",
+            csv_format=["id", "name"],
+            dims=[{"name": "id", "type": "Int64"},
+                  {"name": "name", "type": "String"}],
+        )
+        q = start_pipeline(
+            spark, cfg, build_file_source(spark, str(src)),
+            ParquetSink(path=str(tmp_path / "out")),
+            str(tmp_path / "ckpt"), available_now=True,
+        )
+        q.awaitTermination(120)
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if reg.get("consume_msgs_total", {"task": "csv_observe"}) == 5:
+                break
+            time.sleep(0.2)
+        assert reg.get("consume_msgs_total", {"task": "csv_observe"}) == 5
+        assert reg.get("parse_msgs_error_total", {"task": "csv_observe"}) == 0
+        assert reg.get("flush_msgs_total", {"task": "csv_observe"}) == 5
+    finally:
+        spark.streams.removeListener(listener)

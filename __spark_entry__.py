@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": D.bloom_membership,
         "perplexity_buckets": T.perplexity_buckets,
         "contrastive_pairs": S.contrastive_pairs,
+        "export_shards": C.export_shards,
     }
 
 
@@ -295,4 +296,5 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": D.BLOOM_MEMBERSHIP_SQL,
         "perplexity_buckets": T.PPL_BUCKETS_SQL,
         "contrastive_pairs": S.CONTRASTIVE_SQL,
+        "export_shards": C.EXPORT_SHARDS_SQL,
     }

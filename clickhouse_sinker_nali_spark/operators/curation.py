@@ -431,3 +431,78 @@ FROM ranked r JOIN quotas q USING (lang)
 WHERE r.hash_rank <= q.quota
 ORDER BY r.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Export sharding: assign curated docs to fixed output shards, audit stats
+# --------------------------------------------------------------------------
+
+EXPORT_SHARDS = 16
+
+
+def export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan the training-data export: every document assigned to one of
+    N output shards by content hash, with per-shard doc/token budgets and
+    a deterministic within-shard sequence number — the manifest a writer
+    consumes to emit WebDataset/tfrecord-style shard files.
+
+    Hash-on-content (not doc_id ranges) balances shards under any id
+    distribution and keeps assignment stable across re-runs and
+    repartitioning; the within-shard ordinal is a rank over (shard,
+    hash, doc_id) so replays produce byte-identical shard layouts.  At
+    100 TB: assignment is map-side, the only wide stages are the rank
+    (keyed on shard — N parallel sequences) and the tiny per-shard
+    aggregate.  Writers then ``repartition(N, shard)`` and stream each
+    partition to its file.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(F.concat(F.lit("export:"), F.col("text")))
+    assigned = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (h % EXPORT_SHARDS).cast("int").alias("shard"),
+        h.alias("h"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    seq = assigned.withColumn("seq_in_shard", F.row_number().over(w))
+    stats = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("shard_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+    )
+    return (
+        seq.join(F.broadcast(stats), "shard")
+        .select(
+            "doc_id", "shard", "seq_in_shard", "n_tokens",
+            "shard_docs", "shard_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_EXPORT_HASH_SQL = portable_hash64_sql("'export:' || text")
+
+EXPORT_SHARDS_SQL = f"""
+WITH assigned AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST({_EXPORT_HASH_SQL} % {EXPORT_SHARDS} AS INT) AS shard,
+           {_EXPORT_HASH_SQL} AS h
+    FROM documents
+), seq AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                   AS INT) AS seq_in_shard
+    FROM assigned
+), stats AS (
+    SELECT shard, COUNT(*) AS shard_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+    FROM assigned GROUP BY shard
+)
+SELECT seq.doc_id, seq.shard, seq.seq_in_shard, seq.n_tokens,
+       stats.shard_docs, stats.shard_tokens
+FROM seq JOIN stats USING (shard)
+ORDER BY seq.doc_id
+"""

@@ -1268,3 +1268,23 @@ def test_contrastive_pairs_hard_negative_is_cross_label(spark):
                 assert p.pos_sim >= round(r.cos_sim, 6) - 1e-9
             else:
                 assert p.neg_sim >= round(r.cos_sim, 6) - 1e-9
+
+
+def test_export_shards_balanced_and_deterministic(spark):
+    import clickhouse_sinker_nali_spark.operators.curation as C
+
+    rows = C.export_shards(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    shards = {}
+    for r in rows:
+        shards.setdefault(r.shard, []).append(r)
+        assert 0 <= r.shard < C.EXPORT_SHARDS
+    # every shard's seq numbers are dense 1..n and stats match membership
+    for shard, members in shards.items():
+        seqs = sorted(m.seq_in_shard for m in members)
+        assert seqs == list(range(1, len(members) + 1))
+        assert all(m.shard_docs == len(members) for m in members)
+        assert members[0].shard_tokens == sum(m.n_tokens for m in members)
+    # content-hash assignment: stable across invocations
+    again = {r.doc_id: r.shard for r in C.export_shards(spark, SF_DIR).collect()}
+    assert all(again[r.doc_id] == r.shard for r in rows)

@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": T.perplexity_buckets,
         "contrastive_pairs": S.contrastive_pairs,
         "export_shards": C.export_shards,
+        "normalize_text": T.normalize_text,
     }
 
 
@@ -297,4 +298,5 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": T.PPL_BUCKETS_SQL,
         "contrastive_pairs": S.CONTRASTIVE_SQL,
         "export_shards": C.EXPORT_SHARDS_SQL,
+        "normalize_text": T.NORMALIZE_TEXT_SQL,
     }

@@ -1157,3 +1157,89 @@ ORDER BY bucket
 """
 
 PPL_BUCKETS_SQL = PPL_BUCKETS_SQL.format(unigram=UNIGRAM_LOGPROB_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (UTF-8 sanitize + control strip + whitespace collapse)
+
+# C0 controls, DEL, and C1 controls — the bytes a crawl dump leaks into text
+# fields; tab/newline land in the \s collapse anyway but are included here so
+# a single pass removes every control.
+_CONTROL_RE = "[\\x00-\\x1f\\x7f\\u0080-\\u009f]"
+
+
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-text normalization: make the bytes valid UTF-8, strip control
+    characters, collapse whitespace runs, trim, casefold.
+
+    The canonical first stage of every training-data pipeline (CCNet /
+    Gopher / Dolma all normalize before hashing — content hashes over
+    unnormalized text under-deduplicate).  Pure JVM column expressions
+    (``make_valid_utf8`` + ``regexp_replace`` + ``lower``): per-row at scan
+    speed over 100 TB, no shuffle (the orderBy is presentation-only for the
+    oracle compare).  Unicode NFC, which has no JVM builtin, is the separate
+    opt-in :func:`nfc_normalize` pandas UDF.
+
+    ``was_valid_utf8`` records pre-sanitize validity: parquet string columns
+    are UTF-8 by spec, so it is true here, but the flag is the audit column
+    a real pipeline keeps when ingesting from raw bytes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    cleaned = F.regexp_replace(F.make_valid_utf8(t), _CONTROL_RE, " ")
+    norm = F.lower(F.trim(F.regexp_replace(cleaned, "\\s+", " ")))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("norm_chars"),
+        (F.length(t) - F.length(norm)).alias("chars_removed"),
+        F.is_valid_utf8(t).alias("was_valid_utf8"),
+    ).orderBy("doc_id")
+
+
+NORMALIZE_TEXT_SQL = f"""
+SELECT doc_id,
+       lower(trim(regexp_replace(
+           regexp_replace(text, '{_CONTROL_RE}', ' ', 'g'),
+           '\\s+', ' ', 'g'))) AS norm_text,
+       len(lower(trim(regexp_replace(
+           regexp_replace(text, '{_CONTROL_RE}', ' ', 'g'),
+           '\\s+', ' ', 'g')))) AS norm_chars,
+       len(text) - len(lower(trim(regexp_replace(
+           regexp_replace(text, '{_CONTROL_RE}', ' ', 'g'),
+           '\\s+', ' ', 'g')))) AS chars_removed,
+       TRUE AS was_valid_utf8
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def nfc_normalize(df: DataFrame, text_col: str = "text",
+                  out_col: str = "nfc_text") -> DataFrame:
+    """Unicode NFC composition via an Arrow-batched pandas UDF.
+
+    The one normalization step with no JVM builtin (Spark exposes UTF8_BINARY
+    collations, not NFC rewriting).  Arrow moves each batch once; the
+    per-batch work is pandas ``str`` vectorized over ``unicodedata.normalize``
+    — the documented slow path, kept OUT of :func:`normalize_text`'s
+    oracle-checked hot pipeline and applied only where decomposed input is
+    actually possible (upstream of content-hash dedup on non-ASCII corpora).
+    DuckDB's ``nfc_normalize`` pins parity in tests/test_operators.py.
+    """
+    import unicodedata
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _apply(s):
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    # explicit eval-type registration: with ``from __future__ import
+    # annotations`` active, decorator type-hint inference can't resolve the
+    # locally-imported ``pd`` name, so hint with the real classes directly
+    _apply.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _nfc = pandas_udf(_apply, "string")
+
+    return df.withColumn(out_col, _nfc(F.col(text_col)))

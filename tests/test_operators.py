@@ -1288,3 +1288,47 @@ def test_export_shards_balanced_and_deterministic(spark):
     # content-hash assignment: stable across invocations
     again = {r.doc_id: r.shard for r in C.export_shards(spark, SF_DIR).collect()}
     assert all(again[r.doc_id] == r.shard for r in rows)
+
+
+def test_normalize_text_collapses_and_strips_controls(spark):
+    """Constructed rows: control chars -> spaces, runs collapse, casefold."""
+    from clickhouse_sinker_nali_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "Hello\x00\x01  WORLD\t\n foo\x7f bar "), (2, "plain"), (3, None)],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")) \
+     .withColumn("n_chars", F.length("text"))
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="normtext_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    rows = {r.doc_id: r for r in T.normalize_text(spark, d).collect()}
+    assert rows[1].norm_text == "hello world foo bar"
+    assert rows[1].chars_removed == len("Hello\x00\x01  WORLD\t\n foo\x7f bar ") - len(
+        "hello world foo bar"
+    )
+    assert rows[2].norm_text == "plain" and rows[2].chars_removed == 0
+    assert rows[3].norm_text is None
+    assert all(r.was_valid_utf8 for r in rows.values() if r.norm_text is not None)
+
+
+def test_nfc_normalize_matches_duckdb(spark):
+    """NFC pandas UDF vs DuckDB's nfc_normalize on decomposed input."""
+    import duckdb
+
+    from clickhouse_sinker_nali_spark.operators.text import nfc_normalize
+
+    # explicitly DECOMPOSED (NFD) strings: base letter + combining mark
+    vals = ["cafe\u0301", "A\u030angstro\u0308m", "gia\u0300", "ascii only", None]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "doc_id long, text string")
+    got = {r.doc_id: r.nfc_text for r in nfc_normalize(df).collect()}
+    con = duckdb.connect()
+    for i, v in enumerate(vals):
+        if v is None:
+            assert got[i] is None
+            continue
+        want = con.execute("SELECT nfc_normalize(?)", [v]).fetchone()[0]
+        assert got[i] == want, (i, v)
+    # composition actually happened (decomposed input shrank)
+    assert len(got[0]) < len(vals[0])

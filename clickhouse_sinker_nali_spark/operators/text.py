@@ -1167,6 +1167,12 @@ PPL_BUCKETS_SQL = PPL_BUCKETS_SQL.format(unigram=UNIGRAM_LOGPROB_SQL)
 # a single pass removes every control.
 _CONTROL_RE = "[\\x00-\\x1f\\x7f\\u0080-\\u009f]"
 
+# Unicode-aware whitespace: \s in both Java regex and RE2 is ASCII-only, so
+# NBSP / ogham / en-quads / line+paragraph separators / BOM would survive an
+# \s+ collapse (found by the hypothesis idempotence property).  \p{Zs} is
+# the Unicode space-separator category in both engines.
+_WS_RE = "[\\s\\p{Zs}\\u2028\\u2029\\ufeff]+"
+
 
 def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-text normalization: make the bytes valid UTF-8, strip control
@@ -1187,7 +1193,8 @@ def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     cleaned = F.regexp_replace(F.make_valid_utf8(t), _CONTROL_RE, " ")
-    norm = F.lower(F.trim(F.regexp_replace(cleaned, "\\s+", " ")))
+    norm = F.lower(F.regexp_replace(
+        F.regexp_replace(cleaned, _WS_RE, " "), "^ | $", ""))
     return docs.select(
         "doc_id",
         norm.alias("norm_text"),
@@ -1199,15 +1206,15 @@ def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NORMALIZE_TEXT_SQL = f"""
 SELECT doc_id,
-       lower(trim(regexp_replace(
+       lower(regexp_replace(regexp_replace(
            regexp_replace(text, '{_CONTROL_RE}', ' ', 'g'),
-           '\\s+', ' ', 'g'))) AS norm_text,
-       len(lower(trim(regexp_replace(
+           '{_WS_RE}', ' ', 'g'), '^ | $', '', 'g')) AS norm_text,
+       len(lower(regexp_replace(regexp_replace(
            regexp_replace(text, '{_CONTROL_RE}', ' ', 'g'),
-           '\\s+', ' ', 'g')))) AS norm_chars,
-       len(text) - len(lower(trim(regexp_replace(
+           '{_WS_RE}', ' ', 'g'), '^ | $', '', 'g'))) AS norm_chars,
+       len(text) - len(lower(regexp_replace(regexp_replace(
            regexp_replace(text, '{_CONTROL_RE}', ' ', 'g'),
-           '\\s+', ' ', 'g')))) AS chars_removed,
+           '{_WS_RE}', ' ', 'g'), '^ | $', '', 'g'))) AS chars_removed,
        TRUE AS was_valid_utf8
 FROM documents
 ORDER BY doc_id

@@ -206,3 +206,53 @@ def test_connected_components_matches_union_find(spark, g):
     )
     got = {r.id: r.component for r in connected_components(nodes, edf).collect()}
     assert got == _union_find(n, edges)
+
+
+# ---------------------------------------------------------------------------
+# normalize_text properties
+
+# strings with controls, unicode, and whitespace runs mixed in
+_norm_text = st.text(
+    alphabet=st.one_of(
+        st.characters(min_codepoint=0, max_codepoint=0x2FF),
+        st.sampled_from(" \t\n\r\x00\x7f\x85\xa0"),
+    ),
+    max_size=60,
+)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(_norm_text, min_size=1, max_size=40))
+def test_normalize_text_idempotent_and_clean(spark, texts):
+    """For arbitrary input: the normalized form contains no control chars
+    and no whitespace runs, and normalizing it again is a fixpoint.
+    One Spark job per hypothesis batch."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_sinker_nali_spark.operators import text as T
+
+    rows = [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tempfile.mkdtemp(prefix="normprop_")
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = T.normalize_text(spark, d)
+    # round-trip: write the normalized corpus back as documents and re-normalize
+    out.select(
+        F.col("doc_id"), F.col("norm_text").alias("text"),
+        F.lit("en").alias("lang"), F.lit("s").alias("source"),
+        F.col("norm_chars").cast("long").alias("n_chars"),
+    ).write.mode("overwrite").parquet(os.path.join(d, "2", "documents.parquet"))
+    again = {r.doc_id: r.norm_text
+             for r in T.normalize_text(spark, os.path.join(d, "2")).collect()}
+    for r in out.collect():
+        nt = r.norm_text
+        assert nt == nt.strip()
+        assert "  " not in nt
+        assert not any(ord(c) < 0x20 or 0x7F <= ord(c) <= 0x9F for c in nt)
+        assert again[r.doc_id] == nt, "normalize_text is not idempotent"

@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrastive_pairs": S.contrastive_pairs,
         "export_shards": C.export_shards,
         "normalize_text": T.normalize_text,
+        "ann_recall_audit": S.ann_recall_audit,
     }
 
 
@@ -299,4 +300,5 @@ def oracle_sql() -> dict[str, str]:
         "contrastive_pairs": S.CONTRASTIVE_SQL,
         "export_shards": C.EXPORT_SHARDS_SQL,
         "normalize_text": T.NORMALIZE_TEXT_SQL,
+        "ann_recall_audit": S.ANN_RECALL_SQL,
     }

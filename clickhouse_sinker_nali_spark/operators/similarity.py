@@ -1012,3 +1012,58 @@ FROM best p JOIN best n ON p.query_id = n.query_id
 WHERE p.rn = 1 AND p.same AND n.rn = 1 AND NOT n.same
 ORDER BY p.query_id
 """
+
+
+# --------------------------------------------------------------------------
+# ANN recall audit: how much of the exact top-k does the IVF probe recover?
+# --------------------------------------------------------------------------
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@k of IVF ANN against the exact brute-force top-k —
+    the similarity-family analog of :func:`dedup.dedup_lsh_recall`.
+
+    This is the number a production ANN deployment monitors when tuning
+    (K cells, NPROBE): recall drops → probes miss the true neighbors'
+    cells; raise NPROBE or retrain centroids.  Both inputs are top-k
+    RESULT sets (N_QUERIES × TOP_K rows — tiny regardless of corpus
+    size), so the audit itself adds only a broadcast-scale join; the cost
+    is the two ANN queries it reuses, which carry their own 100 TB story.
+    """
+    brute = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        brute.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        brute.select("query_id").distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double") / TOP_K, 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ANN_RECALL_SQL = f"""
+WITH brute AS ({ANN_BRUTEFORCE_SQL}),
+ivf AS ({ANN_IVF_SQL}),
+hits AS (
+    SELECT b.query_id, COUNT(*) AS n_overlap
+    FROM brute b JOIN ivf i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY 1
+)
+SELECT q.query_id,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       ROUND(COALESCE(h.n_overlap, 0) * 1.0 / {TOP_K}, 6) AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM brute) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY query_id
+"""

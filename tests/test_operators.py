@@ -1332,3 +1332,20 @@ def test_nfc_normalize_matches_duckdb(spark):
         assert got[i] == want, (i, v)
     # composition actually happened (decomposed input shrank)
     assert len(got[0]) < len(vals[0])
+
+
+def test_ann_recall_audit_consistent_with_result_sets(spark):
+    """recall_at_k per query equals the actual overlap ratio of the two
+    ANN result sets, every query appears, and recall is within [0, 1]."""
+    rows = S.ann_recall_audit(spark, SF_DIR).collect()
+    brute = {(r.query_id, r.neighbor_id)
+             for r in S.ann_bruteforce_topk(spark, SF_DIR).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in S.ann_ivf_topk(spark, SF_DIR).collect()}
+    assert {r.query_id for r in rows} == {q for q, _ in brute}
+    for r in rows:
+        want = len({(q, n) for q, n in brute if q == r.query_id}
+                   & {(q, n) for q, n in ivf if q == r.query_id})
+        assert r.n_overlap == want
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert abs(r.recall_at_k - want / S.TOP_K) < 1e-9

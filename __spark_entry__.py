@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shards": C.export_shards,
         "normalize_text": T.normalize_text,
         "ann_recall_audit": S.ann_recall_audit,
+        "multimodal_audio_chunks": M.multimodal_audio_chunks,
     }
 
 
@@ -301,4 +302,5 @@ def oracle_sql() -> dict[str, str]:
         "export_shards": C.EXPORT_SHARDS_SQL,
         "normalize_text": T.NORMALIZE_TEXT_SQL,
         "ann_recall_audit": S.ANN_RECALL_SQL,
+        "multimodal_audio_chunks": M.MULTIMODAL_AUDIO_SQL,
     }

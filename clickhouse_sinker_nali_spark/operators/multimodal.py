@@ -327,3 +327,99 @@ SELECT doc_id,
 FROM base
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Audio: fixed-window chunking over decoded waveform metadata
+# --------------------------------------------------------------------------
+
+AUDIO_CHUNK_MS = 5_000  # 5-second training windows
+
+AUDIO_CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("chunk_samples", LongType()),
+    ]
+)
+
+
+def chunk_audio(blobs: DataFrame, chunk_ms: int = AUDIO_CHUNK_MS) -> DataFrame:
+    """Audio chunking stub: decode waveform header, emit one row per
+    fixed-duration window (the speech-pipeline pretokenization step —
+    whisper-style 5 s/30 s training windows over arbitrary-length clips).
+
+    STUB decode: the real implementation is e.g. ``soundfile.read`` /
+    ``torchaudio.load`` into (rate, n_samples); no audio libs exist in this
+    container, so rate and length are md5-derived from the payload —
+    deterministic, so the DuckDB oracle verifies the chunk arithmetic
+    end-to-end.  The mapInPandas plumbing (Arrow batches in, explode-shaped
+    output, integer-exact window math) is the real, tested part; at 100 TB
+    it is one map-side pass, no shuffle.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k.name: [] for k in AUDIO_CHUNK_SCHEMA}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["blob"]):
+                h = int(hashlib.md5(bytes(payload)).hexdigest()[:15], 16)
+                rate = [16_000, 22_050, 44_100][h % 3]
+                n_samples = h % 400_000 + 16_000
+                per_chunk = rate * chunk_ms // 1_000
+                n_chunks = (n_samples + per_chunk - 1) // per_chunk
+                for i in range(n_chunks):
+                    start = i * per_chunk
+                    end = min(n_samples, start + per_chunk)
+                    out["doc_id"].append(doc_id)
+                    out["sample_rate"].append(rate)
+                    out["chunk_idx"].append(i)
+                    out["start_ms"].append(start * 1_000 // rate)
+                    out["end_ms"].append(end * 1_000 // rate)
+                    out["chunk_samples"].append(end - start)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "chunk_idx": pd.Series(out["chunk_idx"], dtype="int32"),
+                    "start_ms": pd.Series(out["start_ms"], dtype="int64"),
+                    "end_ms": pd.Series(out["end_ms"], dtype="int64"),
+                    "chunk_samples": pd.Series(out["chunk_samples"], dtype="int64"),
+                }
+            )
+
+    return blobs.mapInPandas(gen, AUDIO_CHUNK_SCHEMA)
+
+
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_audio(attach_binary(docs)).orderBy("doc_id", "chunk_idx")
+
+
+MULTIMODAL_AUDIO_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           ([16000, 22050, 44100])[{_H} % 3 + 1] AS rate,
+           {_H} % 400000 + 16000 AS n_samples
+    FROM documents
+),
+sized AS (
+    SELECT doc_id, rate, n_samples,
+           rate * {AUDIO_CHUNK_MS} // 1000 AS per_chunk
+    FROM base
+)
+SELECT doc_id,
+       rate::INTEGER AS sample_rate,
+       i::INTEGER AS chunk_idx,
+       CAST(i * per_chunk * 1000 // rate AS BIGINT) AS start_ms,
+       CAST(LEAST(n_samples, (i + 1) * per_chunk) * 1000 // rate AS BIGINT)
+           AS end_ms,
+       CAST(LEAST(n_samples, (i + 1) * per_chunk) - i * per_chunk AS BIGINT)
+           AS chunk_samples
+FROM sized,
+     LATERAL (SELECT unnest(range(0, (n_samples + per_chunk - 1) // per_chunk))
+              AS i)
+ORDER BY doc_id, chunk_idx
+"""

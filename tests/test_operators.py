@@ -1349,3 +1349,26 @@ def test_ann_recall_audit_consistent_with_result_sets(spark):
         assert r.n_overlap == want
         assert 0.0 <= r.recall_at_k <= 1.0
         assert abs(r.recall_at_k - want / S.TOP_K) < 1e-9
+
+
+def test_audio_chunks_tile_waveform_exactly(spark):
+    """Chunks per doc tile [0, n_samples): contiguous indices, full-width
+    interior chunks, sample counts summing to the decoded length."""
+    rows = M.multimodal_audio_chunks(spark, SF_DIR).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == 500
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        rate = chunks[0].sample_rate
+        per_chunk = rate * M.AUDIO_CHUNK_MS // 1000
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        assert all(c.sample_rate == rate for c in chunks)
+        assert all(c.chunk_samples == per_chunk for c in chunks[:-1])
+        assert 0 < chunks[-1].chunk_samples <= per_chunk
+        total = sum(c.chunk_samples for c in chunks)
+        assert 16_000 <= total <= 416_000
+        assert chunks[0].start_ms == 0
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.start_ms == a.end_ms or abs(b.start_ms - a.end_ms) <= 1

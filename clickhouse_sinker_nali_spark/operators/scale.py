@@ -359,3 +359,51 @@ def compact_small_files(
     return len(
         [f for f in os.listdir(dst_path) if f.endswith(".parquet")]
     )
+
+
+# --------------------------------------------------------------------------
+# Schema-evolution reads: the parquet-lake twin of the dynamic-schema sink
+# --------------------------------------------------------------------------
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory written over time with a DRIFTING schema.
+
+    The lake-side mirror of the reference's dynamic-schema path (reference
+    ``task/task.go`` newKeys → ALTER TABLE, twinned for JDBC in
+    ``streaming/dynamic.py``): a 100 TB corpus is written over months, and
+    later batches carry columns earlier ones lack.  ``mergeSchema`` makes
+    the footer union the read schema; files missing a column yield typed
+    nulls — no rewrite of old data, exactly like ClickHouse ALTER's
+    default-valued historical parts.
+
+    Cost note: mergeSchema reads every file footer up front — O(files),
+    driver-side.  At millions of files pin the schema instead (catalog or
+    ``align_to_schema`` below) and keep per-query footer work to the
+    pruned subset.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def align_to_schema(df: DataFrame, target) -> DataFrame:
+    """Project ``df`` onto ``target`` (a StructType): missing columns
+    become typed nulls, present ones cast to the target type, extras drop.
+
+    The write-side half of evolution: every batch aligns to the catalog
+    schema before landing, so readers never need mergeSchema.  This is the
+    same column-set reconciliation the JDBC sink does with ALTER TABLE
+    (``streaming/dynamic.py``), expressed as a projection — map-side only,
+    no shuffle, safe to prepend to any writer.
+    """
+    have = {f.name: f for f in df.schema.fields}
+    cols = []
+    for f in target.fields:
+        if f.name in have:
+            src = F.col(f.name)
+            cols.append(
+                src.alias(f.name) if have[f.name].dataType == f.dataType
+                else src.cast(f.dataType).alias(f.name)
+            )
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -441,3 +441,50 @@ def test_cms_probe_join_broadcasts_sketch(spark):
     assert uses_broadcast_join(df)  # the DEPTHxWIDTH sketch, never the corpus
     assert "CartesianProduct" not in formatted_plan(df)
     assert count_exchanges(df) <= 4
+
+
+def test_read_evolved_unions_drifting_schemas(spark, tmp_path):
+    """Three batches with drifting schemas: mergeSchema read yields the
+    union schema with typed nulls, and align_to_schema makes a batch
+    conform (missing→null, int→long widening, extras dropped)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from clickhouse_sinker_nali_spark.operators.scale import (
+        align_to_schema, read_evolved)
+
+    base = str(tmp_path / "evolving")
+    spark.range(3).select(F.col("id").alias("doc_id")) \
+        .write.parquet(base + "/b1")
+    spark.range(3, 6).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    ).write.parquet(base + "/b2")
+    spark.range(6, 9).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text"),
+        F.lit("de").alias("lang"),
+    ).write.parquet(base + "/b3")
+
+    out = read_evolved(spark, base + "/b*")
+    assert set(out.columns) == {"doc_id", "lang", "text"}
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 9
+    assert rows[0].lang is None and rows[0].text is None
+    assert rows[4].lang == "en" and rows[4].text is None
+    assert rows[7].lang == "de" and rows[7].text == "t"
+
+    target = StructType([
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("text", StringType()),
+    ])
+    drifted = spark.range(2).select(
+        F.col("id").cast("int").alias("doc_id"),      # narrower type
+        F.lit("x").alias("extra"),                     # dropped
+        F.lit("fr").alias("lang"),
+    )
+    aligned = align_to_schema(drifted, target)
+    assert [f.name for f in aligned.schema.fields] == ["doc_id", "lang", "text"]
+    assert dict(aligned.dtypes)["doc_id"] == "bigint"
+    got = aligned.collect()
+    assert all(r.text is None and r.lang == "fr" for r in got)

@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": T.normalize_text,
         "ann_recall_audit": S.ann_recall_audit,
         "multimodal_audio_chunks": M.multimodal_audio_chunks,
+        "dedup_jaccard_prefix": D.dedup_jaccard_prefix,
     }
 
 
@@ -303,4 +304,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text": T.NORMALIZE_TEXT_SQL,
         "ann_recall_audit": S.ANN_RECALL_SQL,
         "multimodal_audio_chunks": M.MULTIMODAL_AUDIO_SQL,
+        # lossless prefix filter: the oracle is the NAIVE formulation —
+        # value-parity of the optimized physical strategy is the contract
+        "dedup_jaccard_prefix": D.DEDUP_JACCARD_PREFIX_SQL,
     }

@@ -853,3 +853,94 @@ LEFT JOIN hits ON h.doc_id = hits.doc_id
 JOIN truth ON h.doc_id = truth.doc_id
 ORDER BY h.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (PPJoin-style, lossless)
+# --------------------------------------------------------------------------
+
+
+def _prefix_len(n_col: F.Column, threshold: float) -> F.Column:
+    """|X| - ceil(t·|X|) + 1 with INTEGER-exact ceil.
+
+    Float ceil(0.1·30) = ceil(3.0000000000000004) = 4 would shorten the
+    prefix by one token and silently drop true pairs — the one bug class a
+    "lossless" filter cannot afford.  The threshold is converted to an
+    exact rational once, driver-side; the per-row math is all integer.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+    ceil_tn = (n_col * num + (den - 1)).cast("long") / den
+    return (n_col - F.floor(ceil_tn) + 1).cast("int")
+
+
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same Jaccard-≥-t pair set as :func:`dedup_ngram_jaccard`, found
+    with PPJoin-style prefix filtering instead of the full inverted index.
+
+    Global order = rarest shingle first (ascending document frequency, tie
+    broken on the shingle string): two docs with J ≥ t MUST share a token
+    in their first ``|X| - ceil(t|X|) + 1`` tokens of ANY fixed global
+    order (Chaudhuri et al. prefix-filter theorem), so joining only on
+    prefix tokens is lossless while skipping exactly the hot tokens the
+    full shingle self-join fans out on quadratically.  Verification
+    computes the exact Jaccard per surviving candidate from the docs'
+    distinct-shingle arrays (array_intersect — bounded by document length,
+    map-side after one candidate shuffle).
+
+    Scale story: this is the 100 TB alternative to the inverted-index join
+    when exactness is required (LSH is probabilistic): candidate volume is
+    driven by RARE-token collisions, immune to stopword-shingle hot keys.
+    Result parity with the naive formulation is part of the contract — the
+    oracle is DEDUP_JACCARD_SQL verbatim.
+    """
+    from pyspark.sql.window import Window
+
+    sh = _shingle_df(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    pos = (
+        sh.join(freq, "shingle")
+        .select(
+            "doc_id", "shingle",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("shingle").asc()
+                )
+            ).alias("pos"),
+        )
+    )
+    prefix = (
+        pos.join(sizes, "doc_id")
+        .filter(F.col("pos") <= _prefix_len(F.col("n_shingles"), JACCARD_THRESHOLD))
+        .select("doc_id", "shingle")
+    )
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    sets = docs.select("doc_id", word_shingles("text", 3).alias("shingles"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# lossless ⇒ the oracle for the optimized plan IS the naive formulation
+DEDUP_JACCARD_PREFIX_SQL = DEDUP_JACCARD_SQL

@@ -1372,3 +1372,52 @@ def test_audio_chunks_tile_waveform_exactly(spark):
         assert chunks[0].start_ms == 0
         for a, b in zip(chunks, chunks[1:]):
             assert b.start_ms == a.end_ms or abs(b.start_ms - a.end_ms) <= 1
+
+
+def test_prefix_filter_jaccard_matches_naive_and_prunes_candidates(spark):
+    """Lossless contract: identical pair set + jaccard values as the
+    inverted-index formulation, with strictly fewer join candidates."""
+    naive = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+             for r in D.dedup_ngram_jaccard(spark, SF_DIR).collect()}
+    pref = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in D.dedup_jaccard_prefix(spark, SF_DIR).collect()}
+    assert pref == naive
+
+    # candidate-volume comparison: the prefix relation the operator joins
+    # on must be a strict subset of the full posting list (that is the
+    # entire point of the filter)
+    from pyspark.sql.window import Window
+
+    sh = D._shingle_df(spark, SF_DIR)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    pos = sh.join(freq, "shingle").select(
+        "doc_id", "shingle",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("df").asc(), F.col("shingle").asc())
+        ).alias("pos"),
+    )
+    full = sh.count()
+    prefix_rows = (
+        pos.join(sizes, "doc_id")
+        .filter(F.col("pos")
+                <= D._prefix_len(F.col("n_shingles"), D.JACCARD_THRESHOLD))
+        .count()
+    )
+    assert 0 < prefix_rows < full
+
+
+def test_prefix_len_integer_exact():
+    """ceil(0.1*n) must be exact where float math rounds up spuriously
+    (0.1*30 = 3.0000000000000004)."""
+    import math
+
+    from fractions import Fraction
+
+    frac = Fraction(D.JACCARD_THRESHOLD).limit_denominator(10_000)
+    for n in range(1, 500):
+        exact = n - math.ceil(Fraction(n) * frac) + 1
+        num, den = frac.numerator, frac.denominator
+        got = n - (n * num + den - 1) // den + 1
+        assert got == exact, n

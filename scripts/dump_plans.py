@@ -102,6 +102,19 @@ COMMENTARY = {
         "window over the vocab-sized count aggregate — two document scans "
         "total, probs broadcast back onto the words relation."
     ),
+    "q9_product_profit": (
+        "TPC-H Q9 shape: a 5-way star — every dim (part/supplier/nation, "
+        "and at test scale even orders) enters as a BroadcastHashJoin; "
+        "the only exchange left is the final group-by, preceded by its "
+        "map-side partial HashAggregate."
+    ),
+    "q21_waiting_suppliers": (
+        "TPC-H Q21 shape: EXISTS compiles to a LeftSemi and NOT EXISTS to "
+        "a LeftAnti, both keyed on l_orderkey; dims broadcast.  The anti "
+        "probe pays its own orders join (the lateness predicate), so its "
+        "side shows a separate exchange — bucketing lineitem by orderkey "
+        "would erase both probe shuffles at scale."
+    ),
 }
 
 
@@ -114,6 +127,7 @@ def main() -> None:
     from clickhouse_sinker_nali_spark.operators import relational as R
     from clickhouse_sinker_nali_spark.operators import similarity as S
     from clickhouse_sinker_nali_spark.operators import text as T
+    from clickhouse_sinker_nali_spark.operators import warehouse_ext as WX
     from clickhouse_sinker_nali_spark.session import get_spark
 
     queries = {
@@ -132,6 +146,8 @@ def main() -> None:
         "cms_heavy_hitters": A.cms_heavy_hitters,
         "mixture_sample": C.mixture_sample,
         "unigram_logprob": T.unigram_logprob,
+        "q9_product_profit": WX.q9_product_profit,
+        "q21_waiting_suppliers": WX.q21_waiting_suppliers,
     }
 
     spark = get_spark("plans", shuffle_partitions=8)

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, "/root/repo")
 
 from clickhouse_sinker_nali_spark.operators import advanced as A
+from clickhouse_sinker_nali_spark.operators import aggstate as AST
 from clickhouse_sinker_nali_spark.operators import bpe as B
 from clickhouse_sinker_nali_spark.operators import curation as C
 from clickhouse_sinker_nali_spark.operators import dedup as D
@@ -180,6 +181,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_prefix": D.dedup_jaccard_prefix,
         # sixth wave: the six remaining TPC-H query shapes — all 22 covered
         **WX.QUERIES,
+        # mergeable aggregate state (AggregatingMergeTree twin) + segment-
+        # level exact-substring dedup as a document transform
+        "agg_state_roundtrip": AST.agg_state_roundtrip,
+        "segment_dedup": C.segment_dedup,
     }
 
 
@@ -311,4 +316,6 @@ def oracle_sql() -> dict[str, str]:
         # value-parity of the optimized physical strategy is the contract
         "dedup_jaccard_prefix": D.DEDUP_JACCARD_PREFIX_SQL,
         **WX.ORACLES,
+        "agg_state_roundtrip": AST.AGG_STATE_SQL,
+        "segment_dedup": C.SEGMENT_DEDUP_SQL,
     }

@@ -506,3 +506,102 @@ SELECT seq.doc_id, seq.shard, seq.seq_in_shard, seq.n_tokens,
 FROM seq JOIN stats USING (shard)
 ORDER BY seq.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Cross-document segment dedup with reassembly (ExactSubstr-as-transform)
+# --------------------------------------------------------------------------
+
+_SEG_W = 10  # words per segment
+
+
+def segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove corpus-duplicated word segments from every document and
+    reassemble the cleaned text — the *transform* counterpart of
+    ``dedup.dedup_exact_substring`` (which only reports pairs).
+
+    This is the "exact substring deduplication" treatment from
+    Lee et al. 2022 (Deduplicating Training Data Makes Language Models
+    Better) realized as a distributed rewrite: tile each document into
+    fixed ``_SEG_W``-word segments, keep exactly ONE occurrence of every
+    distinct segment corpus-wide (the first, in (doc_id, position)
+    order), drop the rest, and stitch the survivors back in order.
+    Fixed tiling (vs suffix arrays) is the shuffle-friendly formulation:
+    one row per segment, one window per distinct segment value.
+
+    Plan: posexplode → window ``row_number() OVER (PARTITION BY segment
+    ORDER BY doc_id, seg_idx)`` → filter rank 1 → groupBy doc_id with an
+    order-preserving sort_array reassembly.  Two shuffles (segment key,
+    then doc_id).  At 100 TB the segment-key shuffle dominates and is the
+    same cost class as any shingle join; hot boilerplate segments do NOT
+    blow up (the window ranks within a key without pairing rows, unlike
+    the pair-join in exact-substring detection).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(_SEG_W)).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(F.slice(words, i * _SEG_W + 1, _SEG_W), " "),
+            )
+        ).alias("seg_idx", "segment"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("segment").orderBy("doc_id", "seg_idx")
+    kept = segs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "segment"))),
+                    lambda s: s["segment"],
+                ),
+                " ",
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(
+            segs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_segments")),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "text_clean",
+            "n_segments",
+            (F.col("n_segments") - F.col("n_kept")).alias("n_dropped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SEGMENT_DEDUP_SQL = f"""
+WITH segs AS (
+    SELECT doc_id, i - 1 AS seg_idx,
+           array_to_string(words[(i - 1) * {_SEG_W} + 1 : i * {_SEG_W}], ' ')
+               AS segment
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         LATERAL (SELECT UNNEST(generate_series(
+             1, CAST(CEIL(len(words) / {_SEG_W}.0) AS BIGINT))) AS i)
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY segment
+                                 ORDER BY doc_id, seg_idx) AS rk
+    FROM segs
+)
+SELECT s.doc_id,
+       (SELECT string_agg(r.segment, ' ' ORDER BY r.seg_idx)
+        FROM ranked r
+        WHERE r.doc_id = s.doc_id AND r.rk = 1) AS text_clean,
+       COUNT(*) AS n_segments,
+       CAST(COUNT(*) - COUNT(CASE WHEN s_rk = 1 THEN 1 END) AS BIGINT)
+           AS n_dropped
+FROM (SELECT doc_id, seg_idx, rk AS s_rk FROM ranked) s
+GROUP BY s.doc_id
+HAVING COUNT(CASE WHEN s_rk = 1 THEN 1 END) > 0
+ORDER BY doc_id
+"""

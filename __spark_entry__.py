@@ -20,6 +20,7 @@ sys.path.insert(0, "/root/repo")
 
 from clickhouse_sinker_nali_spark.operators import advanced as A
 from clickhouse_sinker_nali_spark.operators import aggstate as AST
+from clickhouse_sinker_nali_spark.operators import classifier as CL
 from clickhouse_sinker_nali_spark.operators import bpe as B
 from clickhouse_sinker_nali_spark.operators import curation as C
 from clickhouse_sinker_nali_spark.operators import dedup as D
@@ -185,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # level exact-substring dedup as a document transform
         "agg_state_roundtrip": AST.agg_state_roundtrip,
         "segment_dedup": C.segment_dedup,
+        "quality_classifier_scores": CL.quality_classifier_scores,
     }
 
 
@@ -318,4 +320,5 @@ def oracle_sql() -> dict[str, str]:
         **WX.ORACLES,
         "agg_state_roundtrip": AST.AGG_STATE_SQL,
         "segment_dedup": C.SEGMENT_DEDUP_SQL,
+        "quality_classifier_scores": CL.QUALITY_CLASSIFIER_SQL,
     }

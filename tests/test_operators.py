@@ -1600,3 +1600,34 @@ def test_segment_dedup_no_surviving_duplicates(spark):
     kc = {r.doc_id: r.n for r in kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     for r in rows:
         assert kc[r.doc_id] == r.n_segments - r.n_dropped
+
+
+def test_quality_classifier_plan_and_semantics(spark):
+    """The inference pass must stay JVM-side (no Python eval nodes),
+    broadcast the weight table, and label consistently with the logit
+    sign; token accounting matches a direct recount."""
+    import clickhouse_sinker_nali_spark.operators.classifier as CL
+
+    df = CL.quality_classifier_scores(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    rows = df.collect()
+    assert len(rows) == 500
+    assert all((r.label == "keep") == (r.logit > 0) for r in rows)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    want = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("n"),
+        ).collect()
+    }
+    for r in rows:
+        assert r.n_tokens == want[r.doc_id]
+    # both classes occur — a degenerate all-keep pseudo-model would make
+    # the sign label vacuous
+    labels = {r.label for r in rows}
+    assert labels == {"keep", "drop"}

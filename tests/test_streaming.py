@@ -474,3 +474,66 @@ def test_write_rows_second_pass_error_is_fatal():
 
     with _pytest.raises(ValueError):
         write_rows_skipping_bad(["a", "bad", "c"], DyingTx)
+
+
+def test_foreachbatch_incremental_agg_state_mv(spark, tmp_path):
+    """Incremental materialized-view maintenance: a foreachBatch sink
+    merges each micro-batch's aggregate state into a stored state table
+    (the AggregatingMergeTree shape).  After the stream drains, the
+    finalized view equals a one-shot aggregate over all input —
+    regardless of how the rows were split across micro-batches."""
+    import shutil
+
+    from clickhouse_sinker_nali_spark.operators import aggstate as AST
+
+    src = str(tmp_path / "src")
+    state_dir = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    # three "days" of rows arriving as separate files → separate batches
+    rows = [
+        {"k": ["a", "b", "c"][i % 3], "v": float(i % 17) + 0.25}
+        for i in range(300)
+    ]
+    for b in range(3):
+        with open(f"{src}/batch_{b}.json", "w") as f:
+            for r in rows[b * 100 : (b + 1) * 100]:
+                f.write(json.dumps(r) + "\n")
+
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("k", StringType()), StructField("v", DoubleType())]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+
+    def merge_batch(batch_df, epoch_id):
+        batch_state = AST.build_agg_state(batch_df, ["k"], "v")
+        if os.path.isdir(state_dir) and os.listdir(state_dir):
+            prior = batch_df.sparkSession.read.parquet(state_dir)
+            merged = AST.merge_agg_state([prior, batch_state], ["k"])
+        else:
+            merged = batch_state
+        # write-then-swap: state updates must be atomic per epoch
+        tmp_out = state_dir + f".epoch{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp_out)
+        if os.path.isdir(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp_out, state_dir)
+
+    q = stream.writeStream.foreachBatch(merge_batch).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    final = AST.finalize_agg_state(spark.read.parquet(state_dir), ["k"])
+    got = {r.k: (r.n_rows, r.total, r.v_min, r.v_max, r.v_avg, r.v_var) for r in final.collect()}
+    batch_df = spark.createDataFrame([(r["k"], r["v"]) for r in rows], schema)
+    want_df = AST.finalize_agg_state(AST.build_agg_state(batch_df, ["k"], "v"), ["k"])
+    want = {r.k: (r.n_rows, r.total, r.v_min, r.v_max, r.v_avg, r.v_var) for r in want_df.collect()}
+    assert got == want
+    assert set(got) == {"a", "b", "c"}

@@ -38,7 +38,10 @@ from clickhouse_sinker_nali_spark.operators import relational as R
 from clickhouse_sinker_nali_spark.operators import scale as SC
 from clickhouse_sinker_nali_spark.operators import similarity as S
 from clickhouse_sinker_nali_spark.operators import text as T
+from clickhouse_sinker_nali_spark.operators import aggstate as AST
+from clickhouse_sinker_nali_spark.operators import classifier as CL
 from clickhouse_sinker_nali_spark.operators import warehouse as W
+from clickhouse_sinker_nali_spark.operators import warehouse_ext as WX
 from clickhouse_sinker_nali_spark.session import get_spark
 
 HEADLINE = {
@@ -68,6 +71,12 @@ HEADLINE = {
     "unigram_logprob": T.unigram_logprob,
     "doc_pagerank": G.doc_pagerank,
     "scd2_customer_status": W.scd2_customer_status,
+    # round-3 additions (new keys; earlier keys keep their r1/r2 meaning)
+    "q9_product_profit": WX.q9_product_profit,
+    "q21_waiting_suppliers": WX.q21_waiting_suppliers,
+    "agg_state_roundtrip": AST.agg_state_roundtrip,
+    "segment_dedup": C.segment_dedup,
+    "quality_classifier_scores": CL.quality_classifier_scores,
     "chunk_documents": C.chunk_documents,
     "full_outer_reconcile": R.full_outer_reconcile,
     "bpe_encode": B.bpe_encode,

@@ -21,6 +21,8 @@ with the naive formulation is part of the test/oracle contract.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -407,3 +409,54 @@ def align_to_schema(df: DataFrame, target) -> DataFrame:
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)
+
+
+# --------------------------------------------------------------------------
+# Partition-lifecycle retention (ClickHouse TTL twin)
+# --------------------------------------------------------------------------
+
+
+def apply_ttl(
+    spark: SparkSession, path: str, keep_days: int, now_day: str
+) -> dict[str, list[str]]:
+    """Drop whole day-partitions older than ``now_day - keep_days`` from a
+    :func:`write_date_partitioned` layout — the twin of ClickHouse's
+    ``TTL event_time + INTERVAL n DAY`` partition expiry, which sinker
+    deployments lean on for log retention (their target tables carry TTL
+    clauses; the sinker itself never deletes).
+
+    This is deliberately a PARTITION-level operation: expiring data by
+    rewriting row-filtered files costs a full scan of the table, while
+    dropping aged partition directories is pure metadata — the only
+    retention strategy that holds at 100 TB.  Rows inside a kept
+    partition are never touched, so the cut is exactly at the partition
+    boundary (as in ClickHouse, where TTL granularity = partition key).
+
+    Returns ``{"dropped": [...], "kept": [...]}`` partition day names —
+    the audit record a retention job must emit.
+    """
+    import shutil
+    from datetime import date, timedelta
+
+    cutoff = date.fromisoformat(now_day) - timedelta(days=keep_days)
+    dropped, kept = [], []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith("day="):
+            continue
+        day = entry.split("=", 1)[1]
+        if date.fromisoformat(day) < cutoff:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped.append(day)
+        else:
+            kept.append(day)
+    return {"dropped": dropped, "kept": kept}
+
+
+def row_ttl_filter(df: DataFrame, ts_col: str, keep_days: int, now_ts: str) -> DataFrame:
+    """Row-level TTL as a read-side predicate (ClickHouse row TTL twin)
+    for the cases where expiry must cut INSIDE a partition; the filter
+    pushes to the parquet scan, so readers pay nothing for expired rows
+    even before a compaction rewrites them out."""
+    return df.filter(
+        F.col(ts_col) >= F.to_timestamp(F.lit(now_ts)) - F.expr(f"INTERVAL {int(keep_days)} DAYS")
+    )

@@ -1631,3 +1631,36 @@ def test_quality_classifier_plan_and_semantics(spark):
     # the sign label vacuous
     labels = {r.label for r in rows}
     assert labels == {"keep", "drop"}
+
+
+def test_apply_ttl_drops_aged_partitions_only(spark, tmp_path):
+    """Partition TTL removes exactly the aged day directories and leaves
+    every row of the kept partitions untouched."""
+    import clickhouse_sinker_nali_spark.operators.scale as SC
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    layout = str(tmp_path / "events_by_day")
+    SC.write_date_partitioned(events, layout, "ts")
+    before = spark.read.parquet(layout)
+    keep_expected = before.filter(F.col("day") >= "2024-01-21").count()
+    audit = SC.apply_ttl(spark, layout, keep_days=10, now_day="2024-01-31")
+    assert audit["dropped"] and audit["kept"]
+    assert all(d < "2024-01-21" for d in audit["dropped"])
+    assert all(d >= "2024-01-21" for d in audit["kept"])
+    after = spark.read.parquet(layout)
+    assert after.count() == keep_expected
+    assert after.agg(F.min("day")).first()[0].isoformat() >= "2024-01-21"
+
+
+def test_row_ttl_filter_pushes_to_scan(spark, tmp_path):
+    """Row-level TTL must appear in PushedFilters on the parquet scan."""
+    import clickhouse_sinker_nali_spark.operators.scale as SC
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = SC.row_ttl_filter(events, "ts", keep_days=10, now_ts="2024-01-31 00:00:00")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
+    want = events.filter(F.col("ts") >= "2024-01-21 00:00:00").count()
+    assert out.count() == want

@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_state_roundtrip": AST.agg_state_roundtrip,
         "segment_dedup": C.segment_dedup,
         "quality_classifier_scores": CL.quality_classifier_scores,
+        "temperature_resample": C.temperature_resample,
     }
 
 
@@ -321,4 +322,5 @@ def oracle_sql() -> dict[str, str]:
         "agg_state_roundtrip": AST.AGG_STATE_SQL,
         "segment_dedup": C.SEGMENT_DEDUP_SQL,
         "quality_classifier_scores": CL.QUALITY_CLASSIFIER_SQL,
+        "temperature_resample": C.TEMPERATURE_RESAMPLE_SQL,
     }

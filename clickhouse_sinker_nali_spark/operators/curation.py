@@ -605,3 +605,104 @@ GROUP BY s.doc_id
 HAVING COUNT(CASE WHEN s_rk = 1 THEN 1 END) > 0
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Temperature resampling (UniMax / alpha-sampling language rebalance)
+# --------------------------------------------------------------------------
+
+_TEMP_BUDGET = 0.6  # output corpus size as a fraction of the input
+
+
+def temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalanced subsample with temperature α = 0.5 — the
+    UniMax/mT5 "alpha sampling" step that upweights rare languages:
+    target share ∝ n_l^α instead of n_l, here realized by SUBSAMPLING
+    overrepresented languages down to quota (no repetition, so every
+    kept row is a distinct document).
+
+    Unlike :func:`mixture_sample` (externally fixed weights), the
+    quotas here are DERIVED from the observed distribution: one tiny
+    per-lang count aggregate rides a broadcast; the corpus itself
+    shuffles once on lang for the hash-ranked window, exactly the
+    mixture_sample plan shape.
+
+    Determinism discipline: α = 0.5 means ``sqrt`` — correctly rounded
+    by IEEE 754 in every engine, unlike ``pow`` — and the cross-language
+    normalizer Σ√n_l is summed in DECIMAL(20,10) so summation order
+    (Spark partition order, DuckDB scan order) cannot perturb the last
+    bit; quotas floor a 6-dp-rounded share, far from any ULP boundary.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    scored = counts.select(
+        "lang", "n_l",
+        F.sqrt(F.col("n_l").cast("double")).cast("decimal(20,10)").alias("s_l"),
+    )
+    norm = scored.agg(
+        F.sum("s_l").cast("decimal(28,10)").alias("s_total"),
+        F.sum("n_l").alias("n_total"),
+    )
+    quotas = scored.crossJoin(F.broadcast(norm)).select(
+        "lang", "n_l",
+        F.least(
+            F.col("n_l"),
+            F.floor(
+                F.round(
+                    F.floor(F.lit(_TEMP_BUDGET) * F.col("n_total")).cast("double")
+                    * F.col("s_l").cast("double")
+                    / F.col("s_total").cast("double"),
+                    6,
+                )
+            ).cast("bigint"),
+        ).alias("quota"),
+    )
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    ranked = docs.select(
+        "doc_id", "lang", portable_hash64(F.col("text")).alias("h")
+    ).withColumn("hash_rank", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quotas), "lang")
+        .filter(F.col("hash_rank") <= F.col("quota"))
+        .select("doc_id", "lang", "hash_rank", "quota")
+        .orderBy("doc_id")
+    )
+
+
+TEMPERATURE_RESAMPLE_SQL = f"""
+WITH counts AS (
+    SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang
+),
+scored AS (
+    SELECT lang, n_l, CAST(SQRT(CAST(n_l AS DOUBLE)) AS DECIMAL(20,10)) AS s_l
+    FROM counts
+),
+norm AS (
+    SELECT CAST(SUM(s_l) AS DECIMAL(28,10)) AS s_total,
+           CAST(SUM(n_l) AS BIGINT) AS n_total
+    FROM scored
+),
+quotas AS (
+    SELECT lang, n_l,
+           LEAST(n_l, CAST(FLOOR(ROUND(
+               CAST(FLOOR(CAST({_TEMP_BUDGET} AS DOUBLE) * n_total) AS DOUBLE)
+               * CAST(s_l AS DOUBLE) / CAST(s_total AS DOUBLE), 6))
+             AS BIGINT)) AS quota
+    FROM scored, norm
+),
+ranked AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY ({{hash}}), doc_id) AS hash_rank
+    FROM documents
+)
+SELECT r.doc_id, r.lang, CAST(r.hash_rank AS BIGINT) AS hash_rank, q.quota
+FROM ranked r JOIN quotas q ON r.lang = q.lang
+WHERE r.hash_rank <= q.quota
+ORDER BY r.doc_id
+""".replace("{hash}", portable_hash64_sql("text"))

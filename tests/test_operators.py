@@ -1664,3 +1664,29 @@ def test_row_ttl_filter_pushes_to_scan(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
     want = events.filter(F.col("ts") >= "2024-01-21 00:00:00").count()
     assert out.count() == want
+
+
+def test_temperature_resample_upweights_rare_languages(spark):
+    """α=0.5 sampling must (a) never repeat a doc, (b) keep scarce
+    languages whole (quota capped at n_l), and (c) strictly raise every
+    rare language's output share over its input share."""
+    import clickhouse_sinker_nali_spark.operators.curation as C
+
+    out = C.temperature_resample(spark, SF_DIR)
+    rows = out.collect()
+    assert len(rows) > 0
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_in = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_out = {}
+    for r in rows:
+        n_out[r.lang] = n_out.get(r.lang, 0) + 1
+        assert r.quota <= n_in[r.lang]
+    total_in, total_out = sum(n_in.values()), sum(n_out.values())
+    mean_share = 1.0 / len(n_in)
+    for lang, n in n_in.items():
+        in_share = n / total_in
+        out_share = n_out.get(lang, 0) / total_out
+        if in_share < mean_share:  # genuinely rare language
+            assert out_share > in_share

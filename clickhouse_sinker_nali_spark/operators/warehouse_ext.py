@@ -253,14 +253,46 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.1% of the nation's total (stock value proxied by lineitem revenue;
     testdata has no partsupp).
 
-    The scalar subquery re-aggregates the same CTE; Spark evaluates
-    ``nat_value`` twice unless cached, but both evaluations are one
-    map-side-partial groupBy over the nation-filtered fact (the GERMANY
-    supplier set broadcasts, pruning ~96% of lineitem before the
-    shuffle).  The threshold arrives as a 1-row broadcast.  DECIMAL
-    throughout keeps the > comparison and the hash exact in both engines.
+    The oracle's scalar subquery re-aggregates the same CTE — Spark
+    inlines CTEs, which would scan-and-aggregate the nation-filtered
+    fact twice.  The DataFrame form persists ``nat_value`` (one row per
+    part — tiny) so the threshold aggregate and the filter both read
+    the cache: ONE lineitem scan, with the NATION_7 supplier set
+    broadcast-pruning ~96% of rows before the shuffle.  The threshold
+    arrives as a 1-row broadcast.  DECIMAL throughout keeps the >
+    comparison and the hash exact in both engines.
     """
-    return _views(spark, sf_dir, ["lineitem", "supplier", "nation"], Q11_SQL)
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_supp = supp.join(
+        broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    nat_value = (
+        li.join(broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            )
+            .cast(DEC_WIDE)
+            .alias("value")
+        )
+        .persist()
+    )
+    threshold = nat_value.agg(
+        (F.sum("value") * F.lit(0.001).cast("decimal(4,3)")).alias("thr")
+    )
+    return (
+        nat_value.crossJoin(broadcast(threshold))
+        .filter(F.col("value") > F.col("thr"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "partkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -290,12 +322,43 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with the maximum Q1-1996 revenue.
 
     The revenue CTE is a shipdate-pruned scan (predicate reaches parquet)
-    + per-suppkey partial agg; the MAX is a 1-row broadcast back onto the
-    same aggregate.  DECIMAL revenue makes the = comparison exact — the
-    canonical Q15 trap (two suppliers within float epsilon of max) cannot
-    produce cross-engine row-set differences here.
+    + per-suppkey partial agg, ``persist()``-ed so the scalar MAX and the
+    supplier join read the cache instead of re-aggregating lineitem (the
+    oracle's CTE is evaluated twice — Spark inlines CTEs).  The MAX is a
+    1-row broadcast back onto the same aggregate.  DECIMAL revenue makes
+    the = comparison exact — the canonical Q15 trap (two suppliers
+    within float epsilon of max) cannot produce cross-engine row-set
+    differences here.
     """
-    return _views(spark, sf_dir, ["lineitem", "supplier"], Q15_SQL)
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            )
+            .cast(DEC_WIDE)
+            .alias("total_revenue")
+        )
+        .persist()
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best"))
+    return (
+        supp.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .crossJoin(broadcast(best))
+        .filter(F.col("total_revenue") == F.col("best"))
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
 
 
 # --------------------------------------------------------------------------

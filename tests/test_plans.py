@@ -556,3 +556,19 @@ def test_classifier_weight_join_is_broadcast(spark):
     df = CL.quality_classifier_scores(spark, SF_DIR)
     assert uses_broadcast_join(df)
     assert partial_aggregation_present(df)
+
+
+def test_q11_q15_scan_fact_once_via_cached_aggregate(spark):
+    """Scalar-subquery queries must not re-aggregate the fact for the
+    threshold: the persisted aggregate feeds both consumers."""
+    import clickhouse_sinker_nali_spark.operators.warehouse_ext as WX
+
+    for fn in (WX.q11_important_stock, WX.q15_top_supplier):
+        df = fn(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "InMemoryTableScan" in plan
+        scans = read_schema_columns(df)
+        li_scans = [c for c in scans if "l_extendedprice" in c]
+        assert len(li_scans) == 1, fn.__name__

@@ -188,6 +188,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": C.segment_dedup,
         "quality_classifier_scores": CL.quality_classifier_scores,
         "temperature_resample": C.temperature_resample,
+        # seventh wave: training-order / budget ops (curriculum interleave,
+        # per-source token budgets, seeded epoch shuffle) + the sliding
+        # COUNT-DISTINCT rollup via explode-to-contributing-windows
+        "curriculum_order": C.curriculum_order,
+        "token_budget_select": C.token_budget_select,
+        "epoch_shuffle": C.epoch_shuffle,
+        "sliding_distinct_users": W.sliding_distinct_users,
+        # PQ: the memory-bound ANN scale path (4-bit subspace codes + ADC)
+        "ann_pq_topk": S.ann_pq_topk,
     }
 
 
@@ -323,4 +332,9 @@ def oracle_sql() -> dict[str, str]:
         "segment_dedup": C.SEGMENT_DEDUP_SQL,
         "quality_classifier_scores": CL.QUALITY_CLASSIFIER_SQL,
         "temperature_resample": C.TEMPERATURE_RESAMPLE_SQL,
+        "curriculum_order": C.CURRICULUM_ORDER_SQL,
+        "token_budget_select": C.TOKEN_BUDGET_SQL,
+        "epoch_shuffle": C.EPOCH_SHUFFLE_SQL,
+        "sliding_distinct_users": W.SLIDING_DISTINCT_SQL,
+        "ann_pq_topk": S.ANN_PQ_SQL,
     }

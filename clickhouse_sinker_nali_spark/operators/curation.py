@@ -706,3 +706,207 @@ FROM ranked r JOIN quotas q ON r.lang = q.lang
 WHERE r.hash_rank <= q.quota
 ORDER BY r.doc_id
 """.replace("{hash}", portable_hash64_sql("text"))
+
+
+# --------------------------------------------------------------------------
+# Curriculum ordering (quality-binned interleave, no global window)
+# --------------------------------------------------------------------------
+
+_N_BINS = 10  # fixed quality deciles over the score's known [0, 1] range
+
+
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum position for every document: quality-binned
+    round-robin (bin b's r-th doc trains at step r·10 + b), so each stretch
+    of the schedule sees the full quality spectrum while within-bin order
+    stays stable — the data-ordering half of curriculum learning.
+
+    A global ``row_number() over (order by quality)`` is the same
+    single-task wall as naive sequence packing.  Because the quality score
+    has a KNOWN range ([0,1] by construction), binning is a map-side
+    ``floor(quality·10)`` — no ntile, no global sort — and the only window
+    runs per-bin (10-way parallel, one shuffle on ``bin``).  The interleave
+    position is then pure arithmetic on (rank_in_bin, bin).  At 100 TB:
+    one corpus scan, one shuffle keyed on 10 balanced keys; skew between
+    bins is bounded by the score distribution, and a finer `_N_BINS` both
+    raises parallelism and smooths the curriculum.
+    """
+    from pyspark.sql.window import Window
+
+    from . import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    qc = T.quality_columns()
+    binned = docs.select(
+        "doc_id",
+        F.least(
+            F.lit(_N_BINS - 1), F.floor(qc["quality"] * _N_BINS)
+        ).cast("int").alias("q_bin"),
+    )
+    w = Window.partitionBy("q_bin").orderBy("doc_id")
+    return (
+        binned.withColumn("rank_in_bin", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "q_bin",
+            F.col("rank_in_bin").cast("bigint").alias("rank_in_bin"),
+            ((F.col("rank_in_bin") - 1) * _N_BINS + F.col("q_bin"))
+            .cast("bigint")
+            .alias("curriculum_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CURRICULUM_ORDER_SQL = f"""
+WITH binned AS (
+    SELECT doc_id,
+           CAST(LEAST({_N_BINS - 1}, FLOOR(quality * {_N_BINS})) AS INTEGER)
+               AS q_bin
+    FROM ({{quality}}) q
+),
+ranked AS (
+    SELECT doc_id, q_bin,
+           ROW_NUMBER() OVER (PARTITION BY q_bin ORDER BY doc_id) AS rk
+    FROM binned
+)
+SELECT doc_id, q_bin,
+       CAST(rk AS BIGINT) AS rank_in_bin,
+       CAST((rk - 1) * {_N_BINS} + q_bin AS BIGINT) AS curriculum_pos
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Token-budget selection (per-source greedy fill under a token cap)
+# --------------------------------------------------------------------------
+
+TOKEN_BUDGET = 800  # whitespace tokens each source may contribute
+
+
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the best documents from each source until that source's token
+    budget is spent: rank by quality (ties → doc_id), keep every doc whose
+    whole token count still fits the running budget — the mixture-building
+    step that turns "dataset X gets 50 B tokens" into an actual row set.
+
+    One scan computes quality + token count map-side; the cumulative fill
+    is a window PARTITIONED BY SOURCE — thousands of independent prefix
+    sums, never a global one (contrast :func:`sequence_pack`, which needs
+    the two-phase trick precisely because its running sum is global).  A
+    source so large its per-source window skews would hit the same
+    bucket-offset decomposition, per source.  Budget semantics are
+    whole-doc (a doc either fits entirely or is skipped along with the
+    rest of its tail), so `cum_tokens ≤ budget` is exact, not truncating.
+    """
+    from pyspark.sql.window import Window
+
+    from . import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    qc = T.quality_columns()
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_ws_tokens"),
+        qc["quality"].alias("quality"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_ws_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("doc_id", "source", "n_ws_tokens", "cum_tokens",
+                F.round("quality", 6).alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_BUDGET_SQL = f"""
+WITH scored AS (
+    SELECT t.doc_id, d.source,
+           CAST(t.n_ws_tokens AS BIGINT) AS n_ws_tokens,
+           q.quality
+    FROM ({{tokens}}) t
+    JOIN ({{quality}}) q ON t.doc_id = q.doc_id
+    JOIN documents d ON t.doc_id = d.doc_id
+),
+filled AS (
+    SELECT doc_id, source, n_ws_tokens,
+           CAST(SUM(n_ws_tokens) OVER (
+               PARTITION BY source
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens,
+           quality
+    FROM scored
+)
+SELECT doc_id, source, n_ws_tokens, cum_tokens, ROUND(quality, 6) AS quality
+FROM filled
+WHERE cum_tokens <= {TOKEN_BUDGET}
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Epoch shuffle (deterministic, cluster-size-invariant training order)
+# --------------------------------------------------------------------------
+
+_EPOCH = 1
+_N_SHUFFLE_SHARDS = 16
+
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle for training epoch E: every doc gets a
+    pseudorandom sort key ``h = hash(epoch ‖ doc_id)`` and lands in shard
+    ``h mod S``; readers stream each shard ordered by ``h``.  This is how
+    100 TB actually gets shuffled — a seeded hash ORDER, not an in-memory
+    permutation: reshuffling for the next epoch is just E+1, any worker
+    can materialize exactly its shard, and the order is independent of
+    cluster size, partition count, and task retries (Spark's own
+    ``orderBy(rand(seed))`` is none of these — rand() is per-partition
+    seeded, so the "same" seed yields a different epoch order on a
+    different cluster).
+
+    Plan shape: pure map-side projection (hash + pmod), then the sink's
+    ``repartition(S, shard)`` + within-partition sort — one shuffle whose
+    keys are uniform by construction (no skew: the hash is 60-bit).  The
+    oracle replays the identical hash in DuckDB, pinning engine-portable
+    reproducibility — the property that makes a training run resumable
+    from any step on any hardware.
+    """
+    from ..functions import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash64(
+        F.concat(F.lit(f"epoch{_EPOCH}:"), F.col("doc_id").cast("string"))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            h.alias("sort_key"),
+            F.pmod(h, F.lit(_N_SHUFFLE_SHARDS)).cast("int").alias("shard"),
+        )
+        .orderBy("shard", "sort_key")
+    )
+
+
+EPOCH_SHUFFLE_SQL = f"""
+SELECT doc_id,
+       {portable_hash64_sql(f"'epoch{_EPOCH}:' || doc_id::VARCHAR")} AS sort_key,
+       CAST({portable_hash64_sql(f"'epoch{_EPOCH}:' || doc_id::VARCHAR")}
+            % {_N_SHUFFLE_SHARDS} AS INTEGER) AS shard
+FROM documents
+ORDER BY shard, sort_key
+"""
+
+CURRICULUM_ORDER_SQL = CURRICULUM_ORDER_SQL.replace("{quality}", T.QUALITY_SQL)
+TOKEN_BUDGET_SQL = (
+    TOKEN_BUDGET_SQL
+    .replace("{tokens}", T.TOKEN_STATS_SQL)
+    .replace("{quality}", T.QUALITY_SQL)
+)

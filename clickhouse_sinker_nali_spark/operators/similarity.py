@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..functions import cosine
+from ..functions import cosine, dot
 from ..session import load_table
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -1066,4 +1066,181 @@ SELECT q.query_id,
 FROM (SELECT DISTINCT query_id FROM brute) q
 LEFT JOIN hits h USING (query_id)
 ORDER BY query_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): subspace codes + ADC scan
+# --------------------------------------------------------------------------
+
+PQ_M = 16           # subspaces per vector (4 dims each at DIM=64)
+PQ_KSUB = 16        # codes per subspace (4-bit)
+PQ_SD = DIM // PQ_M  # dims per subspace
+
+
+def _pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
+    """Deterministic PQ codebooks: the first PQ_KSUB corpus vectors, sliced
+    into PQ_M subspaces — ``codebooks[s][j]`` is seed vector j's s-th slice.
+
+    Same seed-pick discipline as the IVF centroids (deterministic so the
+    DuckDB oracle rebuilds the identical index); a production index would
+    k-means each subspace, which changes the code VALUES but nothing about
+    the plan.  Tiny (M×KSUB×SD = one vector's worth of floats per code),
+    safe to collect and inline as literals.
+    """
+    rows = (
+        emb.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + PQ_KSUB)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = [
+        [float(x) for x in r.embedding]
+        for r in sorted(rows, key=lambda r: int(r.vec_id))
+    ]
+    if len(vecs) != PQ_KSUB:
+        raise ValueError(f"PQ seed window has {len(vecs)} vectors, need {PQ_KSUB}")
+    return [
+        [v[s * PQ_SD:(s + 1) * PQ_SD] for v in vecs] for s in range(PQ_M)
+    ]
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN: encode the corpus to M×4-bit codes, rank every
+    query against the RECONSTRUCTED vectors (asymmetric distance, ADC).
+
+    This is the memory-bound scale path the IVF/LSH family lacks: at 100 TB
+    the raw float32 corpus (d=64 → 256 B/vector) shrinks to M=4 bytes of
+    codes + a broadcast codebook, so the ADC scan reads 64× less than
+    brute force while remaining exhaustive (recall loss comes only from
+    quantization error, not candidate pruning — composable with IVF cells
+    for the classic IVF-PQ).  Plan shape: encoding is a map-side argmin
+    against codebook LITERALS (zero shuffle, same trick as the IVF cell
+    assignment); the ADC scan is broadcast-queries × corpus with the rank
+    window as the only shuffle.
+
+    Code assignment minimizes true per-subspace L2², folded as
+    ``‖c‖² − 2·x·c`` (the ‖x‖² term is constant per (vector, subspace) and
+    cannot move the argmin) — ‖c‖² is precomputed driver-side with the
+    engines' exact index-order double arithmetic, so the oracle's
+    ``list_dot_product`` replays it bit-for-bit.  Ties break toward the
+    smaller code, both engines.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = _pq_codebooks(emb)
+    cc = []  # ‖c‖² per (s, j), engine-exact fold order
+    for s in range(PQ_M):
+        row = []
+        for vec in cbs[s]:
+            acc = 0.0
+            for v in vec:
+                acc += v * v
+            row.append(acc)
+        cc.append(row)
+
+    def code_col(s: int) -> "F.Column":
+        xs = F.slice("embedding", s * PQ_SD + 1, PQ_SD)
+        cb_arr = F.lit(cbs[s])
+        cc_arr = F.lit(cc[s])
+        return (
+            F.array_min(
+                F.transform(
+                    cb_arr,
+                    lambda c, j: F.struct(
+                        (
+                            F.element_at(cc_arr, j + F.lit(1))
+                            - F.lit(2.0) * dot(xs, c)
+                        ).alias("d"),
+                        j.cast("int").alias("j"),
+                    ),
+                )
+            )
+            .getField("j")
+            .alias(f"code{s}")
+        )
+
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[code_col(s) for s in range(PQ_M)],
+    )
+    recon = corpus.select(
+        "neighbor_id",
+        F.concat_ws("-", *[F.col(f"code{s}") for s in range(PQ_M)]).alias("pq_code"),
+        F.concat(
+            *[
+                F.element_at(F.lit(cbs[s]), F.col(f"code{s}") + F.lit(1))
+                for s in range(PQ_M)
+            ]
+        ).alias("recon"),
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = recon.join(broadcast(queries)).select(
+        "query_id",
+        "neighbor_id",
+        "pq_code",
+        cosine("qe", "recon").alias("adc_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "pq_code", "adc_cos")
+        .orderBy("query_id", "rank")
+    )
+
+
+_PQ_XS = f"list_slice(x.embedding, cb.s * {PQ_SD} + 1, cb.s * {PQ_SD} + {PQ_SD})"
+_PQ_DIST = (
+    f"(list_dot_product(cb.c::DOUBLE[], cb.c::DOUBLE[])"
+    f" - 2.0 * list_dot_product(({_PQ_XS})::DOUBLE[], cb.c::DOUBLE[]))"
+)
+_PQ_ADC = (
+    "(list_dot_product(q.embedding::DOUBLE[], r.recon)"
+    " / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(r.recon, r.recon))))"
+)
+
+ANN_PQ_SQL = f"""
+WITH cb AS (
+    SELECT s.range AS s, e.vec_id - {N_QUERIES} AS j,
+           list_slice(e.embedding, s.range * {PQ_SD} + 1,
+                      s.range * {PQ_SD} + {PQ_SD}) AS c
+    FROM embeddings e, range({PQ_M}) s
+    WHERE e.vec_id >= {N_QUERIES} AND e.vec_id < {N_QUERIES} + {PQ_KSUB}
+),
+codes AS (
+    SELECT vec_id, s, j AS code FROM (
+        SELECT x.vec_id, cb.s, cb.j,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id, cb.s
+                    ORDER BY {_PQ_DIST} ASC, cb.j ASC) AS rn
+        FROM embeddings x, cb
+        WHERE x.vec_id >= {N_QUERIES}
+    ) WHERE rn = 1
+),
+recon AS (
+    SELECT codes.vec_id,
+           string_agg(codes.code::VARCHAR, '-' ORDER BY codes.s) AS pq_code,
+           flatten(list(cb.c::DOUBLE[] ORDER BY codes.s)) AS recon
+    FROM codes JOIN cb ON cb.s = codes.s AND cb.j = codes.code
+    GROUP BY codes.vec_id
+)
+SELECT query_id, rank, neighbor_id, pq_code, adc_cos
+FROM (
+    SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id, r.pq_code,
+           {_PQ_ADC} AS adc_cos,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY {_PQ_ADC} DESC, r.vec_id) AS rank
+    FROM embeddings q, recon r
+    WHERE q.vec_id < {N_QUERIES}
+)
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
 """

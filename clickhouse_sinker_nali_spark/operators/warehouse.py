@@ -670,3 +670,68 @@ FROM (
 )
 ORDER BY o_year
 """
+
+
+# --------------------------------------------------------------------------
+# Sliding-window distinct users (7-day trailing COUNT DISTINCT per day)
+# --------------------------------------------------------------------------
+
+
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct active users over the trailing 7 days, per day — the DAU/WAU
+    rollup every event warehouse serves.
+
+    COUNT(DISTINCT) cannot ride a window frame (neither Spark nor most
+    engines support DISTINCT window aggregates), and the naive fix — collect
+    per-day user sets and merge 7 of them per row — centralizes the heaviest
+    payload through one task.  The scalable formulation is
+    explode-to-contributing-windows: each (day, user) pair contributes to
+    the 7 target days it is visible from, so the plan is (1) per-day
+    distinct pairs (one shuffle, map-side combined), (2) a 7× explode of
+    that already-reduced set, (3) a count-distinct keyed by target day (one
+    more shuffle of day-level cardinality).  At 100 TB the raw events never
+    fan out — only the distinct (day, user) pairs do, and 7× of a distinct
+    set keyed across ~thousands of days partitions evenly.
+
+    The target-day spine is restricted to days that actually occur, so the
+    output matches the per-day rollup's calendar (no phantom trailing days).
+    """
+    events = load_table(spark, sf_dir, "events")
+    pairs = events.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    contrib = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    )
+    present = pairs.select("day").distinct()
+    return (
+        contrib.join(present, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+        .orderBy("day")
+    )
+
+
+SLIDING_DISTINCT_SQL = """
+WITH pairs AS (
+    SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id
+    FROM events
+),
+contrib AS (
+    SELECT p.user_id, d.day
+    FROM pairs p
+    JOIN (SELECT DISTINCT day FROM pairs) d
+      ON d.day BETWEEN p.day AND p.day + INTERVAL 6 DAY
+)
+SELECT day, COUNT(DISTINCT user_id) AS users_7d
+FROM contrib
+GROUP BY day
+ORDER BY day
+"""

@@ -80,6 +80,12 @@ HEADLINE = {
     "chunk_documents": C.chunk_documents,
     "full_outer_reconcile": R.full_outer_reconcile,
     "bpe_encode": B.bpe_encode,
+    # seventh wave: training-order / budget ops + PQ ANN + sliding distinct
+    "curriculum_order": C.curriculum_order,
+    "token_budget_select": C.token_budget_select,
+    "epoch_shuffle": C.epoch_shuffle,
+    "sliding_distinct_users": W.sliding_distinct_users,
+    "ann_pq_topk": S.ann_pq_topk,
 }
 
 

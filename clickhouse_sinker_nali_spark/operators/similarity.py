@@ -1127,6 +1127,13 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines' exact index-order double arithmetic, so the oracle's
     ``list_dot_product`` replays it bit-for-bit.  Ties break toward the
     smaller code, both engines.
+
+    Expression-size discipline (the `_cell_scores` lesson): the whole
+    M-subspace encoding is ONE nested transform over a single 3-level
+    codebook literal — M separate per-subspace argmin trees made plan
+    compile time scale with M (~3 s fixed at M=16), where the data math
+    itself is microseconds; one opaque literal makes compile time
+    independent of M.
     """
     from pyspark.sql.window import Window
 
@@ -1142,39 +1149,45 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             row.append(acc)
         cc.append(row)
 
-    def code_col(s: int) -> "F.Column":
-        xs = F.slice("embedding", s * PQ_SD + 1, PQ_SD)
-        cb_arr = F.lit(cbs[s])
-        cc_arr = F.lit(cc[s])
-        return (
-            F.array_min(
-                F.transform(
-                    cb_arr,
-                    lambda c, j: F.struct(
-                        (
-                            F.element_at(cc_arr, j + F.lit(1))
-                            - F.lit(2.0) * dot(xs, c)
-                        ).alias("d"),
-                        j.cast("int").alias("j"),
-                    ),
-                )
+    cb3 = F.lit(cbs)  # M × KSUB × SD, one Literal node
+    cc2 = F.lit(cc)   # M × KSUB
+    # codes[s] = argmin_j (cc[s][j] − 2·x_s·cb[s][j]), ties → smaller j
+    codes = F.transform(
+        cb3,
+        lambda cb_s, s: F.array_min(
+            F.transform(
+                cb_s,
+                lambda c, j: F.struct(
+                    (
+                        F.element_at(F.element_at(cc2, s + F.lit(1)), j + F.lit(1))
+                        - F.lit(2.0)
+                        * dot(
+                            F.slice(
+                                "embedding", s * F.lit(PQ_SD) + F.lit(1), F.lit(PQ_SD)
+                            ),
+                            c,
+                        )
+                    ).alias("d"),
+                    j.cast("int").alias("j"),
+                ),
             )
-            .getField("j")
-            .alias(f"code{s}")
-        )
-
+        ).getField("j"),
+    )
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"),
-        *[code_col(s) for s in range(PQ_M)],
+        F.col("vec_id").alias("neighbor_id"), codes.alias("codes")
     )
     recon = corpus.select(
         "neighbor_id",
-        F.concat_ws("-", *[F.col(f"code{s}") for s in range(PQ_M)]).alias("pq_code"),
-        F.concat(
-            *[
-                F.element_at(F.lit(cbs[s]), F.col(f"code{s}") + F.lit(1))
-                for s in range(PQ_M)
-            ]
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), "-"
+        ).alias("pq_code"),
+        F.flatten(
+            F.transform(
+                F.col("codes"),
+                lambda c, s: F.element_at(
+                    F.element_at(cb3, s + F.lit(1)), c + F.lit(1)
+                ),
+            )
         ).alias("recon"),
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(

@@ -115,6 +115,19 @@ COMMENTARY = {
         "side shows a separate exchange — bucketing lineitem by orderkey "
         "would erase both probe shuffles at scale."
     ),
+    "ann_pq_topk": (
+        "Product quantization: corpus encoding is a pure projection (code "
+        "argmin against codebook LITERALS — no exchange until the per-query "
+        "rank window), queries broadcast, scan reads only vec_id+embedding. "
+        "At 100 TB the scan side is the 8-byte code column, 32x smaller "
+        "than the float corpus brute force reads."
+    ),
+    "sliding_distinct_users": (
+        "Sliding COUNT DISTINCT: the 7x Generate sits ABOVE the distinct "
+        "(day,user) aggregate, never above the raw event scan, so the "
+        "fan-out multiplies the already-reduced pair set; both aggregates "
+        "are partial->final."
+    ),
 }
 
 
@@ -127,6 +140,7 @@ def main() -> None:
     from clickhouse_sinker_nali_spark.operators import relational as R
     from clickhouse_sinker_nali_spark.operators import similarity as S
     from clickhouse_sinker_nali_spark.operators import text as T
+    from clickhouse_sinker_nali_spark.operators import warehouse as WH
     from clickhouse_sinker_nali_spark.operators import warehouse_ext as WX
     from clickhouse_sinker_nali_spark.session import get_spark
 
@@ -148,6 +162,8 @@ def main() -> None:
         "unigram_logprob": T.unigram_logprob,
         "q9_product_profit": WX.q9_product_profit,
         "q21_waiting_suppliers": WX.q21_waiting_suppliers,
+        "ann_pq_topk": S.ann_pq_topk,
+        "sliding_distinct_users": WH.sliding_distinct_users,
     }
 
     spark = get_spark("plans", shuffle_partitions=8)

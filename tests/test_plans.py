@@ -572,3 +572,52 @@ def test_q11_q15_scan_fact_once_via_cached_aggregate(spark):
         scans = read_schema_columns(df)
         li_scans = [c for c in scans if "l_extendedprice" in c]
         assert len(li_scans) == 1, fn.__name__
+
+
+def test_curriculum_and_budget_windows_are_partitioned(spark):
+    """Neither training-order op may plan a single-partition window over
+    the corpus: curriculum ranks within q_bin, budget fill within source."""
+    import clickhouse_sinker_nali_spark.operators.curation as C
+
+    for fn, key in ((C.curriculum_order, "q_bin"), (C.token_budget_select, "source")):
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        windows = [ln for ln in plan.splitlines() if "Window" in ln and "windowspecdefinition" in ln]
+        assert windows, f"{fn.__name__}: expected a window in the plan"
+        assert all(key in ln for ln in windows), f"{fn.__name__}: window not partitioned by {key}"
+
+
+def test_epoch_shuffle_is_map_side_before_sort(spark):
+    """Hash + shard assignment must be pure projection: the only exchange
+    is the presentation sort's range partitioning."""
+    import clickhouse_sinker_nali_spark.operators.curation as C
+
+    df = C.epoch_shuffle(spark, SF_DIR)
+    assert count_exchanges(df) <= 1
+    assert has_whole_stage_codegen(df)
+
+
+def test_sliding_distinct_never_explodes_raw_events(spark):
+    """The 7x fan-out must run over the distinct (day,user) pairs, i.e.
+    AFTER an aggregate — never over the raw event scan."""
+    import clickhouse_sinker_nali_spark.operators.warehouse as W
+
+    df = W.sliding_distinct_users(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    gen_idx = plan.find("Generate explode")
+    agg_idx = plan.find("HashAggregate")
+    assert gen_idx != -1 and agg_idx != -1
+    # executedPlan prints top-down: the explode consumes the aggregate, so
+    # at least one HashAggregate must appear BELOW (after) the Generate
+    assert "HashAggregate" in plan[gen_idx:], "explode must sit above a distinct aggregate"
+    assert partial_aggregation_present(df)
+
+
+def test_pq_encoding_is_map_side_literal_codebook(spark):
+    """PQ corpus encoding must not shuffle: codes come from codebook
+    literals, so the only exchanges are the rank window + final sort, and
+    the corpus scan reads just vec_id + embedding."""
+    df = S.ann_pq_topk(spark, SF_DIR)
+    assert count_exchanges(df) <= 3
+    scans = read_schema_columns(df)
+    assert scans and all(cols <= {"vec_id", "embedding"} for cols in scans)
+    assert uses_broadcast_join(df)

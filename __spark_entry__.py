@@ -197,6 +197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_distinct_users": W.sliding_distinct_users,
         # PQ: the memory-bound ANN scale path (4-bit subspace codes + ADC)
         "ann_pq_topk": S.ann_pq_topk,
+        # IVF-PQ: cell pruning × code compression (the FAISS default shape)
+        "ann_ivfpq_topk": S.ann_ivfpq_topk,
     }
 
 
@@ -337,4 +339,5 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": C.EPOCH_SHUFFLE_SQL,
         "sliding_distinct_users": W.SLIDING_DISTINCT_SQL,
         "ann_pq_topk": S.ANN_PQ_SQL,
+        "ann_ivfpq_topk": S.ANN_IVFPQ_SQL,
     }

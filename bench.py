@@ -86,6 +86,7 @@ HEADLINE = {
     "epoch_shuffle": C.epoch_shuffle,
     "sliding_distinct_users": W.sliding_distinct_users,
     "ann_pq_topk": S.ann_pq_topk,
+    "ann_ivfpq_topk": S.ann_ivfpq_topk,
 }
 
 

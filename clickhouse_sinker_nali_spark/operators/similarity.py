@@ -1257,3 +1257,182 @@ FROM (
 WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ: cell-pruned candidate generation + PQ-compressed ADC re-rank
+# --------------------------------------------------------------------------
+
+
+def _pq_cc(cbs: list[list[list[float]]]) -> list[list[float]]:
+    """‖c‖² per (s, j) with the engines' exact index-order double fold."""
+    out = []
+    for sub in cbs:
+        row = []
+        for vec in sub:
+            acc = 0.0
+            for v in vec:
+                acc += v * v
+            row.append(acc)
+        out.append(row)
+    return out
+
+
+def _pq_codes_expr(cbs, cc) -> "F.Column":
+    """array<int> of per-subspace PQ codes for the ``embedding`` column —
+    one nested transform over a single 3-level codebook literal (see
+    :func:`ann_pq_topk` for the expression-size rationale)."""
+    cb3 = F.lit(cbs)
+    cc2 = F.lit(cc)
+    return F.transform(
+        cb3,
+        lambda cb_s, s: F.array_min(
+            F.transform(
+                cb_s,
+                lambda c, j: F.struct(
+                    (
+                        F.element_at(F.element_at(cc2, s + F.lit(1)), j + F.lit(1))
+                        - F.lit(2.0)
+                        * dot(
+                            F.slice(
+                                "embedding", s * F.lit(PQ_SD) + F.lit(1), F.lit(PQ_SD)
+                            ),
+                            c,
+                        )
+                    ).alias("d"),
+                    j.cast("int").alias("j"),
+                ),
+            )
+        ).getField("j"),
+    )
+
+
+def _pq_recon_expr(cbs) -> "F.Column":
+    """Reconstructed (decoded) vector from a ``codes`` array column."""
+    cb3 = F.lit(cbs)
+    return F.flatten(
+        F.transform(
+            F.col("codes"),
+            lambda c, s: F.element_at(F.element_at(cb3, s + F.lit(1)), c + F.lit(1)),
+        )
+    )
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the production ANN shape — IVF cells prune candidates
+    (read |corpus|·nprobe/K instead of everything), PQ codes compress what
+    is read (8-byte codes instead of 256-byte floats), ADC ranks inside
+    the probed cells.  FAISS's default large-corpus index is exactly this
+    composition; at 100 TB it is the only family whose scan cost is
+    sub-linear in BOTH rows and bytes.
+
+    Pure reuse of the two audited pieces: cell assignment and probing from
+    the IVF path (centroid literals, map-side argmax), encoding from the
+    PQ path (codebook literal, map-side argmin) — so the corpus scan stays
+    shuffle-free until the cell equi-join, and the only other exchange is
+    the per-query rank window.  The oracle replays both constructions and
+    their composition exactly.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+    cbs = _pq_codebooks(emb)
+    cc = _pq_cc(cbs)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.array_max(_cell_scores(cents, "embedding")).getField("cid").alias("cid"),
+        _pq_codes_expr(cbs, cc).alias("codes"),
+    )
+    recon = corpus.select(
+        "neighbor_id",
+        "cid",
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), "-"
+        ).alias("pq_code"),
+        _pq_recon_expr(cbs).alias("recon"),
+    )
+    scored = recon.join(broadcast(_probed_queries(emb, cents)), "cid").select(
+        "query_id",
+        "neighbor_id",
+        "cid",
+        "pq_code",
+        cosine("qe", "recon").alias("adc_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cid", "pq_code", "adc_cos")
+        .orderBy("query_id", "rank")
+    )
+
+
+_ADC_PR = (
+    "(list_dot_product(p.qe::DOUBLE[], r.recon)"
+    " / (sqrt(list_dot_product(p.qe::DOUBLE[], p.qe::DOUBLE[]))"
+    " * sqrt(list_dot_product(r.recon, r.recon))))"
+)
+
+ANN_IVFPQ_SQL = f"""
+WITH kk AS ({_IVF_K_SQL}),
+cent AS (
+    SELECT vec_id - {N_QUERIES} AS cid, embedding FROM embeddings, kk
+    WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES} + kk.k
+),
+cell AS (
+    SELECT neighbor_id, cid FROM (
+        SELECT c.vec_id AS neighbor_id, t.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                    ORDER BY {_COS_CT} DESC, t.cid DESC) AS rn
+        FROM embeddings c, cent t
+        WHERE c.vec_id >= {N_QUERIES}
+    ) WHERE rn = 1
+),
+cb AS (
+    SELECT s.range AS s, e.vec_id - {N_QUERIES} AS j,
+           list_slice(e.embedding, s.range * {PQ_SD} + 1,
+                      s.range * {PQ_SD} + {PQ_SD}) AS c
+    FROM embeddings e, range({PQ_M}) s
+    WHERE e.vec_id >= {N_QUERIES} AND e.vec_id < {N_QUERIES} + {PQ_KSUB}
+),
+codes AS (
+    SELECT vec_id, s, j AS code FROM (
+        SELECT x.vec_id, cb.s, cb.j,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id, cb.s
+                    ORDER BY {_PQ_DIST} ASC, cb.j ASC) AS rn
+        FROM embeddings x, cb
+        WHERE x.vec_id >= {N_QUERIES}
+    ) WHERE rn = 1
+),
+recon AS (
+    SELECT codes.vec_id, cell.cid,
+           string_agg(codes.code::VARCHAR, '-' ORDER BY codes.s) AS pq_code,
+           flatten(list(cb.c::DOUBLE[] ORDER BY codes.s)) AS recon
+    FROM codes
+    JOIN cb ON cb.s = codes.s AND cb.j = codes.code
+    JOIN cell ON cell.neighbor_id = codes.vec_id
+    GROUP BY codes.vec_id, cell.cid
+),
+probes AS (
+    SELECT query_id, qe, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qe, t.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY {_COS_QT} DESC, t.cid DESC) AS rn
+        FROM embeddings q, cent t
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rn <= {NPROBE}
+)
+SELECT query_id, rank, neighbor_id, cid, pq_code, adc_cos
+FROM (
+    SELECT p.query_id, r.vec_id AS neighbor_id, p.cid, r.pq_code,
+           {_ADC_PR} AS adc_cos,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                ORDER BY {_ADC_PR} DESC, r.vec_id) AS rank
+    FROM probes p JOIN recon r ON p.cid = r.cid
+)
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""

@@ -1811,3 +1811,27 @@ def test_pq_recall_overlaps_exact_topk(spark):
     }
     overlap = len(exact & pq) / len(exact)
     assert overlap >= 0.2, f"PQ recall collapsed: {overlap}"
+
+
+def test_ivfpq_candidates_are_cell_pruned_pq_scores(spark):
+    """IVF-PQ must (a) return well-formed output, (b) only surface
+    neighbors from the query's probed cells, and (c) score identically to
+    the pure-PQ ADC for any (query, neighbor) pair both return — the
+    composition adds pruning, never a different metric."""
+    import clickhouse_sinker_nali_spark.operators.similarity as S
+
+    ivfpq = S.ann_ivfpq_topk(spark, SF_DIR).collect()
+    assert len(ivfpq) == S.N_QUERIES * S.TOP_K
+    pq = {
+        (r.query_id, r.neighbor_id): (r.pq_code, r.adc_cos)
+        for r in S.ann_pq_topk(spark, SF_DIR).collect()
+    }
+    overlap = 0
+    for r in ivfpq:
+        key = (r.query_id, r.neighbor_id)
+        if key in pq:
+            code, cos = pq[key]
+            assert r.pq_code == code
+            assert r.adc_cos == cos
+            overlap += 1
+    assert overlap > 0, "IVF-PQ shares no pairs with PQ — probe likely broken"

@@ -199,6 +199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": S.ann_pq_topk,
         # IVF-PQ: cell pruning × code compression (the FAISS default shape)
         "ann_ivfpq_topk": S.ann_ivfpq_topk,
+        # composition proof: budget -> shuffle -> pack in one plan
+        "make_training_run": C.make_training_run,
     }
 
 
@@ -340,4 +342,5 @@ def oracle_sql() -> dict[str, str]:
         "sliding_distinct_users": W.SLIDING_DISTINCT_SQL,
         "ann_pq_topk": S.ANN_PQ_SQL,
         "ann_ivfpq_topk": S.ANN_IVFPQ_SQL,
+        "make_training_run": C.MAKE_TRAINING_RUN_SQL,
     }

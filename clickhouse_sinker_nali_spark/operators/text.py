@@ -1250,3 +1250,76 @@ def nfc_normalize(df: DataFrame, text_col: str = "text",
     _nfc = pandas_udf(_apply, "string")
 
     return df.withColumn(out_col, _nfc(F.col(text_col)))
+
+
+# --------------------------------------------------------------------------
+# Character coverage (SentencePiece's character_coverage statistic)
+# --------------------------------------------------------------------------
+
+# SentencePiece's multilingual default is 0.9995; this corpus has a ~25-char
+# synthetic alphabet whose RAREST char exceeds 0.05%, so the default would
+# put every char in the alphabet — 0.98 keeps the cut exercised end-to-end
+CHAR_COVERAGE = 0.98
+
+
+def char_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus character-frequency table with cumulative share and the
+    coverage cut — which characters a tokenizer alphabet must include to
+    cover 99.95 % of all text (SentencePiece's ``character_coverage``;
+    everything below the cut becomes ``<unk>``/byte-fallback).
+
+    The heavy half (per-char counts) is explode + map-side-combined
+    groupBy — one shuffle of char-cardinality keys (≤ a few thousand even
+    for CJK corpora).  The cumulative share then windows over that tiny
+    aggregate: the classic safe global window, ordered by (count desc,
+    char) so ties are deterministic in both engines.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(F.regexp_extract_all("text", F.lit("."), 0)).alias("ch")
+        )
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    w = (
+        Window.orderBy(F.col("n").desc(), "ch")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("cum", F.sum("n").over(w))
+        .select(
+            "ch",
+            "n",
+            F.round(F.col("cum") / F.col("total"), 6).alias("cum_share"),
+            # a char is in the alphabet if the PREVIOUS cum share had not
+            # yet reached the target (so the char crossing the line is in)
+            (
+                (F.col("cum") - F.col("n")) / F.col("total") < F.lit(CHAR_COVERAGE)
+            ).alias("in_alphabet"),
+        )
+        .orderBy(F.col("n").desc(), "ch")
+    )
+
+
+CHAR_COVERAGE_SQL = f"""
+WITH counts AS (
+    SELECT ch, COUNT(*) AS n
+    FROM (SELECT unnest(regexp_extract_all(text, '.')) AS ch FROM documents)
+    GROUP BY ch
+),
+tot AS (SELECT SUM(n) AS total FROM counts)
+SELECT ch, n,
+       ROUND(SUM(n) OVER (ORDER BY n DESC, ch
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / total, 6) AS cum_share,
+       ((SUM(n) OVER (ORDER BY n DESC, ch
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n)
+        / total) < {CHAR_COVERAGE} AS in_alphabet
+FROM counts, tot
+ORDER BY n DESC, ch
+"""

@@ -735,3 +735,98 @@ FROM contrib
 GROUP BY day
 ORDER BY day
 """
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff (incremental-crawl reconciliation between corpus versions)
+# --------------------------------------------------------------------------
+
+
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Added / removed / changed / unchanged accounting between two corpus
+    snapshots — the reconciliation a recurring crawl runs before
+    re-processing ("what actually changed since last month's dump?"), and
+    the gate that makes incremental dedup/indexing (minhash_index_delta)
+    cheap: only `added`+`changed` rows feed the delta path.
+
+    The two snapshots derive deterministically from one scan via hash
+    gates (hash-selected docs simulate `added` / `removed` / `changed` —
+    gates, not doc_id modulo, so membership does not correlate with the
+    source column the rollup groups by), then a FULL OUTER join on doc_id
+    compares content HASHES, not text — at 100 TB the join shuffles
+    8-byte hashes, never documents.  Status is pure projection on the
+    join output; the per-source rollup is map-side combined.
+    """
+    from ..functions import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def gate(salt: str, mod: int):
+        return (
+            F.pmod(
+                portable_hash64(
+                    F.concat(F.lit(salt), F.col("doc_id").cast("string"))
+                ),
+                F.lit(mod),
+            )
+            != 0
+        )
+
+    old = docs.filter(gate("snap-old:", 10)).select(
+        "doc_id", "source", portable_hash64("text").alias("old_hash")
+    )
+    new_text = F.when(
+        ~gate("snap-chg:", 13), F.concat(F.col("text"), F.lit(" v2"))
+    ).otherwise(F.col("text"))
+    new = docs.filter(gate("snap-new:", 7)).select(
+        "doc_id", "source", portable_hash64(new_text).alias("new_hash")
+    )
+    joined = old.join(new, ["doc_id", "source"], "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select("source", status.alias("status"))
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "status")
+    )
+
+
+_SNAP_HASH_OLD = "(('0x' || substr(md5(text), 1, 15))::BIGINT)"
+
+
+def _snap_gate_sql(salt: str, mod: int) -> str:
+    return (
+        f"((('0x' || substr(md5('{salt}' || doc_id::VARCHAR), 1, 15))::BIGINT)"
+        f" % {mod} <> 0)"
+    )
+
+
+_SNAP_HASH_NEW = (
+    f"(('0x' || substr(md5(CASE WHEN NOT {_snap_gate_sql('snap-chg:', 13)} "
+    "THEN text || ' v2' ELSE text END), 1, 15))::BIGINT)"
+)
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH old AS (
+    SELECT doc_id, source, {_SNAP_HASH_OLD} AS old_hash
+    FROM documents WHERE {_snap_gate_sql('snap-old:', 10)}
+),
+new AS (
+    SELECT doc_id, source, {_SNAP_HASH_NEW} AS new_hash
+    FROM documents WHERE {_snap_gate_sql('snap-new:', 7)}
+)
+SELECT COALESCE(o.source, n.source) AS source,
+       CASE WHEN o.old_hash IS NULL THEN 'added'
+            WHEN n.new_hash IS NULL THEN 'removed'
+            WHEN o.old_hash <> n.new_hash THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       COUNT(*) AS n_docs
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id AND o.source = n.source
+GROUP BY 1, 2
+ORDER BY source, status
+"""

@@ -1852,3 +1852,46 @@ def test_make_training_run_is_consistent_with_its_stages(spark):
     for r in run:
         assert r.n_packs >= math.ceil(r.shard_tokens / C.RUN_PACK_CAPACITY) - 1 or r.n_packs >= 1
         assert r.n_packs <= r.n_docs
+
+
+def test_snapshot_diff_statuses_partition_the_union(spark):
+    """Every (status) count must reconcile with the directly-computed
+    snapshot membership: added+changed+unchanged = |new|,
+    removed+changed+unchanged = |old|, and all four statuses occur."""
+    import clickhouse_sinker_nali_spark.operators.warehouse as W
+    from clickhouse_sinker_nali_spark.functions import portable_hash64
+
+    rows = W.snapshot_diff(spark, SF_DIR).collect()
+    by_status = {}
+    for r in rows:
+        by_status[r.status] = by_status.get(r.status, 0) + r.n_docs
+    assert set(by_status) == {"added", "removed", "changed", "unchanged"}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def n_gated(salt, mod):
+        return docs.filter(
+            F.pmod(
+                portable_hash64(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+                F.lit(mod),
+            )
+            != 0
+        ).count()
+
+    n_old, n_new = n_gated("snap-old:", 10), n_gated("snap-new:", 7)
+    assert by_status["removed"] + by_status["changed"] + by_status["unchanged"] == n_old
+    assert by_status["added"] + by_status["changed"] + by_status["unchanged"] == n_new
+
+
+def test_char_coverage_is_a_true_prefix_cut(spark):
+    """cum_share must be nondecreasing down the frequency order, end at
+    1.0, and in_alphabet must be a True-prefix (never True after False)."""
+    import clickhouse_sinker_nali_spark.operators.text as T
+
+    rows = T.char_coverage(spark, SF_DIR).collect()
+    assert rows
+    shares = [r.cum_share for r in rows]
+    assert shares == sorted(shares)
+    assert abs(shares[-1] - 1.0) < 1e-6
+    flags = [r.in_alphabet for r in rows]
+    assert flags[0] is True
+    assert all(a or not b for a, b in zip(flags, flags[1:])), "non-prefix cut"

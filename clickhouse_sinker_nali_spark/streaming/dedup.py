@@ -141,3 +141,79 @@ def streaming_dedup_watermark(
         .withWatermark(ts_col, delay)
         .dropDuplicates(["content_hash"])
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming MinHash-LSH index maintenance (the minhash_index_delta twin)
+# --------------------------------------------------------------------------
+
+
+def streaming_lsh_index_maintenance(
+    docs_stream: DataFrame, store_dir: str, pairs_dir: str
+):
+    """Maintain a MinHash-LSH near-dup index continuously: every
+    micro-batch shingles and bands ONLY the new documents, probes the
+    persisted band store for bucket collisions (new×new ∪ new×old — never
+    old×old, which the index already resolved), Jaccard-verifies the
+    collisions, appends the verified pairs, and appends the batch's band
+    and shingle rows to the store.
+
+    This is the streaming form of ``operators.dedup.minhash_index_delta``
+    (reference lifecycle: daily drops absorbed incrementally) with
+    identical cumulative semantics: after N batches the appended pair set
+    equals the one-shot batch LSH over all N batches' documents, because
+    every qualifying pair has a unique LATER-arriving member that emits it
+    exactly once.  Per-batch cost scales with |batch| band rows (equi-join
+    probe against the store), not with the corpus — the property that
+    makes a 100 TB index maintainable at all.  The stores are append-only
+    parquet partitioned by ``band`` so the probe prunes to touched
+    partitions; exactly-once append comes from the checkpointed epoch.
+    """
+    import os
+
+    from ..operators.dedup import _banded_sigs, _jaccard_verify
+    from ..functions import word_shingles
+
+    band_store = os.path.join(store_dir, "bands")
+    shingle_store = os.path.join(store_dir, "shingles")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        sh_delta = batch_df.select(
+            "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
+        ).persist()
+        banded_delta = _banded_sigs(sh_delta).persist()
+        try:
+            old_bands = spark.read.parquet(band_store)
+            old_sh = spark.read.parquet(shingle_store)
+        except Exception:
+            old_bands, old_sh = None, None
+        all_bands = (
+            banded_delta if old_bands is None
+            else old_bands.unionByName(banded_delta)
+        )
+        d, s = banded_delta.alias("d"), all_bands.alias("s")
+        cand = (
+            d.join(
+                s,
+                (F.col("d.band") == F.col("s.band"))
+                & (F.col("d.key") == F.col("s.key"))
+                & (F.col("d.doc_id") != F.col("s.doc_id")),
+            )
+            .select(
+                F.least(F.col("d.doc_id"), F.col("s.doc_id")).alias("doc_a"),
+                F.greatest(F.col("d.doc_id"), F.col("s.doc_id")).alias("doc_b"),
+            )
+            .distinct()
+        )
+        sh_all = sh_delta if old_sh is None else old_sh.unionByName(sh_delta)
+        pairs = _jaccard_verify(cand, sh_all).withColumn(
+            "epoch", F.lit(int(epoch_id))
+        )
+        pairs.write.mode("append").parquet(pairs_dir)
+        banded_delta.write.mode("append").partitionBy("band").parquet(band_store)
+        sh_delta.write.mode("append").parquet(shingle_store)
+        sh_delta.unpersist()
+        banded_delta.unpersist()
+
+    return docs_stream.writeStream.outputMode("append").foreachBatch(sink)

@@ -490,3 +490,55 @@ def test_streaming_click_attribution_matches_batch_interval_join(spark, tmp_path
     assert (1, "2024-05-01 10:00:00", "2024-05-01 10:10:00") in got
     assert (2, "2024-05-01 10:00:00", "2024-05-01 10:20:00") in got  # cross-batch
     assert not any(u == 3 or u == 4 for (u, _, _) in got)
+
+
+def test_streaming_lsh_index_matches_batch_lsh(spark, tmp_path):
+    """After two micro-batches, the appended pair set must equal the
+    one-shot batch MinHash-LSH over the same documents, with every pair
+    emitted exactly once (new×old pairs by the later batch, new×new by
+    their own batch)."""
+    import clickhouse_sinker_nali_spark.operators.dedup as D
+    from clickhouse_sinker_nali_spark.streaming.dedup import (
+        streaming_lsh_index_maintenance,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    rows = sorted(docs.collect(), key=lambda r: r.doc_id)
+    cut = rows[len(rows) // 2].doc_id
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.txt"), "w") as f:
+        for r in rows:
+            if r.doc_id < cut:
+                f.write(json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+    with open(os.path.join(src, "b.txt"), "w") as f:
+        for r in rows:
+            if r.doc_id >= cut:
+                f.write(json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+
+    stream = _stream_json(spark, src, "doc_id bigint, text string")
+    store = str(tmp_path / "store")
+    pairs_dir = str(tmp_path / "pairs")
+    q = (
+        streaming_lsh_index_maintenance(stream, store, pairs_dir)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_lsh"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    # exactly-once: no pair twice across epochs
+    n_rows = spark.read.parquet(pairs_dir).count()
+    assert n_rows == len(got)
+    expected = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in D.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # cross-batch coverage: at least one pair spans the cut
+    assert any(a < cut <= b for a, b, _ in got), "no new-old pair exercised"

@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl-to-crawl reconciliation + tokenizer alphabet statistic
         "snapshot_diff": W.snapshot_diff,
         "char_coverage": T.char_coverage,
+        "window_funcs_extended": R.window_funcs_extended,
     }
 
 
@@ -348,4 +349,5 @@ def oracle_sql() -> dict[str, str]:
         "make_training_run": C.MAKE_TRAINING_RUN_SQL,
         "snapshot_diff": W.SNAPSHOT_DIFF_SQL,
         "char_coverage": T.CHAR_COVERAGE_SQL,
+        "window_funcs_extended": R.WINDOW_FUNCS_EXT_SQL,
     }

@@ -828,3 +828,54 @@ FROM ev FULL OUTER JOIN ords ON ev.key = ords.key
 GROUP BY 1
 ORDER BY presence
 """
+
+
+# --------------------------------------------------------------------------
+# Extended window-function surface (ntile / percent_rank / cume_dist / nth)
+# --------------------------------------------------------------------------
+
+
+def window_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the SQL window-function family over per-user event
+    streams: quartile assignment (ntile), relative standing (percent_rank,
+    cume_dist), positional peeks (lead, nth_value) — one frame definition,
+    five functions, completing the §2.5 surface beyond rank/lag/running.
+
+    All five share ONE window spec partitioned by user_id, so Catalyst
+    plans a single Window operator over a single shuffle — adding
+    functions to an existing frame is free; adding FRAMES is what
+    multiplies cost.  Event-level output keyed by a high-cardinality
+    partition key partitions evenly at any scale.
+    """
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+            F.round(F.lead("value", 1).over(w), 6).alias("next_value"),
+            F.round(F.nth_value("value", 2).over(wf), 6).alias("second_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+WINDOW_FUNCS_EXT_SQL = """
+SELECT event_id, user_id,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume_dist,
+       ROUND(lead(value, 1) OVER w, 6) AS next_value,
+       ROUND(nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6)
+           AS second_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY event_id
+"""

@@ -621,3 +621,45 @@ def test_pq_encoding_is_map_side_literal_codebook(spark):
     scans = read_schema_columns(df)
     assert scans and all(cols <= {"vec_id", "embedding"} for cols in scans)
     assert uses_broadcast_join(df)
+
+
+def test_make_training_run_windows_stay_partitioned(spark):
+    """Both windows in the composed run must carry a partition key
+    (source for the budget fill, shard for the pack prefix sum) — the
+    composition must not reintroduce the global-window wall."""
+    import clickhouse_sinker_nali_spark.operators.curation as C
+
+    plan = (
+        C.make_training_run(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    windows = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert windows
+    assert all(("source" in ln) or ("shard" in ln) for ln in windows)
+
+
+def test_snapshot_diff_joins_hashes_not_text(spark):
+    """The full-outer reconcile must compare 8-byte content hashes: no
+    text column may survive into the join (at 100 TB the shuffle payload
+    is the difference between feasible and not)."""
+    import clickhouse_sinker_nali_spark.operators.warehouse as W
+
+    df = W.snapshot_diff(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_lines = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln]
+    assert join_lines, "expected a shuffled full-outer join"
+    assert partial_aggregation_present(df)
+    # text is consumed map-side by the hash projection, never joined
+    assert not any("text" in ln for ln in join_lines)
+
+
+def test_char_coverage_heavy_half_is_partial_agg(spark):
+    """Char counting must map-side combine before its shuffle; the only
+    unpartitioned window runs over the tiny per-char aggregate."""
+    import clickhouse_sinker_nali_spark.operators.text as T
+
+    df = T.char_coverage(spark, SF_DIR)
+    assert partial_aggregation_present(df)
+    assert uses_broadcast_join(df)

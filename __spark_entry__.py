@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": W.snapshot_diff,
         "char_coverage": T.char_coverage,
         "window_funcs_extended": R.window_funcs_extended,
+        # hypertable family completion: irregular-sampling statistic
+        "time_weighted_avg": A.time_weighted_avg,
     }
 
 
@@ -350,4 +352,5 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff": W.SNAPSHOT_DIFF_SQL,
         "char_coverage": T.CHAR_COVERAGE_SQL,
         "window_funcs_extended": R.WINDOW_FUNCS_EXT_SQL,
+        "time_weighted_avg": A.TIME_WEIGHTED_AVG_SQL,
     }

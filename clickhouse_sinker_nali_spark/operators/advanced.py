@@ -1185,3 +1185,78 @@ GROUP BY p.word, p.exact_freq
 HAVING MIN(c.cell) >= {_CMS_MIN_FREQ}
 ORDER BY p.word
 """
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (the TimescaleDB time_weight('LOCF') twin)
+# --------------------------------------------------------------------------
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (user, day) time-weighted average of ``value`` — the irregular-
+    sampling statistic a plain AVG gets wrong (a sensor reporting 1.0 for
+    23 h and 100.0 for 1 h plain-averages to 50.5; time-weighting says
+    ~5.1).  Step-function (LOCF) weighting: each reading holds until the
+    next one, so reading i weighs ``next_ts − ts_i``; the final reading of
+    a day carries no width; single-reading days fall back to the value.
+
+    One window (lead over the user+day partition, high-cardinality key,
+    even partitioning) and one aggregate over the same key — the weights
+    are pure timestamp arithmetic in doubles, identical in both engines.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    w = Window.partitionBy("user_id", day).orderBy("ts", "event_id")
+    # TIMESTAMP_NTZ has no direct double cast; via ltz = epoch seconds in
+    # the session's UTC, matching DuckDB's epoch(ts) (same fix as sessionize)
+    t = F.col("ts").cast("timestamp_ltz").cast("double")
+    nxt = F.lead(t, 1).over(w)
+    weighted = ev.select(
+        "user_id",
+        day.alias("day"),
+        "value",
+        "event_id",
+        ((nxt - t) * F.col("value")).alias("wv"),
+        (nxt - t).alias("wt"),
+    )
+    return (
+        weighted.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            F.round(
+                F.when(
+                    F.sum("wt") > 0, F.sum("wv") / F.sum("wt")
+                ).otherwise(F.min_by("value", "event_id")),
+                6,
+            ).alias("twa_value"),
+            F.round(F.avg("value"), 6).alias("plain_avg"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+TIME_WEIGHTED_AVG_SQL = """
+WITH weighted AS (
+    SELECT user_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           value,
+           (lead(epoch(ts)) OVER (
+                PARTITION BY user_id, date_trunc('day', ts)
+                ORDER BY ts, event_id) - epoch(ts)) * value AS wv,
+           (lead(epoch(ts)) OVER (
+                PARTITION BY user_id, date_trunc('day', ts)
+                ORDER BY ts, event_id) - epoch(ts)) AS wt,
+           ts, event_id
+    FROM events
+)
+SELECT user_id, day,
+       COUNT(*) AS n_readings,
+       ROUND(CASE WHEN SUM(wt) > 0 THEN SUM(wv) / SUM(wt)
+                  ELSE MIN_BY(value, event_id) END, 6) AS twa_value,
+       ROUND(AVG(value), 6) AS plain_avg
+FROM weighted
+GROUP BY user_id, day
+ORDER BY user_id, day
+"""

@@ -1895,3 +1895,41 @@ def test_char_coverage_is_a_true_prefix_cut(spark):
     flags = [r.in_alphabet for r in rows]
     assert flags[0] is True
     assert all(a or not b for a, b in zip(flags, flags[1:])), "non-prefix cut"
+
+
+def test_time_weighted_avg_weights_by_holding_time(spark):
+    """A held reading must dominate the TWA: verified against a driver-side
+    recomputation over a few groups, and single-reading days must fall
+    back to the reading itself."""
+    import clickhouse_sinker_nali_spark.operators.advanced as A
+
+    rows = A.time_weighted_avg(spark, SF_DIR).collect()
+    assert rows
+    singles = [r for r in rows if r.n_readings == 1]
+    assert singles and all(abs(r.twa_value - r.plain_avg) < 1e-9 for r in singles)
+    ev = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").collect(),
+        key=lambda r: (r.ts, r.event_id),
+    )
+    by_group = {}
+    for r in ev:
+        key = (r.user_id, r.ts.date())
+        by_group.setdefault(key, []).append(r)
+    import math
+
+    checked = 0
+    for r in rows:
+        grp = by_group[(r.user_id, r.day.date())]
+        if len(grp) < 2:
+            continue
+        num = den = 0.0
+        for a, b in zip(grp, grp[1:]):
+            wt = (b.ts - a.ts).total_seconds()
+            num += wt * a.value
+            den += wt
+        expect = num / den if den > 0 else grp[0].value
+        assert math.isclose(r.twa_value, round(expect, 6), abs_tol=2e-6)
+        checked += 1
+        if checked >= 25:
+            break
+    assert checked >= 10

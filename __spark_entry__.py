@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funcs_extended": R.window_funcs_extended,
         # hypertable family completion: irregular-sampling statistic
         "time_weighted_avg": A.time_weighted_avg,
+        # full merge_asof surface: backward/forward/nearest/tolerance
+        "asof_join_variants": R.asof_join_variants,
     }
 
 
@@ -353,4 +355,5 @@ def oracle_sql() -> dict[str, str]:
         "char_coverage": T.CHAR_COVERAGE_SQL,
         "window_funcs_extended": R.WINDOW_FUNCS_EXT_SQL,
         "time_weighted_avg": A.TIME_WEIGHTED_AVG_SQL,
+        "asof_join_variants": R.ASOF_VARIANTS_SQL,
     }

@@ -879,3 +879,152 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ORDER BY event_id
 """
+
+
+# --------------------------------------------------------------------------
+# As-of join variants: backward / forward / nearest / tolerance in one pass
+# --------------------------------------------------------------------------
+
+ASOF_TOLERANCE_S = 7 * 86400  # tolerance variant: backward match within 7 days
+
+
+def asof_join_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four as-of directions per event in ONE plan — backward (most
+    recent order ≤ ts), forward (next order ≥ ts), nearest (smaller time
+    gap, ties backward), tolerance (backward only within 7 days) — the
+    full pandas ``merge_asof`` surface, which the single-direction
+    ``asof_join_events_orders`` only samples.
+
+    The TPC-H order dates (1992-98) all precede the event stream (2024),
+    which would make three of the four directions vacuous — so the order
+    timeline is first remapped deterministically into the events' 30-day
+    window (``o_date = DATE '2024-01-01' + datediff(o_orderdate,
+    '1992-01-01') % 30``), identically in the oracle; the as-of semantics
+    under test are unchanged, only the clock overlaps.
+
+    Scale formulation is the union-merge: both streams union into one
+    relation keyed by user, and each direction is a running
+    last/first_value(ignore nulls) window over that union — NO join
+    fan-out (the join formulation multiplies each event by every earlier
+    order of its user before rn=1 prunes).  Both windows share the
+    user-hash exchange; only their sort orders differ (orders sort before
+    equal-timestamp events in the backward pass and after them in the
+    forward pass, which is exactly inclusive ≤ / ≥).  The oracle is the
+    naive four-subquery formulation — value parity of the optimized
+    strategy is the contract.
+    """
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    o_date = F.date_add(
+        F.lit("2024-01-01").cast("date"),
+        F.pmod(F.datediff("o_orderdate", F.lit("1992-01-01").cast("date")), F.lit(30)),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", o_date.alias("o_date")
+    )
+    e_rows = ev.select(
+        "user_id",
+        F.col("ts").cast("timestamp_ltz").cast("double").alias("tsec"),
+        F.lit(0).alias("is_order"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("okey"),
+        F.lit(None).cast("double").alias("osec"),
+    )
+    o_rows = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_date").cast("timestamp_ltz").cast("double").alias("tsec"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_date").cast("timestamp_ltz").cast("double").alias("osec"),
+    )
+    merged = e_rows.unionByName(o_rows)
+    pick = F.when(
+        F.col("is_order") == 1, F.struct(F.col("osec"), F.col("okey"))
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec", F.col("is_order").desc(), "okey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("tsec", "is_order", "okey")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    picked = merged.select(
+        "*",
+        F.last(pick, ignorenulls=True).over(wb).alias("b"),
+        F.first(pick, ignorenulls=True).over(wf).alias("f"),
+    ).filter(F.col("is_order") == 0)
+    b_diff = F.col("tsec") - F.col("b.osec")
+    f_diff = F.col("f.osec") - F.col("tsec")
+    nearest = (
+        F.when(F.col("b").isNull(), F.col("f.okey"))
+        .when(F.col("f").isNull(), F.col("b.okey"))
+        .when(b_diff <= f_diff, F.col("b.okey"))
+        .otherwise(F.col("f.okey"))
+    )
+    return picked.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("b.okey").alias("backward_key"),
+        F.col("f.okey").alias("forward_key"),
+        nearest.alias("nearest_key"),
+        F.when(b_diff <= ASOF_TOLERANCE_S, F.col("b.okey")).alias("tolerance_key"),
+    ).orderBy("event_id")
+
+
+ASOF_VARIANTS_SQL = f"""
+WITH base AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+ord AS (
+    SELECT o_custkey, o_orderkey,
+           DATE '2024-01-01'
+           + TO_DAYS(CAST(datediff('day', DATE '1992-01-01', o_orderdate) % 30 AS INTEGER)) AS o_date
+    FROM orders
+),
+b AS (
+    SELECT event_id, o_orderkey AS b_key,
+           epoch(ts) - epoch(CAST(o_date AS TIMESTAMP)) AS b_diff
+    FROM (
+        SELECT e.event_id, e.ts, o.o_orderkey, o.o_date,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                    ORDER BY o.o_date DESC NULLS LAST,
+                             o.o_orderkey DESC NULLS LAST) AS rn
+        FROM base e
+        LEFT JOIN ord o
+          ON e.user_id = o.o_custkey AND o.o_date <= e.ts
+    ) WHERE rn = 1
+),
+f AS (
+    SELECT event_id, o_orderkey AS f_key,
+           epoch(CAST(o_date AS TIMESTAMP)) - epoch(ts) AS f_diff
+    FROM (
+        SELECT e.event_id, e.ts, o.o_orderkey, o.o_date,
+               ROW_NUMBER() OVER (PARTITION BY e.event_id
+                    ORDER BY o.o_date ASC NULLS LAST,
+                             o.o_orderkey ASC NULLS LAST) AS rn
+        FROM base e
+        LEFT JOIN ord o
+          ON e.user_id = o.o_custkey AND o.o_date >= e.ts
+    ) WHERE rn = 1
+)
+SELECT base.event_id, base.user_id, base.ts,
+       b.b_key AS backward_key,
+       f.f_key AS forward_key,
+       CASE WHEN b.b_key IS NULL THEN f.f_key
+            WHEN f.f_key IS NULL THEN b.b_key
+            WHEN b.b_diff <= f.f_diff THEN b.b_key
+            ELSE f.f_key END AS nearest_key,
+       CASE WHEN b.b_diff <= {ASOF_TOLERANCE_S} THEN b.b_key END AS tolerance_key
+FROM base
+LEFT JOIN b ON base.event_id = b.event_id
+LEFT JOIN f ON base.event_id = f.event_id
+ORDER BY base.event_id
+"""

@@ -1933,3 +1933,53 @@ def test_time_weighted_avg_weights_by_holding_time(spark):
         if checked >= 25:
             break
     assert checked >= 10
+
+
+def test_asof_variants_match_bruteforce_directions(spark):
+    """Each direction must equal a driver-side brute force over the
+    remapped order timeline, and all four directions must be non-vacuous
+    (forward differs from backward somewhere; tolerance nulls somewhere)."""
+    from datetime import date, timedelta
+
+    import clickhouse_sinker_nali_spark.operators.relational as R
+
+    variants = {r.event_id: r for r in R.asof_join_variants(spark, SF_DIR).collect()}
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    base = date(1992, 1, 1)
+    by_cust = {}
+    for o in orders:
+        od = o.o_orderdate.date() if hasattr(o.o_orderdate, "date") else o.o_orderdate
+        o_date = date(2024, 1, 1) + timedelta(days=(od - base).days % 30)
+        by_cust.setdefault(o.o_custkey, []).append((o_date, o.o_orderkey))
+    events = [
+        r for r in spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+        if r.event_type == "purchase"
+    ]
+    assert {r.event_id for r in events} == set(variants)
+    for e in events:
+        got = variants[e.event_id]
+        cand = by_cust.get(e.user_id, [])
+        ts = e.ts
+        # midnight-epoch comparison, same as the operator
+        import calendar
+
+        def esec(d):
+            return calendar.timegm(d.timetuple())
+
+        tsec = calendar.timegm(ts.timetuple()) + ts.microsecond / 1e6
+        back = [(d, k) for d, k in cand if esec(d) <= tsec]
+        fwd = [(d, k) for d, k in cand if esec(d) >= tsec]
+        b = max(back, key=lambda x: (x[0], x[1])) if back else None
+        f = min(fwd, key=lambda x: (x[0], x[1])) if fwd else None
+        assert got.backward_key == (b[1] if b else None)
+        assert got.forward_key == (f[1] if f else None)
+        if b and f:
+            expect_near = b[1] if (tsec - esec(b[0])) <= (esec(f[0]) - tsec) else f[1]
+        else:
+            expect_near = (b or f)[1] if (b or f) else None
+        assert got.nearest_key == expect_near
+        expect_tol = b[1] if b and (tsec - esec(b[0])) <= R.ASOF_TOLERANCE_S else None
+        assert got.tolerance_key == expect_tol
+    assert any(r.forward_key != r.backward_key for r in variants.values())
+    assert any(r.tolerance_key is None and r.backward_key is not None
+               for r in variants.values())

@@ -663,3 +663,17 @@ def test_char_coverage_heavy_half_is_partial_agg(spark):
     df = T.char_coverage(spark, SF_DIR)
     assert partial_aggregation_present(df)
     assert uses_broadcast_join(df)
+
+
+def test_asof_variants_is_union_merge_not_join_fanout(spark):
+    """The four-direction as-of must be the union-merge plan: windows over
+    one user-keyed union, with NO join between events and orders (the
+    fan-out formulation multiplies events x orders before pruning)."""
+    import clickhouse_sinker_nali_spark.operators.relational as R
+
+    df = R.asof_join_variants(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
+    for frag in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert frag not in plan, f"unexpected {frag} in union-merge as-of"

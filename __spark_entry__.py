@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_variants": R.asof_join_variants,
         # closed-form OLS drift detection (exact-sum determinism)
         "user_value_trend": A.user_value_trend,
+        # graph family completion: clique-ness of each dup neighborhood
+        "doc_clustering": G.doc_clustering,
     }
 
 
@@ -359,4 +361,5 @@ def oracle_sql() -> dict[str, str]:
         "time_weighted_avg": A.TIME_WEIGHTED_AVG_SQL,
         "asof_join_variants": R.ASOF_VARIANTS_SQL,
         "user_value_trend": A.USER_VALUE_TREND_SQL,
+        "doc_clustering": G.DOC_CLUSTERING_SQL,
     }

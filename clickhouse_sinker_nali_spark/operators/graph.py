@@ -199,3 +199,86 @@ DOC_TRIANGLES_SQL = (
     "JOIN pairs jac ON jac.doc_a = t.a AND jac.doc_b = t.c\n"
     "ORDER BY doc_a, doc_b, doc_c"
 )
+
+
+# --------------------------------------------------------------------------
+# Local clustering coefficient (how clique-like each dup neighborhood is)
+# --------------------------------------------------------------------------
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected
+    (src < dst) edge list: 2·T(v) / (deg(v)·(deg(v)−1)), NULL where
+    degree < 2.  T(v) comes from the oriented triangle enumeration
+    (each triangle counted once, then exploded to its three corners);
+    degree from the symmetrized edge list.  Three aggregates and the two
+    triangle equi-joins — no new plan shapes beyond :func:`triangles`.
+    """
+    tri = triangles(edges)
+    tri_counts = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    sym = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        2.0
+        * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+        / (F.col("degree").cast("double") * (F.col("degree").cast("double") - 1.0)),
+    )
+    return (
+        deg.join(tri_counts, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.round(coeff, 6).alias("clustering"),
+        )
+    )
+
+
+def doc_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering coefficient of every document in the near-dup graph —
+    1.0 marks members of clean template cliques (safe to collapse to one
+    survivor), low values mark chain-like neighborhoods where pairwise
+    similarity does NOT imply group similarity and cluster-resolution
+    (``dedup_clusters``) over-merges; the standard diagnostic read next
+    to PageRank's hub scores."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return (
+        clustering_coefficients(edges)
+        .select(F.col("id").alias("doc_id"), "degree", "n_triangles", "clustering")
+        .orderBy("doc_id")
+    )
+
+
+DOC_CLUSTERING_SQL = (
+    "WITH " + _MINHASH_PAIR_CTES + ",\n"
+    "tri AS (SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c\n"
+    "        FROM pairs e1\n"
+    "        JOIN pairs e2 ON e1.doc_b = e2.doc_a\n"
+    "        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),\n"
+    "tc AS (SELECT id, COUNT(*) AS n_triangles FROM (\n"
+    "           SELECT a AS id FROM tri UNION ALL\n"
+    "           SELECT b FROM tri UNION ALL SELECT c FROM tri)\n"
+    "       GROUP BY id),\n"
+    "deg AS (SELECT id, COUNT(*) AS degree FROM (\n"
+    "           SELECT doc_a AS id FROM pairs UNION ALL\n"
+    "           SELECT doc_b FROM pairs)\n"
+    "        GROUP BY id)\n"
+    "SELECT deg.id AS doc_id, deg.degree,\n"
+    "       COALESCE(tc.n_triangles, 0) AS n_triangles,\n"
+    "       ROUND(CASE WHEN deg.degree >= 2 THEN\n"
+    "           2.0 * COALESCE(tc.n_triangles, 0)\n"
+    "           / (CAST(deg.degree AS DOUBLE) * (CAST(deg.degree AS DOUBLE) - 1.0))\n"
+    "           END, 6) AS clustering\n"
+    "FROM deg LEFT JOIN tc ON deg.id = tc.id\n"
+    "ORDER BY doc_id"
+)

@@ -2016,3 +2016,33 @@ def test_user_value_trend_matches_numpy_lstsq(spark):
         if checked >= 20:
             break
     assert checked >= 10
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    """A triangle must score 1.0 on every node; a path's middle node 0.0;
+    and the doc-graph output must agree with a driver-side recount."""
+    import clickhouse_sinker_nali_spark.operators.graph as G
+
+    tri_edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    got = {r.id: r for r in G.clustering_coefficients(tri_edges).collect()}
+    assert got[1].clustering == 1.0 and got[2].clustering == 1.0
+    # node 3 has degree 3, one triangle: 2*1/(3*2) = 1/3
+    assert abs(got[3].clustering - round(1 / 3, 6)) < 1e-9
+    assert got[4].clustering is None  # degree 1
+
+    rows = G.doc_clustering(spark, SF_DIR).collect()
+    assert rows
+    import clickhouse_sinker_nali_spark.operators.dedup as D
+
+    pairs = [(r.doc_a, r.doc_b) for r in D.dedup_minhash_lsh(spark, SF_DIR).collect()]
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for r in rows[:50]:
+        nbrs = adj[r.doc_id]
+        assert r.degree == len(nbrs)
+        t = sum(1 for u in nbrs for v in nbrs if u < v and v in adj.get(u, ()))
+        assert r.n_triangles == t

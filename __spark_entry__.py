@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_value_trend": A.user_value_trend,
         # graph family completion: clique-ness of each dup neighborhood
         "doc_clustering": G.doc_clustering,
+        # bit-reproducible HLL (mergeable registers, integer harmonic sum)
+        "hll_distinct_sketch": A.hll_distinct_sketch,
     }
 
 
@@ -362,4 +364,5 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_variants": R.ASOF_VARIANTS_SQL,
         "user_value_trend": A.USER_VALUE_TREND_SQL,
         "doc_clustering": G.DOC_CLUSTERING_SQL,
+        "hll_distinct_sketch": A.HLL_SKETCH_SQL,
     }

@@ -1353,3 +1353,126 @@ SELECT user_id, n,
 FROM agg
 ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog sketch (deterministic, bit-reproducible across engines)
+# --------------------------------------------------------------------------
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P            # 256 registers
+_HLL_REM_BITS = 60 - _HLL_P     # 52-bit register stream from the 60-bit hash
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog estimate of distinct (user_id, event_type) pairs — the
+    industry-standard mergeable distinct sketch (registers merge by MAX,
+    so partial sketches combine across partitions, days, or engines; the
+    KMV sketch nearby trades simpler math for worse constant-factor
+    accuracy).
+
+    Bit-reproducible across engines, unlike every builtin
+    ``approx_count_distinct``: bucket = top 8 bits of the portable 60-bit
+    hash, rho = leading-zero count of the remaining 52 bits + 1 (via
+    binary-string length — no floating log), and the harmonic sum
+    Σ2^(−M_j) is accumulated as an INTEGER numerator Σ2^(53−M_j), so no
+    double summation whose order could differ between engines; doubles
+    appear only in the final α·m²/sum division.  One shuffle of ≤256
+    register rows after a map-side-combined MAX.
+    """
+    from ..functions import portable_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    h = portable_hash64(
+        F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type"))
+    )
+    rem = h % F.lit(1 << _HLL_REM_BITS)
+    rho = F.when(rem == 0, F.lit(_HLL_REM_BITS + 1)).otherwise(
+        F.lit(_HLL_REM_BITS + 1) - F.length(F.bin(rem))
+    )
+    regs = (
+        ev.select(
+            (h / F.lit(1 << _HLL_REM_BITS)).cast("bigint").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    summed = regs.agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_REM_BITS + 1} - mj)")).alias(
+            "num_present"
+        ),
+    )
+    exact = ev.select("user_id", "event_type").distinct().count()
+    zeros = F.lit(_HLL_M) - F.col("n_present")
+    total_num = F.col("num_present") + zeros * F.lit(1 << (_HLL_REM_BITS + 1))
+    raw = (
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_REM_BITS + 1)))
+        / total_num.cast("double")
+    )
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (zeros > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return summed.select(
+        F.lit(_HLL_M).alias("m"),
+        zeros.cast("bigint").alias("n_zero_buckets"),
+        F.round(est, 3).alias("estimate"),
+        F.lit(exact).alias("exact_distinct"),
+        F.round(F.abs(est - F.lit(float(exact))) / F.lit(float(exact)), 4).alias(
+            "rel_error"
+        ),
+    )
+
+
+_HLL_H = "(('0x' || substr(md5(user_id::VARCHAR || ':' || event_type), 1, 15))::BIGINT)"
+
+HLL_SKETCH_SQL = f"""
+WITH rows_h AS (
+    SELECT {_HLL_H} // {1 << _HLL_REM_BITS} AS bucket,
+           CASE WHEN {_HLL_H} % {1 << _HLL_REM_BITS} = 0 THEN {_HLL_REM_BITS + 1}
+                ELSE {_HLL_REM_BITS + 1}
+                     - length(bin({_HLL_H} % {1 << _HLL_REM_BITS})) END AS rho
+    FROM events
+),
+regs AS (SELECT bucket, MAX(rho) AS mj FROM rows_h GROUP BY bucket),
+s AS (
+    SELECT COUNT(*) AS n_present,
+           SUM(CAST(1 AS BIGINT) << ({_HLL_REM_BITS + 1} - mj)) AS num_present
+    FROM regs
+),
+ex AS (SELECT COUNT(*) AS exact_distinct
+       FROM (SELECT DISTINCT user_id, event_type FROM events))
+SELECT {_HLL_M} AS m,
+       CAST({_HLL_M} - s.n_present AS BIGINT) AS n_zero_buckets,
+       ROUND(CASE WHEN {_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_REM_BITS + 1))!r}
+                       / CAST(s.num_present
+                              + ({_HLL_M} - s.n_present)
+                                * (CAST(1 AS BIGINT) << {_HLL_REM_BITS + 1}) AS DOUBLE)
+                       <= {2.5 * _HLL_M}
+                   AND ({_HLL_M} - s.n_present) > 0
+             THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r}
+                  / CAST({_HLL_M} - s.n_present AS DOUBLE))
+             ELSE {_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_REM_BITS + 1))!r}
+                  / CAST(s.num_present
+                         + ({_HLL_M} - s.n_present)
+                           * (CAST(1 AS BIGINT) << {_HLL_REM_BITS + 1}) AS DOUBLE)
+             END, 3) AS estimate,
+       ex.exact_distinct,
+       ROUND(ABS(CASE WHEN {_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_REM_BITS + 1))!r}
+                           / CAST(s.num_present
+                                  + ({_HLL_M} - s.n_present)
+                                    * (CAST(1 AS BIGINT) << {_HLL_REM_BITS + 1}) AS DOUBLE)
+                           <= {2.5 * _HLL_M}
+                       AND ({_HLL_M} - s.n_present) > 0
+                 THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r}
+                      / CAST({_HLL_M} - s.n_present AS DOUBLE))
+                 ELSE {_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_REM_BITS + 1))!r}
+                      / CAST(s.num_present
+                             + ({_HLL_M} - s.n_present)
+                               * (CAST(1 AS BIGINT) << {_HLL_REM_BITS + 1}) AS DOUBLE)
+                 END - ex.exact_distinct) / ex.exact_distinct, 4) AS rel_error
+FROM s, ex
+"""

@@ -2046,3 +2046,42 @@ def test_clustering_coefficient_known_graphs(spark):
         assert r.degree == len(nbrs)
         t = sum(1 for u in nbrs for v in nbrs if u < v and v in adj.get(u, ()))
         assert r.n_triangles == t
+
+
+def test_hll_sketch_estimate_and_mergeability(spark):
+    """The estimate must sit within HLL's expected error band
+    (~1.04/sqrt(m) std, allow 4 sigma), and registers must be mergeable:
+    the sketch of A union B equals max-merge of the halves' registers —
+    recomputed driver-side from the same hash."""
+    import hashlib
+    import math
+
+    import clickhouse_sinker_nali_spark.operators.advanced as A
+
+    row = A.hll_distinct_sketch(spark, SF_DIR).collect()[0]
+    assert row.m == A._HLL_M
+    sigma = 1.04 / math.sqrt(A._HLL_M)
+    assert row.rel_error <= 4 * sigma
+    # driver-side register build from the same portable hash
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+
+    def regs(rows):
+        out = {}
+        for r in rows:
+            key = f"{r.user_id}:{r.event_type}".encode()
+            h = int(hashlib.md5(key).hexdigest()[:15], 16)
+            bucket, rem = divmod(h, 1 << A._HLL_REM_BITS)
+            rho = (A._HLL_REM_BITS + 1) if rem == 0 else (
+                A._HLL_REM_BITS + 1 - rem.bit_length()
+            )
+            out[bucket] = max(out.get(bucket, 0), rho)
+        return out
+
+    half_a = regs([r for r in ev if r.event_id % 2 == 0])
+    half_b = regs([r for r in ev if r.event_id % 2 == 1])
+    merged = dict(half_a)
+    for b, v in half_b.items():
+        merged[b] = max(merged.get(b, 0), v)
+    assert merged == regs(ev)
+    # the Spark sketch's zero-bucket count matches the driver rebuild
+    assert row.n_zero_buckets == A._HLL_M - len(regs(ev))

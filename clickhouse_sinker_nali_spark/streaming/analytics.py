@@ -388,3 +388,56 @@ def streaming_click_attribution(
     return joined.select(
         F.col("v_user").alias("user_id"), "view_ts", "click_ts"
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming HyperLogLog maintenance (continuous distinct-cardinality watch)
+# --------------------------------------------------------------------------
+
+
+def streaming_hll_registers(events_stream: DataFrame, store_path: str):
+    """Maintain the 256 HLL registers continuously: each micro-batch
+    computes its own (bucket, rho-max) rows and max-merges them into the
+    persisted register table — the mergeability that makes HLL the
+    streaming cardinality sketch (state is 256 rows forever, independent
+    of stream volume; the estimate is derivable from the store at any
+    instant).
+
+    Twin of ``operators.advanced.hll_distinct_sketch``: identical hash,
+    bucketing and rho, so after any prefix of the stream the store equals
+    the batch sketch of the same rows (pinned by test).  foreachBatch +
+    atomic overwrite is the standard serving-table shape (cf.
+    ``streaming_running_topk``).
+    """
+    from ..functions import portable_hash64
+    from ..operators.advanced import _HLL_REM_BITS
+
+    h = portable_hash64(
+        F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type"))
+    )
+    rem = h % F.lit(1 << _HLL_REM_BITS)
+    rho = F.when(rem == 0, F.lit(_HLL_REM_BITS + 1)).otherwise(
+        F.lit(_HLL_REM_BITS + 1) - F.length(F.bin(rem))
+    )
+    per_row = events_stream.select(
+        (h / F.lit(1 << _HLL_REM_BITS)).cast("bigint").alias("bucket"),
+        rho.alias("rho"),
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = batch_df.groupBy("bucket").agg(F.max("rho").alias("mj"))
+        try:
+            prev = spark.read.parquet(store_path)
+        except Exception:
+            prev = None
+        merged = (
+            delta if prev is None else prev.unionByName(delta)
+            .groupBy("bucket").agg(F.max("mj").alias("mj"))
+        )
+        merged.write.mode("overwrite").parquet(store_path + "_tmp")
+        spark.read.parquet(store_path + "_tmp").write.mode("overwrite").parquet(
+            store_path
+        )
+
+    return per_row.writeStream.outputMode("append").foreachBatch(sink)

@@ -542,3 +542,77 @@ def test_streaming_lsh_index_matches_batch_lsh(spark, tmp_path):
     assert got == expected
     # cross-batch coverage: at least one pair spans the cut
     assert any(a < cut <= b for a, b, _ in got), "no new-old pair exercised"
+
+
+def test_streaming_hll_registers_match_batch_sketch(spark, tmp_path):
+    """After two micro-batches the register store must equal the batch
+    registers over all rows (max-merge correctness), hence the same
+    estimate as the batch sketch."""
+    import clickhouse_sinker_nali_spark.operators.advanced as A
+    from clickhouse_sinker_nali_spark.streaming.analytics import (
+        streaming_hll_registers,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    rows = ev.collect()
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    half = len(rows) // 2
+    for fname, chunk in (("a.txt", rows[:half]), ("b.txt", rows[half:])):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in chunk:
+                f.write(json.dumps({"user_id": r.user_id, "event_type": r.event_type}) + "\n")
+
+    stream = _stream_json(spark, src, "user_id bigint, event_type string")
+    store = str(tmp_path / "hll_store")
+    q = (
+        streaming_hll_registers(stream, store)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {r.bucket: r.mj for r in spark.read.parquet(store).collect()}
+    from clickhouse_sinker_nali_spark.functions import portable_hash64
+
+    batch = {
+        r.bucket: r.mj
+        for r in ev.select(
+            (
+                portable_hash64(
+                    F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type"))
+                )
+                / F.lit(1 << A._HLL_REM_BITS)
+            )
+            .cast("bigint")
+            .alias("bucket"),
+            F.when(
+                portable_hash64(
+                    F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type"))
+                )
+                % F.lit(1 << A._HLL_REM_BITS)
+                == 0,
+                F.lit(A._HLL_REM_BITS + 1),
+            )
+            .otherwise(
+                F.lit(A._HLL_REM_BITS + 1)
+                - F.length(
+                    F.bin(
+                        portable_hash64(
+                            F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type"))
+                        )
+                        % F.lit(1 << A._HLL_REM_BITS)
+                    )
+                )
+            )
+            .alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mj"))
+        .collect()
+    }
+    assert got == batch

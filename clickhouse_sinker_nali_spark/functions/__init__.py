@@ -166,3 +166,27 @@ def word_shingles_sql(doc_table: str, id_col: str, text_col: str, k: int = 3) ->
                      ELSE [0] END) AS i
         )
         """
+
+
+# --------------------------------------------------------------------------
+# fast double-array literals
+# --------------------------------------------------------------------------
+
+
+def lit_doubles(vals) -> Column:
+    """Nested array<double> literal built via one SQL-parsed expression.
+
+    ``F.lit(nested_list)`` converts element-by-element over Py4J — ~1 s
+    per thousand elements of pure plan-CONSTRUCTION time, which dominated
+    the ANN queries' wall clock (centroid matrices, PQ codebooks).  One
+    ``F.expr`` string parses server-side in ~3 ms at the same size.  The
+    ``D`` suffix forces DOUBLE (bare ``1.0`` parses as DECIMAL), and
+    ``repr`` round-trips doubles exactly, so the resulting literal is
+    bit-identical to the ``F.lit`` it replaces (pinned in tests).
+    """
+    def render(v) -> str:
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(render(x) for x in v) + ")"
+        return repr(float(v)) + "D"
+
+    return F.expr(render(vals))

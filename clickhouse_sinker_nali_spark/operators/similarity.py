@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..functions import cosine, dot
+from ..functions import cosine, dot, lit_doubles
 from ..session import load_table
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -109,8 +109,8 @@ def _bucket_expr(emb_col: str):
     bucket = F.lit(0)
     for b, plane in enumerate(PLANES):
         # one ArrayType literal, not 64 element literals: identical values,
-        # much smaller expression tree for codegen
-        parr = F.lit(plane)
+        # much smaller expression tree for codegen (and parsed, not Py4J-built)
+        parr = lit_doubles(plane)
         d = F.aggregate(
             F.zip_with(F.col(emb_col), parr, lambda x, p: x.cast("double") * p),
             F.lit(0.0),
@@ -289,8 +289,8 @@ def _cell_scores(cents: list[tuple[int, list[float]]], col: str):
         for v in vec:
             acc += v * v
         norms.append(math.sqrt(acc))
-    cent_arr = F.lit(mat)
-    norm_arr = F.lit(norms)
+    cent_arr = lit_doubles(mat)
+    norm_arr = lit_doubles(norms)
     return F.transform(
         F.array(norm(x)),
         lambda nx: F.transform(
@@ -1139,56 +1139,17 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cbs = _pq_codebooks(emb)
-    cc = []  # ‖c‖² per (s, j), engine-exact fold order
-    for s in range(PQ_M):
-        row = []
-        for vec in cbs[s]:
-            acc = 0.0
-            for v in vec:
-                acc += v * v
-            row.append(acc)
-        cc.append(row)
-
-    cb3 = F.lit(cbs)  # M × KSUB × SD, one Literal node
-    cc2 = F.lit(cc)   # M × KSUB
-    # codes[s] = argmin_j (cc[s][j] − 2·x_s·cb[s][j]), ties → smaller j
-    codes = F.transform(
-        cb3,
-        lambda cb_s, s: F.array_min(
-            F.transform(
-                cb_s,
-                lambda c, j: F.struct(
-                    (
-                        F.element_at(F.element_at(cc2, s + F.lit(1)), j + F.lit(1))
-                        - F.lit(2.0)
-                        * dot(
-                            F.slice(
-                                "embedding", s * F.lit(PQ_SD) + F.lit(1), F.lit(PQ_SD)
-                            ),
-                            c,
-                        )
-                    ).alias("d"),
-                    j.cast("int").alias("j"),
-                ),
-            )
-        ).getField("j"),
-    )
+    cc = _pq_cc(cbs)
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), codes.alias("codes")
+        F.col("vec_id").alias("neighbor_id"),
+        _pq_codes_expr(cbs, cc).alias("codes"),
     )
     recon = corpus.select(
         "neighbor_id",
         F.array_join(
             F.transform(F.col("codes"), lambda c: c.cast("string")), "-"
         ).alias("pq_code"),
-        F.flatten(
-            F.transform(
-                F.col("codes"),
-                lambda c, s: F.element_at(
-                    F.element_at(cb3, s + F.lit(1)), c + F.lit(1)
-                ),
-            )
-        ).alias("recon"),
+        _pq_recon_expr(cbs).alias("recon"),
     )
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
@@ -1282,8 +1243,8 @@ def _pq_codes_expr(cbs, cc) -> "F.Column":
     """array<int> of per-subspace PQ codes for the ``embedding`` column —
     one nested transform over a single 3-level codebook literal (see
     :func:`ann_pq_topk` for the expression-size rationale)."""
-    cb3 = F.lit(cbs)
-    cc2 = F.lit(cc)
+    cb3 = lit_doubles(cbs)
+    cc2 = lit_doubles(cc)
     return F.transform(
         cb3,
         lambda cb_s, s: F.array_min(
@@ -1309,7 +1270,7 @@ def _pq_codes_expr(cbs, cc) -> "F.Column":
 
 def _pq_recon_expr(cbs) -> "F.Column":
     """Reconstructed (decoded) vector from a ``codes`` array column."""
-    cb3 = F.lit(cbs)
+    cb3 = lit_doubles(cbs)
     return F.flatten(
         F.transform(
             F.col("codes"),

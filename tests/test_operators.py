@@ -2085,3 +2085,31 @@ def test_hll_sketch_estimate_and_mergeability(spark):
     assert merged == regs(ev)
     # the Spark sketch's zero-bucket count matches the driver rebuild
     assert row.n_zero_buckets == A._HLL_M - len(regs(ev))
+
+
+def test_lit_doubles_bit_equal_to_lit(spark):
+    """The parsed-literal fast path must produce arrays bit-identical to
+    F.lit across magnitudes, signs, and nesting."""
+    from clickhouse_sinker_nali_spark.functions import lit_doubles
+
+    vals = [0.0, -0.0, 1e-300, -1e300, 3.141592653589793, -2.5e-7, 1.0]
+    nested = [vals, list(reversed(vals))]
+    r = (
+        spark.range(1)
+        .select(
+            lit_doubles(vals).alias("a"),
+            F.lit(vals).alias("b"),
+            lit_doubles(nested).alias("na"),
+            F.lit(nested).alias("nb"),
+        )
+        .collect()[0]
+    )
+    import struct
+
+    def bits(x):
+        return struct.pack("<d", x)
+
+    assert [bits(x) for x in r.a] == [bits(x) for x in r.b]
+    assert [[bits(x) for x in row] for row in r.na] == [
+        [bits(x) for x in row] for row in r.nb
+    ]

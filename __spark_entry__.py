@@ -215,6 +215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_clustering": G.doc_clustering,
         # bit-reproducible HLL (mergeable registers, integer harmonic sum)
         "hll_distinct_sketch": A.hll_distinct_sketch,
+        # theta-sketch set algebra: union/intersection from bottom-k alone
+        "kmv_set_ops": A.kmv_set_ops,
     }
 
 
@@ -365,4 +367,5 @@ def oracle_sql() -> dict[str, str]:
         "user_value_trend": A.USER_VALUE_TREND_SQL,
         "doc_clustering": G.DOC_CLUSTERING_SQL,
         "hll_distinct_sketch": A.HLL_SKETCH_SQL,
+        "kmv_set_ops": A.KMV_SET_OPS_SQL,
     }

@@ -1476,3 +1476,151 @@ SELECT {_HLL_M} AS m,
                  END - ex.exact_distinct) / ex.exact_distinct, 4) AS rel_error
 FROM s, ex
 """
+
+
+# --------------------------------------------------------------------------
+# KMV set algebra (union / intersection cardinality from two sketches)
+# --------------------------------------------------------------------------
+
+_KMV_TYPE_A = "view"
+_KMV_TYPE_B = "purchase"
+
+
+def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from SKETCHES: |A∪B| and |A∩B| of two
+    event types' active user-days, computed from their bottom-k hash
+    sketches alone — the theta-sketch set algebra that answers "how many
+    users did both X and Y" at 100 TB without ever joining the raw sets
+    (the sketches are 2×k hashes; the raw sets are billions of rows).
+
+    Union sketch = bottom-k of the merged hash sets → (k−1)/u estimator;
+    intersection via the Jaccard of the union sketch (fraction of its
+    members present in both input sketches) × the union estimate — the
+    standard KMV/theta composition (Beyer et al. 2007).  Exact values
+    ride along to expose the sketch error.  All windows run over ≤ 2k
+    rows; the only corpus-scale work is the two map-side-combined
+    distincts.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit(":"),
+        F.date_trunc("day", "ts").cast("string"),
+    )
+    h = portable_hash64(F.concat(F.lit("kmvset:"), key))
+    hashes = (
+        ev.filter(F.col("event_type").isin(_KMV_TYPE_A, _KMV_TYPE_B))
+        .select("event_type", h.alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    sketches = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    merged = sketches.select("hv").distinct()
+    wu = Window.orderBy("hv")
+    union_sketch = merged.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    in_a = sketches.filter(F.col("event_type") == _KMV_TYPE_A).select("hv")
+    in_b = sketches.filter(F.col("event_type") == _KMV_TYPE_B).select("hv")
+    flags = (
+        union_sketch.join(in_a.withColumn("ina", F.lit(1)), "hv", "left")
+        .join(in_b.withColumn("inb", F.lit(1)), "hv", "left")
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("hv").alias("kth_hash"),
+        F.sum(
+            F.when((F.col("ina") == 1) & (F.col("inb") == 1), 1).otherwise(0)
+        ).alias("n_both"),
+    )
+    exact = (
+        ev.filter(F.col("event_type").isin(_KMV_TYPE_A, _KMV_TYPE_B))
+        .select("event_type", key.alias("k"))
+        .distinct()
+        .groupBy()
+        .agg(
+            F.count_distinct("k").alias("exact_union"),
+            (
+                F.count(F.lit(1)) - F.count_distinct("k")
+            ).alias("exact_intersection"),
+        )
+    )
+    est_union = F.round(
+        F.lit(float(_KMV_K - 1))
+        / (F.col("kth_hash").cast("double") / F.lit(_KMV_SPACE)),
+        4,
+    )
+    jac = F.col("n_both").cast("double") / F.col("k_used").cast("double")
+    return (
+        agg.crossJoin(exact)
+        .select(
+            F.lit(_KMV_TYPE_A).alias("type_a"),
+            F.lit(_KMV_TYPE_B).alias("type_b"),
+            "exact_union",
+            "exact_intersection",
+            est_union.alias("est_union"),
+            F.round(jac, 6).alias("est_jaccard"),
+            F.round(jac * est_union, 4).alias("est_intersection"),
+        )
+    )
+
+
+_KMV_SET_H = (
+    "(('0x' || substr(md5('kmvset:' || user_id::VARCHAR || ':' "
+    "|| CAST(date_trunc('day', ts) AS TIMESTAMP)::VARCHAR), 1, 15))::BIGINT)"
+)
+
+KMV_SET_OPS_SQL = f"""
+WITH hashes AS (
+    SELECT DISTINCT event_type, {_KMV_SET_H} AS hv
+    FROM events WHERE event_type IN ('{_KMV_TYPE_A}', '{_KMV_TYPE_B}')
+),
+sk AS (
+    SELECT event_type, hv FROM (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM hashes
+    ) WHERE rn <= {_KMV_K}
+),
+us AS (
+    SELECT hv FROM (
+        SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+        FROM (SELECT DISTINCT hv FROM sk)
+    ) WHERE rn <= {_KMV_K}
+),
+agg AS (
+    SELECT COUNT(*) AS k_used, MAX(us.hv) AS kth_hash,
+           SUM(CASE WHEN a.hv IS NOT NULL AND b.hv IS NOT NULL
+                    THEN 1 ELSE 0 END) AS n_both
+    FROM us
+    LEFT JOIN (SELECT hv FROM sk WHERE event_type = '{_KMV_TYPE_A}') a
+           ON us.hv = a.hv
+    LEFT JOIN (SELECT hv FROM sk WHERE event_type = '{_KMV_TYPE_B}') b
+           ON us.hv = b.hv
+),
+ex AS (
+    SELECT COUNT(DISTINCT k) AS exact_union,
+           CAST(COUNT(*) - COUNT(DISTINCT k) AS BIGINT) AS exact_intersection
+    FROM (
+        SELECT DISTINCT event_type,
+               user_id::VARCHAR || ':'
+               || CAST(date_trunc('day', ts) AS TIMESTAMP)::VARCHAR AS k
+        FROM events WHERE event_type IN ('{_KMV_TYPE_A}', '{_KMV_TYPE_B}')
+    )
+)
+SELECT '{_KMV_TYPE_A}' AS type_a, '{_KMV_TYPE_B}' AS type_b,
+       ex.exact_union, ex.exact_intersection,
+       ROUND({float(_KMV_K - 1)!r}
+             / (CAST(agg.kth_hash AS DOUBLE) / {_KMV_SPACE}), 4) AS est_union,
+       ROUND(CAST(agg.n_both AS DOUBLE) / CAST(agg.k_used AS DOUBLE), 6)
+           AS est_jaccard,
+       ROUND(CAST(agg.n_both AS DOUBLE) / CAST(agg.k_used AS DOUBLE)
+             * ROUND({float(_KMV_K - 1)!r}
+                     / (CAST(agg.kth_hash AS DOUBLE) / {_KMV_SPACE}), 4), 4)
+           AS est_intersection
+FROM agg, ex
+"""

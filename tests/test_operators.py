@@ -2113,3 +2113,19 @@ def test_lit_doubles_bit_equal_to_lit(spark):
     assert [[bits(x) for x in row] for row in r.na] == [
         [bits(x) for x in row] for row in r.nb
     ]
+
+
+def test_kmv_set_ops_estimates_near_exact(spark):
+    """Union and intersection estimates must land within the sketch's
+    sampling error of the exact values (allow 4/sqrt(k) relative)."""
+    import math
+
+    import clickhouse_sinker_nali_spark.operators.advanced as A
+
+    r = A.kmv_set_ops(spark, SF_DIR).collect()[0]
+    tol = 4.0 / math.sqrt(A._KMV_K)
+    assert abs(r.est_union - r.exact_union) <= max(tol * r.exact_union, 5)
+    assert abs(r.est_intersection - r.exact_intersection) <= max(
+        2 * tol * max(r.exact_union, 1), 5
+    )
+    assert 0.0 <= r.est_jaccard <= 1.0

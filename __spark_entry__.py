@@ -217,6 +217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_sketch": A.hll_distinct_sketch,
         # theta-sketch set algebra: union/intersection from bottom-k alone
         "kmv_set_ops": A.kmv_set_ops,
+        # interval x interval overlap via month-grid equi-join rewrite
+        "interval_overlap_join": W.interval_overlap_join,
     }
 
 
@@ -368,4 +370,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_clustering": G.DOC_CLUSTERING_SQL,
         "hll_distinct_sketch": A.HLL_SKETCH_SQL,
         "kmv_set_ops": A.KMV_SET_OPS_SQL,
+        "interval_overlap_join": W.INTERVAL_OVERLAP_SQL,
     }

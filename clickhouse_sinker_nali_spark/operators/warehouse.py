@@ -830,3 +830,113 @@ FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id AND o.source = n.source
 GROUP BY 1, 2
 ORDER BY source, status
 """
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap join (two interval sets, grid-bucketed to an equi-join)
+# --------------------------------------------------------------------------
+
+# Irregular promo windows (id, [start, end)) — deterministic, shared with the
+# oracle.  Irregular on purpose: a regular grid would let the join collapse
+# into a pure explode+groupBy and hide the bucketing technique under test.
+_PROMO_WINDOWS = [
+    (1, "1995-02-15", "1995-05-01"),
+    (2, "1995-11-20", "1996-01-10"),
+    (3, "1996-06-01", "1996-06-08"),
+    (4, "1997-01-01", "1997-12-31"),
+    (5, "1997-07-04", "1997-07-05"),
+    (6, "1998-03-10", "1998-09-15"),
+    (7, "1999-01-20", "1999-02-28"),
+    (8, "2000-12-01", "2001-04-30"),
+]
+_SCD2_HORIZON = "2002-01-01"  # closes open-ended current intervals
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which customer-status intervals overlap which promo windows — the
+    interval×interval OVERLAP join (both sides are ranges; the geo-style
+    range join nearby is point-in-interval, a different shape).
+
+    A theta join on ``a.start < b.end AND a.end > b.start`` is a cartesian
+    product at scale.  The grid-bucketing rewrite makes it an equi-join:
+    explode BOTH interval sets onto a coarse month grid (an interval lands
+    in every month it touches), join on the month key, dedupe the pair,
+    then verify the exact overlap predicate.  Cost = Σ interval-months on
+    each side + an equi-join shuffle — linear in total interval length,
+    never quadratic in row counts; the month granularity trades fan-out
+    against join selectivity exactly like LSH bands trade shingle count
+    against bucket collisions.  The oracle runs the naive theta join —
+    value parity of the rewrite is the contract.
+    """
+    intervals = scd2_customer_status(spark, sf_dir).select(
+        "custkey",
+        "status",
+        F.col("valid_from").alias("vf"),
+        F.coalesce(
+            "valid_to", F.lit(_SCD2_HORIZON).cast(dict(valid_to=None) and "date")
+        ).alias("vt"),
+    )
+    promos = spark.createDataFrame(
+        [(i, s, e) for i, s, e in _PROMO_WINDOWS], ["promo_id", "ps", "pe"]
+    ).select(
+        "promo_id", F.col("ps").cast("date").alias("ps"), F.col("pe").cast("date").alias("pe")
+    )
+    month = lambda c: F.date_trunc("month", c).cast("date")  # noqa: E731
+    i_grid = intervals.select(
+        "custkey",
+        "status",
+        "vf",
+        "vt",
+        # greatest(vt-1, vf) keeps zero-length change-day intervals on their
+        # own month (the naive predicate still matches them when a promo
+        # strictly contains the instant, so they must reach the join)
+        F.explode(
+            F.sequence(month(F.col("vf")),
+                       month(F.greatest(F.date_sub(F.col("vt"), 1), F.col("vf"))),
+                       F.expr("INTERVAL 1 MONTH"))
+        ).alias("mon"),
+    )
+    p_grid = promos.select(
+        "promo_id",
+        "ps",
+        "pe",
+        F.explode(
+            F.sequence(month(F.col("ps")), month(F.date_sub(F.col("pe"), 1)),
+                       F.expr("INTERVAL 1 MONTH"))
+        ).alias("mon"),
+    )
+    pairs = (
+        i_grid.join(p_grid, "mon")
+        .select("custkey", "status", "vf", "vt", "promo_id", "ps", "pe")
+        .distinct()
+        .filter((F.col("vf") < F.col("pe")) & (F.col("vt") > F.col("ps")))
+    )
+    return (
+        pairs.groupBy("promo_id", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.count_distinct("custkey").alias("n_customers"),
+        )
+        .orderBy("promo_id", "status")
+    )
+
+
+_PROMO_VALUES = ", ".join(
+    f"({i}, DATE '{s}', DATE '{e}')" for i, s, e in _PROMO_WINDOWS
+)
+
+INTERVAL_OVERLAP_SQL = f"""
+WITH iv AS (
+    SELECT custkey, status, valid_from AS vf,
+           COALESCE(valid_to, DATE '{_SCD2_HORIZON}') AS vt
+    FROM ({SCD2_SQL.replace("ORDER BY custkey, valid_from", "")})
+),
+promos(promo_id, ps, pe) AS (VALUES {_PROMO_VALUES})
+SELECT p.promo_id, i.status,
+       COUNT(*) AS n_intervals,
+       COUNT(DISTINCT i.custkey) AS n_customers
+FROM iv i JOIN promos p
+  ON i.vf < p.pe AND i.vt > p.ps
+GROUP BY p.promo_id, i.status
+ORDER BY p.promo_id, i.status
+"""

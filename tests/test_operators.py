@@ -2129,3 +2129,31 @@ def test_kmv_set_ops_estimates_near_exact(spark):
         2 * tol * max(r.exact_union, 1), 5
     )
     assert 0.0 <= r.est_jaccard <= 1.0
+
+
+def test_interval_overlap_grid_matches_naive_theta_join(spark):
+    """The month-grid equi-join rewrite must return exactly the naive
+    theta join's pairs (recomputed driver-side), covering promos that
+    span one day, one month boundary, and multiple years."""
+    import clickhouse_sinker_nali_spark.operators.warehouse as W
+    from datetime import date
+
+    got = {
+        (r.promo_id, r.status): (r.n_intervals, r.n_customers)
+        for r in W.interval_overlap_join(spark, SF_DIR).collect()
+    }
+    iv = W.scd2_customer_status(spark, SF_DIR).collect()
+    horizon = date.fromisoformat(W._SCD2_HORIZON)
+    expected = {}
+    for r in iv:
+        vf = r.valid_from.date() if hasattr(r.valid_from, "date") else r.valid_from
+        vt = (r.valid_to.date() if hasattr(r.valid_to, "date") else r.valid_to) \
+            if r.valid_to is not None else horizon
+        for pid, ps, pe in W._PROMO_WINDOWS:
+            ps_d, pe_d = date.fromisoformat(ps), date.fromisoformat(pe)
+            if vf < pe_d and vt > ps_d:
+                key = (pid, r.status)
+                n, custs = expected.get(key, (0, set()))
+                custs = custs | {r.custkey}
+                expected[key] = (n + 1, custs)
+    assert got == {k: (n, len(c)) for k, (n, c) in expected.items()}

@@ -219,6 +219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_ops": A.kmv_set_ops,
         # interval x interval overlap via month-grid equi-join rewrite
         "interval_overlap_join": W.interval_overlap_join,
+        # reshaping pair completion: wide -> long round-trip of the pivot
+        "unpivot_event_metrics": A.unpivot_event_metrics,
     }
 
 
@@ -371,4 +373,5 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_sketch": A.HLL_SKETCH_SQL,
         "kmv_set_ops": A.KMV_SET_OPS_SQL,
         "interval_overlap_join": W.INTERVAL_OVERLAP_SQL,
+        "unpivot_event_metrics": A.UNPIVOT_SQL,
     }

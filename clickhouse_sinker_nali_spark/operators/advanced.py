@@ -1624,3 +1624,34 @@ SELECT '{_KMV_TYPE_A}' AS type_a, '{_KMV_TYPE_B}' AS type_b,
            AS est_intersection
 FROM agg, ex
 """
+
+
+# --------------------------------------------------------------------------
+# Unpivot (wide → long, the inverse of pivot_event_types)
+# --------------------------------------------------------------------------
+
+
+def unpivot_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot the per-bucket event-type sums back to long form —
+    round-tripping :func:`pivot_event_types` proves the reshaping pair is
+    lossless.  Spark's ``unpivot`` (SQL ``stack``) is a zero-shuffle
+    projection: each wide row explodes map-side into ≤ |types| long rows;
+    NULL cells (type absent for a bucket) are dropped by both engines'
+    unpivot semantics, which is the lossless direction of the pair.
+    """
+    wide = pivot_event_types(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "user_bucket", _EVENT_TYPES, "event_type", "sum_value"
+        )
+        .filter(F.col("sum_value").isNotNull())
+        .orderBy("user_bucket", "event_type")
+    )
+
+
+UNPIVOT_SQL = f"""
+SELECT user_bucket, event_type, sum_value
+FROM ({PIVOT_SQL.replace("ORDER BY user_bucket", "")})
+UNPIVOT (sum_value FOR event_type IN ({', '.join(_EVENT_TYPES)}))
+ORDER BY user_bucket, event_type
+"""

@@ -221,6 +221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap_join": W.interval_overlap_join,
         # reshaping pair completion: wide -> long round-trip of the pivot
         "unpivot_event_metrics": A.unpivot_event_metrics,
+        # categorical-drift monitor (order-free decimal chi-square sum)
+        "chisq_independence": A.chisq_independence,
     }
 
 
@@ -374,4 +376,5 @@ def oracle_sql() -> dict[str, str]:
         "kmv_set_ops": A.KMV_SET_OPS_SQL,
         "interval_overlap_join": W.INTERVAL_OVERLAP_SQL,
         "unpivot_event_metrics": A.UNPIVOT_SQL,
+        "chisq_independence": A.CHISQ_SQL,
     }

@@ -1655,3 +1655,85 @@ FROM ({PIVOT_SQL.replace("ORDER BY user_bucket", "")})
 UNPIVOT (sum_value FOR event_type IN ({', '.join(_EVENT_TYPES)}))
 ORDER BY user_bucket, event_type
 """
+
+
+# --------------------------------------------------------------------------
+# Chi-square independence test (categorical drift / dependence check)
+# --------------------------------------------------------------------------
+
+# upper critical value at alpha=0.05 for dof=(5-1)*(10-1)=36
+_CHISQ_CRIT_36 = 50.998
+
+
+def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between event_type and the
+    user bucket — the categorical-drift primitive (is the event mix the
+    same across user cohorts? run per-day against a baseline, it is the
+    standard data-quality dependence monitor).
+
+    Determinism discipline: observed counts and margins are exact
+    integers; each cell's (O−E)²/E is one double expression with fixed
+    operand order; and the cross-cell total is summed in DECIMAL(38,18)
+    — a double Σ over 50 cells would depend on aggregation order, which
+    neither engine pins.  One count aggregate over the corpus (map-side
+    combined), then all statistics on the ≤|types|×|buckets| cell table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", (F.col("user_id") % 10).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    cols = cells.groupBy("bucket").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = F.col("r").cast("double") * F.col("c").cast("double") / F.col("n").cast("double")
+    contrib = (
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    )
+    stats = (
+        cells.join(F.broadcast(rows), "event_type")
+        .join(F.broadcast(cols), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(contrib.cast("decimal(38,18)").alias("contrib"), "n")
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("contrib").alias("chi2_dec"),
+        )
+    )
+    chi2 = F.col("chi2_dec").cast("double")
+    return stats.select(
+        F.col("n").alias("n_events"),
+        "n_cells",
+        F.round(chi2, 4).alias("chi2"),
+        ((F.col("n_cells") / F.lit(10) - 1) * (F.lit(10) - 1)).cast("bigint").alias("dof"),
+        (chi2 < F.lit(_CHISQ_CRIT_36)).alias("independent_at_05"),
+    )
+
+
+CHISQ_SQL = f"""
+WITH cells AS (
+    SELECT event_type, user_id % 10 AS bucket, COUNT(*) AS o
+    FROM events GROUP BY 1, 2
+),
+r AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY event_type),
+c AS (SELECT bucket, SUM(o) AS c FROM cells GROUP BY bucket),
+t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+stats AS (
+    SELECT t.n, COUNT(*) AS n_cells,
+           SUM(CAST(
+               (CAST(o AS DOUBLE)
+                - CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+               / (CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+               AS DECIMAL(38,18))) AS chi2_dec
+    FROM cells
+    JOIN r USING (event_type) JOIN c USING (bucket) CROSS JOIN t
+    GROUP BY t.n
+)
+SELECT n AS n_events, n_cells,
+       ROUND(CAST(chi2_dec AS DOUBLE), 4) AS chi2,
+       CAST((n_cells / 10 - 1) * (10 - 1) AS BIGINT) AS dof,
+       CAST(chi2_dec AS DOUBLE) < {_CHISQ_CRIT_36} AS independent_at_05
+FROM stats
+"""

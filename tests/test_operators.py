@@ -2157,3 +2157,28 @@ def test_interval_overlap_grid_matches_naive_theta_join(spark):
                 custs = custs | {r.custkey}
                 expected[key] = (n + 1, custs)
     assert got == {k: (n, len(c)) for k, (n, c) in expected.items()}
+
+
+def test_chisq_matches_scipy_formula(spark):
+    """The statistic must equal the textbook computation (recomputed
+    driver-side from the observed table) and dof must be (r-1)(c-1)."""
+    import clickhouse_sinker_nali_spark.operators.advanced as A
+
+    row = A.chisq_independence(spark, SF_DIR).collect()[0]
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    from collections import Counter
+
+    obs = Counter((r.event_type, r.user_id % 10) for r in ev)
+    rows = Counter()
+    cols = Counter()
+    for (t, b), o in obs.items():
+        rows[t] += o
+        cols[b] += o
+    n = sum(obs.values())
+    chi2 = sum(
+        (o - rows[t] * cols[b] / n) ** 2 / (rows[t] * cols[b] / n)
+        for (t, b), o in obs.items()
+    )
+    assert abs(row.chi2 - round(chi2, 4)) < 1e-3
+    assert row.dof == (len(rows) - 1) * (len(cols) - 1)
+    assert row.n_cells == len(obs)

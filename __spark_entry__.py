@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_event_metrics": A.unpivot_event_metrics,
         # categorical-drift monitor (order-free decimal chi-square sum)
         "chisq_independence": A.chisq_independence,
+        # dedup-aware training weights: one survivor per cluster
+        "cluster_weighted_sample": C.cluster_weighted_sample,
     }
 
 
@@ -377,4 +379,5 @@ def oracle_sql() -> dict[str, str]:
         "interval_overlap_join": W.INTERVAL_OVERLAP_SQL,
         "unpivot_event_metrics": A.UNPIVOT_SQL,
         "chisq_independence": A.CHISQ_SQL,
+        "cluster_weighted_sample": C.CLUSTER_WEIGHTED_SQL,
     }

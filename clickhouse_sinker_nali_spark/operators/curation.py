@@ -1002,3 +1002,43 @@ ORDER BY shard
 """
 
 MAKE_TRAINING_RUN_SQL = MAKE_TRAINING_RUN_SQL.replace("{budget}", TOKEN_BUDGET_SQL)
+
+
+# --------------------------------------------------------------------------
+# Cluster-weighted sampling (dedup-aware training weights)
+# --------------------------------------------------------------------------
+
+
+def cluster_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One survivor per near-dup cluster, carrying the cluster size as its
+    training weight — the dedup policy that neither over-counts (training
+    on every duplicate) nor under-counts (dropping duplicates loses the
+    popularity signal); upweighting the survivor by cluster size preserves
+    the corpus distribution at 1/cluster-size the tokens.
+
+    Pure composition on doc_id keys: cluster resolution (already
+    banded/iterative-safe) → min-id survivor per cluster → weight = size.
+    The weight column plugs into :func:`mixture_sample`-style samplers or
+    loss weighting downstream.
+    """
+    from . import dedup as D
+
+    clusters = D.dedup_clusters(spark, sf_dir)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(
+            F.min("doc_id").alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("weight"),
+        )
+        .orderBy("survivor_doc_id")
+    )
+
+CLUSTER_WEIGHTED_SQL = """
+WITH clusters AS ({clusters})
+SELECT cluster_id,
+       MIN(doc_id) AS survivor_doc_id,
+       COUNT(*) AS weight
+FROM clusters
+GROUP BY cluster_id
+ORDER BY survivor_doc_id
+""".replace("{clusters}", D.DEDUP_CLUSTERS_SQL.replace("ORDER BY doc_id", ""))

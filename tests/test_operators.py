@@ -2182,3 +2182,22 @@ def test_chisq_matches_scipy_formula(spark):
     assert abs(row.chi2 - round(chi2, 4)) < 1e-3
     assert row.dof == (len(rows) - 1) * (len(cols) - 1)
     assert row.n_cells == len(obs)
+
+
+def test_cluster_weighted_sample_conserves_mass(spark):
+    """Weights must sum to the corpus size (every doc counted exactly
+    once), survivors must be cluster minima, and some cluster must have
+    weight > 1 (the planted duplicates)."""
+    import clickhouse_sinker_nali_spark.operators.curation as C
+    import clickhouse_sinker_nali_spark.operators.dedup as D
+
+    rows = C.cluster_weighted_sample(spark, SF_DIR).collect()
+    docs_n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.weight for r in rows) == docs_n
+    assert all(r.survivor_doc_id == r.cluster_id for r in rows)
+    assert max(r.weight for r in rows) > 1
+    clusters = D.dedup_clusters(spark, SF_DIR).collect()
+    sizes = {}
+    for c in clusters:
+        sizes[c.cluster_id] = sizes.get(c.cluster_id, 0) + 1
+    assert {r.cluster_id: r.weight for r in rows} == sizes

@@ -225,6 +225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chisq_independence": A.chisq_independence,
         # dedup-aware training weights: one survivor per cluster
         "cluster_weighted_sample": C.cluster_weighted_sample,
+        # Kneser-Ney bigram LM scoring (continuation-count smoothing)
+        "bigram_kn_logprob": T.bigram_kn_logprob,
     }
 
 
@@ -380,4 +382,5 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_event_metrics": A.UNPIVOT_SQL,
         "chisq_independence": A.CHISQ_SQL,
         "cluster_weighted_sample": C.CLUSTER_WEIGHTED_SQL,
+        "bigram_kn_logprob": T.BIGRAM_KN_SQL,
     }

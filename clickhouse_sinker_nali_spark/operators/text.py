@@ -1323,3 +1323,101 @@ SELECT ch, n,
 FROM counts, tot
 ORDER BY n DESC, ch
 """
+
+
+# --------------------------------------------------------------------------
+# Bigram Kneser-Ney LM scoring (the serious cheap LM quality filter)
+# --------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount
+
+
+def bigram_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under an interpolated
+    Kneser-Ney model trained on the corpus itself — one rung up from
+    :func:`unigram_logprob`: KN's continuation counts score "seen in many
+    CONTEXTS" over "merely frequent", the property that made it the
+    standard n-gram smoother (Kneser & Ney 1995) and a far sharper
+    gibberish/boilerplate discriminator than unigram frequency.
+
+    P(w2|w1) = max(C(w1w2)−d, 0)/C(w1·) + d·N1+(w1·)/C(w1·) · N1+(·w2)/B
+
+    All counts are exact integers from ONE bigram aggregate (map-side
+    combined); the continuation normalizer B rides a vocab-sized window
+    like unigram's total (no extra corpus pass).  Bigram extraction is a
+    lead() window per doc — keyed on doc_id, even partitioning.  Model
+    and scoring join on the bigram key; self-trained, so no OOV branch.
+    Per-doc mean log p rounds at 6 dp (the unigram op's ulp discipline).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "w1")
+    )
+    bigrams = (
+        toks.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    bc = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cw1 = bc.groupBy("w1").agg(
+        F.sum("c").alias("cw1"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("cont"))
+    cont_b = cont.select(
+        "w2", "cont", F.sum("cont").over(Window.partitionBy()).alias("b")
+    )
+    d = F.lit(_KN_D)
+    p_kn = (
+        F.greatest(F.col("c") - d, F.lit(0.0)) / F.col("cw1")
+        + (d * F.col("n1f") / F.col("cw1")) * (F.col("cont") / F.col("b"))
+    )
+    model = (
+        bc.join(cw1, "w1")
+        .join(cont_b, "w2")
+        .select("w1", "w2", p_kn.alias("p"))
+    )
+    return (
+        bigrams.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log("p")), 6).alias("avg_kn_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BIGRAM_KN_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos,
+           unnest(regexp_split_to_array(text, '\\s+')) AS w1
+    FROM documents
+),
+bigrams AS (
+    SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, w1,
+               LEAD(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks
+    ) WHERE w2 IS NOT NULL
+),
+bc AS (SELECT w1, w2, COUNT(*) AS c FROM bigrams GROUP BY w1, w2),
+cw1 AS (SELECT w1, SUM(c) AS cw1, COUNT(*) AS n1f FROM bc GROUP BY w1),
+cont AS (SELECT w2, COUNT(*) AS cont FROM bc GROUP BY w2),
+cont_b AS (SELECT w2, cont, SUM(cont) OVER () AS b FROM cont),
+model AS (
+    SELECT bc.w1, bc.w2,
+           GREATEST(bc.c - {_KN_D}, 0.0) / cw1.cw1
+           + ({_KN_D} * cw1.n1f / cw1.cw1) * (cont_b.cont / cont_b.b) AS p
+    FROM bc JOIN cw1 ON bc.w1 = cw1.w1 JOIN cont_b ON bc.w2 = cont_b.w2
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(AVG(LN(m.p)), 6) AS avg_kn_logprob
+FROM bigrams b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+GROUP BY b.doc_id
+ORDER BY b.doc_id
+"""

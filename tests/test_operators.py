@@ -2201,3 +2201,48 @@ def test_cluster_weighted_sample_conserves_mass(spark):
     for c in clusters:
         sizes[c.cluster_id] = sizes.get(c.cluster_id, 0) + 1
     assert {r.cluster_id: r.weight for r in rows} == sizes
+
+
+def test_bigram_kn_is_a_proper_distribution_and_scores_all_docs(spark):
+    """For a sample of contexts w1, Σ_w2 P_KN(w2|w1) over OBSERVED
+    continuations must be ≤ 1 (the discount reserves mass for unseen),
+    and every multi-token doc must receive a score."""
+    import clickhouse_sinker_nali_spark.operators.text as T
+
+    out = T.bigram_kn_logprob(spark, SF_DIR)
+    rows = out.collect()
+    docs_n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == docs_n
+    assert all(r.avg_kn_logprob < 0 for r in rows)
+    # rebuild the model driver-side for a few contexts
+    from collections import Counter, defaultdict
+
+    texts = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    bc = Counter()
+    for t in texts:
+        ws = t.text.split()
+        for a, b in zip(ws, ws[1:]):
+            bc[(a, b)] += 1
+    cw1 = Counter()
+    n1f = Counter()
+    cont = Counter()
+    for (a, b), c in bc.items():
+        cw1[a] += c
+        n1f[a] += 1
+        cont[b] += 1
+    B = len(bc)
+    d = T._KN_D
+    by_ctx = defaultdict(list)
+    for (a, b), c in bc.items():
+        by_ctx[a].append((b, c))
+    checked = 0
+    for a, conts in by_ctx.items():
+        total = sum(
+            max(c - d, 0.0) / cw1[a] + (d * n1f[a] / cw1[a]) * (cont[b] / B)
+            for b, c in conts
+        )
+        assert total <= 1.0 + 1e-9
+        checked += 1
+        if checked >= 30:
+            break
+    assert checked >= 10

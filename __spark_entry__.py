@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_weighted_sample": C.cluster_weighted_sample,
         # Kneser-Ney bigram LM scoring (continuation-count smoothing)
         "bigram_kn_logprob": T.bigram_kn_logprob,
+        # sparse weighted-cosine near-dup (postings join, df-capped)
+        "dedup_tfidf_cosine": D.dedup_tfidf_cosine,
     }
 
 
@@ -383,4 +385,5 @@ def oracle_sql() -> dict[str, str]:
         "chisq_independence": A.CHISQ_SQL,
         "cluster_weighted_sample": C.CLUSTER_WEIGHTED_SQL,
         "bigram_kn_logprob": T.BIGRAM_KN_SQL,
+        "dedup_tfidf_cosine": D.DEDUP_TFIDF_COSINE_SQL,
     }

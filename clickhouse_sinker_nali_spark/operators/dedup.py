@@ -944,3 +944,118 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # lossless ⇒ the oracle for the optimized plan IS the naive formulation
 DEDUP_JACCARD_PREFIX_SQL = DEDUP_JACCARD_SQL
+
+
+# --------------------------------------------------------------------------
+# TF-IDF weighted-cosine near-dup (sparse similarity join via postings)
+# --------------------------------------------------------------------------
+
+_TFIDF_PAIR_MAX_DF = 100   # boilerplate guard, same contract as exact-substring
+_TFIDF_PAIR_MIN_COS = 0.5
+
+
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by WEIGHTED cosine over TF-IDF vectors — the sparse
+    similarity join: MinHash answers "same set of shingles", this answers
+    "same term distribution" (robust to reordering and to length deltas
+    that shift Jaccard), the complementary signal real pipelines run both
+    of.
+
+    Sparse-dot realization: postings (term → doc, weight) self-join on the
+    term key, Σ w_a·w_b per pair, normalize by per-doc norms — never a
+    dense |docs|² comparison.  Terms above a document-frequency cap are
+    dropped BEFORE the join (df-capped postings bound each term's fan-out
+    at cap², the same quadratic-blowup guard as the exact-substring join;
+    the metric is defined over the capped term space and the oracle
+    applies the identical cap).  Dot products and norms accumulate in
+    DECIMAL(38,18) so cross-partition summation order cannot move the
+    6-dp-rounded cosine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    weights = (
+        tf.join(df.filter(F.col("df") <= _TFIDF_PAIR_MAX_DF), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0))
+            ).alias("w"),
+        )
+    )
+    norms = weights.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(38,18)")).cast("double")
+        ).alias("nrm")
+    )
+    a = weights.alias("a")
+    b = weights.alias("b")
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.sum((F.col("a.w") * F.col("b.w")).cast("decimal(38,18)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos_tfidf"),
+        )
+        .filter(F.col("cos_tfidf") >= _TFIDF_PAIR_MIN_COS)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_TFIDF_COSINE_SQL = f"""
+WITH terms AS (
+    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+    FROM documents
+),
+terms_f AS (SELECT * FROM terms WHERE term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms_f GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms_f GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+weights AS (
+    SELECT tf.doc_id, tf.term,
+           tf.tf * (LN(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)) + 1.0) AS w
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    WHERE df.df <= {_TFIDF_PAIR_MAX_DF}
+),
+norms AS (
+    SELECT doc_id,
+           SQRT(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+    FROM weights GROUP BY doc_id
+),
+dots AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,18))) AS DOUBLE) AS dot
+    FROM weights a JOIN weights b
+      ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.doc_a, d.doc_b,
+       ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cos_tfidf
+FROM dots d
+JOIN norms na ON d.doc_a = na.doc_id
+JOIN norms nb ON d.doc_b = nb.doc_id
+WHERE ROUND(d.dot / (na.nrm * nb.nrm), 6) >= {_TFIDF_PAIR_MIN_COS}
+ORDER BY doc_a, doc_b
+"""

@@ -2246,3 +2246,37 @@ def test_bigram_kn_is_a_proper_distribution_and_scores_all_docs(spark):
         if checked >= 30:
             break
     assert checked >= 10
+
+
+def test_tfidf_cosine_finds_planted_duplicates_and_caps_df(spark):
+    """Returned pairs must agree with a driver-side recomputation of the
+    df-capped TF-IDF cosine (weights, caps, normalization all exercised;
+    sf0.001 has near-dups but no exact copies, so pairs sit below 1.0)."""
+    import math
+    from collections import Counter
+
+    import clickhouse_sinker_nali_spark.operators.dedup as D
+
+    rows = D.dedup_tfidf_cosine(spark, SF_DIR).collect()
+    assert rows
+    docs = {r.doc_id: r.text for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()}
+    # driver-side recomputation for the first few pairs
+    df_counts = Counter()
+    for text in docs.values():
+        for t in set(w for w in text.split() if w):
+            df_counts[t] += 1
+    n = len(docs)
+
+    def vec(did):
+        tf = Counter(w for w in docs[did].split() if w)
+        return {
+            t: c * (math.log((n + 1) / (df_counts[t] + 1)) + 1.0)
+            for t, c in tf.items() if df_counts[t] <= D._TFIDF_PAIR_MAX_DF
+        }
+
+    for r in rows[:10]:
+        va, vb = vec(r.doc_a), vec(r.doc_b)
+        dot = sum(w * vb[t] for t, w in va.items() if t in vb)
+        na = math.sqrt(sum(w * w for w in va.values()))
+        nb = math.sqrt(sum(w * w for w in vb.values()))
+        assert abs(r.cos_tfidf - round(dot / (na * nb), 6)) < 1e-4

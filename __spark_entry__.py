@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_kn_logprob": T.bigram_kn_logprob,
         # sparse weighted-cosine near-dup (postings join, df-capped)
         "dedup_tfidf_cosine": D.dedup_tfidf_cosine,
+        # diversity-maximizing data selection (Gonzalez greedy, k scans)
+        "coreset_kcenter": S.coreset_kcenter,
     }
 
 
@@ -386,4 +388,5 @@ def oracle_sql() -> dict[str, str]:
         "cluster_weighted_sample": C.CLUSTER_WEIGHTED_SQL,
         "bigram_kn_logprob": T.BIGRAM_KN_SQL,
         "dedup_tfidf_cosine": D.DEDUP_TFIDF_COSINE_SQL,
+        "coreset_kcenter": S.CORESET_KCENTER_SQL,
     }

@@ -1397,3 +1397,99 @@ FROM (
 WHERE rank <= {TOP_K}
 ORDER BY query_id, rank
 """
+
+
+# --------------------------------------------------------------------------
+# Coreset selection: k-center greedy (Gonzalez) over the embedding corpus
+# --------------------------------------------------------------------------
+
+KCENTER_K = 8
+
+
+def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over cosine distance: start from the lowest
+    vec_id, then repeatedly add the point FARTHEST from every chosen
+    center — the 2-approximation (Gonzalez 1985) behind embedding-based
+    data selection ("pick the k most mutually-diverse examples"), and the
+    seeding half of k-center/k-means++ style pipelines.
+
+    Iterative driver-synced loop in the BPE/k-means discipline: each of
+    the k rounds is ONE map-side aggregate (argmax of running min-distance,
+    ties to the smaller id) collecting a single row; the chosen vectors
+    re-enter the plan as literals, so the corpus never shuffles at all —
+    k scans, zero exchanges.  ``radius`` is the selected point's distance
+    to the previous centers (the coverage radius the pick improves); it
+    decreases monotonically, pinned in tests.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "embedding")
+    first = corpus.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(int(first.vec_id), [float(x) for x in first.embedding])]
+    picks = [(1, centers[0][0], None)]
+    for _ in range(KCENTER_K - 1):
+        mind = None
+        for _, cvec in centers:
+            dcol = F.lit(1.0) - cosine("embedding", lit_doubles(cvec))
+            mind = dcol if mind is None else F.least(mind, dcol)
+        top = (
+            corpus.select("vec_id", mind.alias("d"))
+            .orderBy(F.col("d").desc(), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        row = (
+            corpus.filter(F.col("vec_id") == int(top.vec_id))
+            .select("embedding")
+            .collect()[0]
+        )
+        centers.append((int(top.vec_id), [float(x) for x in row.embedding]))
+        picks.append((len(centers), int(top.vec_id), float(top.d)))
+    return spark.createDataFrame(
+        [
+            (rank, cid, round(r, 6) if r is not None else None)
+            for rank, cid, r in picks
+        ],
+        "center_rank int, center_id bigint, radius double",
+    ).orderBy("center_rank")
+
+
+def _kcenter_ctes() -> str:
+    """Chained CTEs replaying the identical greedy in DuckDB."""
+    cos = (
+        "(list_dot_product(x.embedding::DOUBLE[], c{i}.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(x.embedding::DOUBLE[], x.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(c{i}.embedding::DOUBLE[], c{i}.embedding::DOUBLE[]))))"
+    )
+    parts = [
+        f"corpus AS (SELECT vec_id, embedding FROM embeddings"
+        f" WHERE vec_id >= {N_QUERIES})",
+        "c1 AS (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT 1)",
+    ]
+    for t in range(2, KCENTER_K + 1):
+        dist_terms = ", ".join(
+            f"(1.0 - {cos.format(i=i)})" for i in range(1, t)
+        )
+        joins = " ".join(f"CROSS JOIN c{i}" for i in range(1, t))
+        parts.append(
+            f"d{t} AS (SELECT x.vec_id, LEAST({dist_terms}) AS d"
+            f" FROM corpus x {joins})"
+        )
+        parts.append(
+            f"c{t} AS (SELECT c.vec_id, c.embedding, d.d FROM corpus c"
+            f" JOIN (SELECT vec_id, d FROM d{t} ORDER BY d DESC, vec_id"
+            f" LIMIT 1) d ON c.vec_id = d.vec_id)"
+        )
+    return ",\n".join(parts)
+
+
+CORESET_KCENTER_SQL = (
+    "WITH " + _kcenter_ctes() + "\n"
+    "SELECT * FROM (\n"
+    "    SELECT 1 AS center_rank, vec_id AS center_id,"
+    " CAST(NULL AS DOUBLE) AS radius FROM c1\n"
+    + "".join(
+        f"    UNION ALL SELECT {t}, vec_id, ROUND(d, 6) FROM c{t}\n"
+        for t in range(2, KCENTER_K + 1)
+    )
+    + ")\nORDER BY center_rank"
+)

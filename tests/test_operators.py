@@ -2280,3 +2280,40 @@ def test_tfidf_cosine_finds_planted_duplicates_and_caps_df(spark):
         na = math.sqrt(sum(w * w for w in va.values()))
         nb = math.sqrt(sum(w * w for w in vb.values()))
         assert abs(r.cos_tfidf - round(dot / (na * nb), 6)) < 1e-4
+
+
+def test_kcenter_radius_monotone_and_centers_diverse(spark):
+    """Coverage radius must strictly decrease (each pick covers the
+    farthest gap), centers must be distinct, and each selected center
+    must really be the argmax of min-distance at its round (verified
+    driver-side with numpy)."""
+    import numpy as np
+
+    import clickhouse_sinker_nali_spark.operators.similarity as S
+
+    rows = S.coreset_kcenter(spark, SF_DIR).collect()
+    assert len(rows) == S.KCENTER_K
+    ids = [r.center_id for r in rows]
+    assert len(ids) == len(set(ids))
+    radii = [r.radius for r in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    emb = {
+        int(r.vec_id): np.array([float(x) for x in r.embedding])
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+        if r.vec_id >= S.N_QUERIES
+    }
+
+    def cos_d(a, b):
+        return 1.0 - float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    chosen = [ids[0]]
+    for r in rows[1:]:
+        best = None
+        for vid, v in emb.items():
+            d = min(cos_d(v, emb[c]) for c in chosen)
+            key = (-d, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, d)
+        assert best[1] == r.center_id
+        assert abs(best[2] - r.radius) < 1e-5
+        chosen.append(r.center_id)

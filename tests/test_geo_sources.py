@@ -318,3 +318,32 @@ def test_mmdb_28bit_record_form_roundtrips():
     blob24 = build_mmdb_blob(MMDB_ENTRIES, ip_version=6, record_size=24)
     blob28 = build_mmdb_blob(MMDB_ENTRIES, ip_version=6, record_size=28)
     assert sorted(iter_mmdb_v4(blob24)) == sorted(iter_mmdb_v4(blob28))
+
+
+def test_qqwry_python_datasource_matches_converter(spark, tmp_path):
+    """spark.read.format('qqwry') must return exactly the offline
+    converter's rows, across >1 planned partition."""
+    from clickhouse_sinker_nali_spark.sources import datasources
+    from clickhouse_sinker_nali_spark.sources.qqwry import (
+        build_qqwry_blob,
+        qqwry_to_dataframe,
+    )
+
+    ranges = [
+        (0, 255, "澳大利亚", "维州"),
+        (256, 1023, "局域网", "对方和您在同一内部网"),
+        (1024, 4095, "美国", "加州"),
+        (4096, 8191, "中国", "电信"),
+        (8192, 65535, "日本", "东京 CZ88.NET"),
+    ]
+    blob = build_qqwry_blob(ranges)
+    dat = tmp_path / "qqwry.dat"
+    dat.write_bytes(blob)
+
+    datasources.register(spark)
+    via_ds = spark.read.format("qqwry").load(str(dat))
+    got = sorted(tuple(r) for r in via_ds.collect())
+    expect = sorted(tuple(r) for r in qqwry_to_dataframe(spark, str(dat)).collect())
+    assert got == expect
+    assert len(got) == len(ranges)
+    assert via_ds.rdd.getNumPartitions() > 1

@@ -107,3 +107,24 @@ def test_dynamic_newkey_ch_types():
     assert DYNAMIC_NEWKEY_CH_TYPE[InternalType.INT] == "Nullable(Int64)"
     assert DYNAMIC_NEWKEY_CH_TYPE[InternalType.DATETIME] == "Nullable(DateTime64(3))"
     assert DYNAMIC_NEWKEY_CH_TYPE[InternalType.STRING_ARRAY] == "Array(String)"
+
+
+def test_orc_sink_roundtrip_preserves_types(spark, tmp_path):
+    """ORC write/read round-trip of a typed ingest output: schema and
+    values must survive (the columnar-sink alternative to parquet)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") * 0.5).alias("value"),
+        F.concat(F.lit("n"), F.col("id").cast("string")).alias("name"),
+        F.array(F.lit("a"), F.col("id").cast("string")).alias("tags"),
+        F.to_timestamp(F.lit("2024-03-01 10:00:00")).alias("ts"),
+    )
+    out = str(tmp_path / "orc_out")
+    df.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    # nullability (incl. array containsNull) widens through a file
+    # round-trip; names and value types must hold exactly
+    assert back.schema.simpleString() == df.schema.simpleString()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

@@ -231,6 +231,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_tfidf_cosine": D.dedup_tfidf_cosine,
         # diversity-maximizing data selection (Gonzalez greedy, k scans)
         "coreset_kcenter": S.coreset_kcenter,
+        # contrastive-training negatives: nearest different-label vectors
+        "hard_negatives": S.hard_negatives,
+        # dynamic-batching twin: similar-length batches + padding waste
+        "length_bucket_batches": C.length_bucket_batches,
     }
 
 
@@ -389,4 +393,6 @@ def oracle_sql() -> dict[str, str]:
         "bigram_kn_logprob": T.BIGRAM_KN_SQL,
         "dedup_tfidf_cosine": D.DEDUP_TFIDF_COSINE_SQL,
         "coreset_kcenter": S.CORESET_KCENTER_SQL,
+        "hard_negatives": S.HARD_NEGATIVES_SQL,
+        "length_bucket_batches": C.LENGTH_BUCKET_SQL,
     }

@@ -1042,3 +1042,88 @@ FROM clusters
 GROUP BY cluster_id
 ORDER BY survivor_doc_id
 """.replace("{clusters}", D.DEDUP_CLUSTERS_SQL.replace("ORDER BY doc_id", ""))
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batching (padding-efficiency batch formation)
+# --------------------------------------------------------------------------
+
+_LB_BUCKET_W = 64   # token-length bucket width
+_LB_BATCH = 16      # docs per batch
+
+
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch formation by length bucket: docs of similar token length
+    batch together, so per-batch padding (to the batch max) wastes far
+    less compute than random batching — the standard dynamic-batching
+    trick, quantified here by emitting each batch's padding ratio.
+
+    Map-side bucket assignment (length DIV width), per-bucket hash-ordered
+    row_number DIV batch-size for the batch id (parallel windows keyed on
+    the bucket, the curriculum/budget discipline — never a global
+    sequence), then per-batch aggregates.  ``padding_ratio`` =
+    1 − Σtokens/(n·max) — the number a pipeline watches to tune the
+    bucket width.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tokens"),
+        portable_hash64(F.concat(F.lit("lb:"), F.col("doc_id").cast("string")))
+        .alias("h"),
+    ).withColumn("bucket", F.expr(f"n_tokens DIV {_LB_BUCKET_W}").cast("int"))
+    w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+    batched = toks.withColumn(
+        "batch_id", ((F.row_number().over(w) - 1) / _LB_BATCH).cast("bigint")
+    )
+    return (
+        batched.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "batch_id",
+            "n_docs",
+            "max_tokens",
+            F.round(
+                F.lit(1.0)
+                - F.col("sum_tokens")
+                / (F.col("n_docs") * F.col("max_tokens")).cast("double"),
+                6,
+            ).alias("padding_ratio"),
+        )
+        .orderBy("bucket", "batch_id")
+    )
+
+
+LENGTH_BUCKET_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+           {portable_hash64_sql("'lb:' || doc_id::VARCHAR")} AS h
+    FROM documents
+),
+batched AS (
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens // {_LB_BUCKET_W} AS INTEGER) AS bucket,
+           CAST((ROW_NUMBER() OVER (
+               PARTITION BY n_tokens // {_LB_BUCKET_W} ORDER BY h, doc_id
+           ) - 1) // {_LB_BATCH} AS BIGINT) AS batch_id
+    FROM toks
+)
+SELECT bucket, batch_id,
+       COUNT(*) AS n_docs,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       ROUND(1.0 - CAST(SUM(n_tokens) AS DOUBLE)
+             / CAST(COUNT(*) * MAX(n_tokens) AS DOUBLE), 6) AS padding_ratio
+FROM batched
+GROUP BY bucket, batch_id
+ORDER BY bucket, batch_id
+"""

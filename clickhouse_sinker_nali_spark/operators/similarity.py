@@ -1493,3 +1493,69 @@ CORESET_KCENTER_SQL = (
     )
     + ")\nORDER BY center_rank"
 )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining (contrastive training's other data op)
+# --------------------------------------------------------------------------
+
+HARDNEG_K = 3
+
+
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k hard negatives per query: the most-similar corpus vectors
+    with a DIFFERENT label — the mining step contrastive training feeds on
+    (near-misses teach the margin; random negatives are too easy to carry
+    gradient).  ``contrastive_pairs`` (curation) builds the positives;
+    this is the negatives side.
+
+    Same plan shape as brute-force ANN (broadcast queries, map-side
+    cosine, per-query rank) plus one label-inequality predicate pushed
+    into the join — the label filter prunes BEFORE the rank, so k hard
+    negatives survive per query no matter how label-skewed the
+    neighborhood.  Swap the brute-force scorer for the IVF probe at scale;
+    the predicate composes unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("q_label"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neg_id"), F.col("embedding").alias("ce"),
+        F.col("label").alias("n_label"),
+    )
+    scored = (
+        corpus.join(broadcast(queries), F.col("n_label") != F.col("q_label"))
+        .select("query_id", "q_label", "neg_id", "n_label",
+                cosine("qe", "ce").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARDNEG_K)
+        .select("query_id", "q_label", "rank", "neg_id", "n_label", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+HARD_NEGATIVES_SQL = f"""
+SELECT query_id, q_label, rank, neg_id, n_label, cos_sim
+FROM (
+    SELECT q.vec_id AS query_id, q.label AS q_label,
+           c.vec_id AS neg_id, c.label AS n_label,
+           {_COS} AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                ORDER BY {_COS} DESC, c.vec_id) AS rank
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+      AND c.label <> q.label
+)
+WHERE rank <= {HARDNEG_K}
+ORDER BY query_id, rank
+"""

@@ -2317,3 +2317,51 @@ def test_kcenter_radius_monotone_and_centers_diverse(spark):
         assert best[1] == r.center_id
         assert abs(best[2] - r.radius) < 1e-5
         chosen.append(r.center_id)
+
+
+def test_hard_negatives_exclude_own_label_and_are_hardest(spark):
+    """Every negative must carry a different label than its query, and
+    must be at least as similar as any lower-ranked different-label
+    vector (driver-verified for one query)."""
+    import numpy as np
+
+    import clickhouse_sinker_nali_spark.operators.similarity as S
+
+    rows = S.hard_negatives(spark, SF_DIR).collect()
+    assert len(rows) == S.N_QUERIES * S.HARDNEG_K
+    assert all(r.n_label != r.q_label for r in rows)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    q = next(r for r in emb if r.vec_id == 0)
+    qv = np.array(q.embedding, dtype=float)
+    best = sorted(
+        (
+            (
+                float(qv @ np.array(r.embedding) /
+                      (np.linalg.norm(qv) * np.linalg.norm(np.array(r.embedding)))),
+                r.vec_id,
+            )
+            for r in emb
+            if r.vec_id >= S.N_QUERIES and r.label != q.label
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[: S.HARDNEG_K]
+    got = [(r.neg_id) for r in rows if r.query_id == 0]
+    assert got == [vid for _, vid in best]
+
+
+def test_length_bucket_batches_bound_padding(spark):
+    """Every doc lands in exactly one batch; within a batch all lengths
+    share the bucket (max - min < bucket width ⇒ padding_ratio bounded);
+    full batches must waste less than the worst-case bucket bound."""
+    import clickhouse_sinker_nali_spark.operators.curation as C
+
+    rows = C.length_bucket_batches(spark, SF_DIR).collect()
+    docs_n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == docs_n
+    for r in rows:
+        assert 0.0 <= r.padding_ratio < 1.0
+        # all lengths in [bucket*W, bucket*W + W) and max <= that bound
+        assert r.max_tokens < (r.bucket + 1) * C._LB_BUCKET_W
+        if r.max_tokens > 0:
+            worst = 1.0 - (r.bucket * C._LB_BUCKET_W) / r.max_tokens
+            assert r.padding_ratio <= worst + 1e-9

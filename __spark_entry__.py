@@ -235,6 +235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": S.hard_negatives,
         # dynamic-batching twin: similar-length batches + padding waste
         "length_bucket_batches": C.length_bucket_batches,
+        # MLM example builder: hash-gated token masking + labels
+        "mlm_masking": C.mlm_masking,
     }
 
 
@@ -395,4 +397,5 @@ def oracle_sql() -> dict[str, str]:
         "coreset_kcenter": S.CORESET_KCENTER_SQL,
         "hard_negatives": S.HARD_NEGATIVES_SQL,
         "length_bucket_batches": C.LENGTH_BUCKET_SQL,
+        "mlm_masking": C.MLM_MASKING_SQL,
     }

@@ -1127,3 +1127,93 @@ FROM batched
 GROUP BY bucket, batch_id
 ORDER BY bucket, batch_id
 """
+
+
+# --------------------------------------------------------------------------
+# MLM masking (BERT-style span corruption, deterministic mask selection)
+# --------------------------------------------------------------------------
+
+_MLM_RATE = 15     # percent of tokens masked
+_MLM_SENTINEL = "[MASK]"
+
+
+def mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked-language-model corruption: ~15 % of each doc's tokens become
+    ``[MASK]`` and ride along as (position, token) labels — the actual
+    pretraining example builder for encoder models, run at corpus scale.
+
+    Mask selection is a HASH GATE on (doc_id, position), not an RNG — the
+    stratified-sample discipline: reproducible row-for-row across cluster
+    sizes and retries, and replayable by the SQL oracle.  Spark side is
+    array-native (posexplode-free: one ``transform`` with the element
+    index, ``array_join`` recompose — pure map-side, zero shuffle); the
+    oracle recomposes via explode + ordered ``string_agg``, proving the
+    two formulations agree.
+    """
+    from ..functions import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", r"\s+")
+    gate = lambda pos: (  # noqa: E731
+        F.pmod(
+            portable_hash64(
+                F.concat(
+                    F.lit("mlm:"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    pos.cast("string"),
+                )
+            ),
+            F.lit(100),
+        )
+        < _MLM_RATE
+    )
+    masked = F.transform(
+        toks, lambda t, i: F.when(gate(i), F.lit(_MLM_SENTINEL)).otherwise(t)
+    )
+    labels = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.when(
+                gate(i), F.concat(i.cast("string"), F.lit(":"), t)
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(masked, " ").alias("masked_text"),
+        F.array_join(labels, ",").alias("mask_labels"),
+        F.size(labels).alias("n_masked"),
+        F.size(toks).alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+_MLM_GATE = (
+    "(('0x' || substr(md5('mlm:' || doc_id::VARCHAR || ':' "
+    "|| (pos - 1)::VARCHAR), 1, 15))::BIGINT % 100) < " + str(_MLM_RATE)
+)
+
+MLM_MASKING_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos,
+           unnest(regexp_split_to_array(text, '\\s+')) AS tok
+    FROM documents
+),
+gated AS (
+    SELECT doc_id, pos, tok, {_MLM_GATE} AS is_masked
+    FROM toks
+)
+SELECT doc_id,
+       string_agg(CASE WHEN is_masked THEN '{_MLM_SENTINEL}' ELSE tok END,
+                  ' ' ORDER BY pos) AS masked_text,
+       COALESCE(string_agg(CASE WHEN is_masked
+                                THEN (pos - 1)::VARCHAR || ':' || tok END,
+                           ',' ORDER BY pos), '') AS mask_labels,
+       CAST(COUNT(CASE WHEN is_masked THEN 1 END) AS INTEGER) AS n_masked,
+       CAST(COUNT(*) AS INTEGER) AS n_tokens
+FROM gated
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -2365,3 +2365,26 @@ def test_length_bucket_batches_bound_padding(spark):
         if r.max_tokens > 0:
             worst = 1.0 - (r.bucket * C._LB_BUCKET_W) / r.max_tokens
             assert r.padding_ratio <= worst + 1e-9
+
+
+def test_mlm_masking_is_reversible_and_rate_bounded(spark):
+    """Unmasking via the labels must reconstruct the original text
+    exactly, and the corpus-wide mask rate must sit near 15%."""
+    import clickhouse_sinker_nali_spark.operators.curation as C
+
+    rows = C.mlm_masking(spark, SF_DIR).collect()
+    docs = {r.doc_id: r.text for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()}
+    assert len(rows) == len(docs)
+    total_masked = total_tokens = 0
+    for r in rows:
+        toks = r.masked_text.split(" ")
+        if r.mask_labels:
+            for item in r.mask_labels.split(","):
+                pos_s, tok = item.split(":", 1)
+                assert toks[int(pos_s)] == C._MLM_SENTINEL
+                toks[int(pos_s)] = tok
+        assert " ".join(toks) == docs[r.doc_id]
+        total_masked += r.n_masked
+        total_tokens += r.n_tokens
+    rate = total_masked / total_tokens
+    assert 0.10 < rate < 0.20

@@ -237,6 +237,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_bucket_batches": C.length_bucket_batches,
         # MLM example builder: hash-gated token masking + labels
         "mlm_masking": C.mlm_masking,
+        # robust outlier scan: median/MAD modified z-scores
+        "mad_outliers": A.mad_outliers,
+        # model-signal mixture weights (DoReMi-lite excess softmax)
+        "doremi_weights": C.doremi_weights,
     }
 
 
@@ -398,4 +402,6 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": S.HARD_NEGATIVES_SQL,
         "length_bucket_batches": C.LENGTH_BUCKET_SQL,
         "mlm_masking": C.MLM_MASKING_SQL,
+        "mad_outliers": A.MAD_OUTLIERS_SQL,
+        "doremi_weights": C.DOREMI_SQL,
     }

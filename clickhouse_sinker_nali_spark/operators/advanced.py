@@ -1737,3 +1737,79 @@ SELECT n AS n_events, n_cells,
        CAST(chi2_dec AS DOUBLE) < {_CHISQ_CRIT_36} AS independent_at_05
 FROM stats
 """
+
+
+# --------------------------------------------------------------------------
+# Robust outliers: median/MAD z-scores (the heavy-tail-safe anomaly scan)
+# --------------------------------------------------------------------------
+
+_MAD_CUT = 3.5       # modified z-score threshold (Iglewicz-Hoaglin)
+_MAD_CONSIST = 0.6745  # normal-consistency constant
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is a robust outlier within its event_type:
+    modified z-score 0.6745·|x−median|/MAD > 3.5 — the heavy-tail-safe
+    replacement for mean/σ z-scores (one genuine spike inflates σ and
+    hides its neighbors; median/MAD are 50%-breakdown estimators, so the
+    scan still flags them).
+
+    Exact medians via ``percentile(0.5)`` (sort-based, deterministic
+    averaging of middle pairs in both engines — no t-digest
+    approximation); MAD needs a second pass over |x−median|, so the plan
+    is two shuffles keyed on event_type with the per-type constants
+    broadcast back.  At 100 TB swap ``percentile`` for the bottom-k
+    sketch nearby if two exact sorts are too dear; the contract columns
+    stay identical.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "event_id", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    z = (
+        F.lit(_MAD_CONSIST)
+        * F.abs(F.col("value") - F.col("med"))
+        / F.col("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            "value",
+            F.round("med", 6).alias("median"),
+            F.round("mad", 6).alias("mad"),
+            F.round(z, 4).alias("mod_zscore"),
+        )
+        .filter(F.col("mod_zscore") > _MAD_CUT)
+        .orderBy("event_type", "event_id")
+    )
+
+
+MAD_OUTLIERS_SQL = f"""
+WITH med AS (
+    SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+dev AS (
+    SELECT e.event_type, e.event_id, e.value, m.med,
+           ABS(e.value - m.med) AS adev
+    FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type, d.event_id, d.value,
+       ROUND(d.med, 6) AS median,
+       ROUND(m.mad, 6) AS mad,
+       ROUND({_MAD_CONSIST} * ABS(d.value - d.med) / m.mad, 4) AS mod_zscore
+FROM dev d JOIN mad m USING (event_type)
+WHERE ROUND({_MAD_CONSIST} * ABS(d.value - d.med) / m.mad, 4) > {_MAD_CUT}
+ORDER BY d.event_type, d.event_id
+"""

@@ -1217,3 +1217,97 @@ FROM gated
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# DoReMi-lite domain reweighting (excess-score softmax over sources)
+# --------------------------------------------------------------------------
+
+_DOREMI_T = 0.5  # softmax temperature over excess scores
+
+
+def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-mixture weights from each domain's EXCESS
+    quality signal — the DoReMi idea (domains where the proxy struggles
+    get upweighted) with the unigram-LM logprob standing in for proxy
+    loss: excess_s = corpus_mean_logprob − domain_mean_logprob (positive
+    ⇔ harder-than-average), weights = softmax(excess/T) over sources.
+
+    Where :func:`temperature_resample` rebalances by SIZE and
+    :func:`mixture_sample` takes weights as INPUT, this DERIVES weights
+    from a model signal.  Everything reduces to one per-(source) mean of
+    the already-oracle-checked per-doc logprob plus a |sources|-row
+    softmax (decimal-summed normalizer, the chi-square discipline —
+    softmax needs exp(), whose last ULP round(6) absorbs exactly as the
+    LM ops absorb ln()).
+    """
+    from pyspark.sql.window import Window
+
+    from . import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scores = T.unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    per_src = (
+        docs.join(scores, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("avg_logprob").cast("decimal(38,18)"))
+                / F.count(F.lit(1))
+            ).cast("double").alias("mean_lp"),
+        )
+    )
+    overall = per_src.agg(
+        (
+            F.sum((F.col("mean_lp") * F.col("n_docs")).cast("decimal(38,18)"))
+            / F.sum("n_docs")
+        ).cast("double").alias("corpus_lp")
+    )
+    exed = per_src.crossJoin(F.broadcast(overall)).select(
+        "source", "n_docs",
+        (F.col("corpus_lp") - F.col("mean_lp")).alias("excess"),
+    )
+    expcol = F.exp(F.col("excess") / F.lit(_DOREMI_T))
+    w = Window.partitionBy()
+    return (
+        exed.select(
+            "source", "n_docs",
+            F.round("excess", 6).alias("excess"),
+            F.round(
+                expcol / F.sum(expcol.cast("decimal(38,18)")).over(w).cast("double"),
+                6,
+            ).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+DOREMI_SQL = f"""
+WITH scores AS ({{unigram}}),
+per_src AS (
+    SELECT d.source, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(s.avg_logprob AS DECIMAL(38,18))) / COUNT(*) AS DOUBLE)
+               AS mean_lp
+    FROM documents d JOIN scores s ON d.doc_id = s.doc_id
+    GROUP BY d.source
+),
+overall AS (
+    SELECT CAST(SUM(CAST(mean_lp * n_docs AS DECIMAL(38,18))) / SUM(n_docs)
+                AS DOUBLE) AS corpus_lp
+    FROM per_src
+),
+exed AS (
+    SELECT source, n_docs, (o.corpus_lp - mean_lp) AS excess
+    FROM per_src, overall o
+)
+SELECT source, n_docs,
+       ROUND(excess, 6) AS excess,
+       ROUND(EXP(excess / {_DOREMI_T})
+             / CAST(SUM(CAST(EXP(excess / {_DOREMI_T}) AS DECIMAL(38,18)))
+                    OVER () AS DOUBLE), 6) AS weight
+FROM exed
+ORDER BY source
+"""
+
+DOREMI_SQL = DOREMI_SQL.replace("{unigram}", T.UNIGRAM_LOGPROB_SQL)

@@ -2388,3 +2388,39 @@ def test_mlm_masking_is_reversible_and_rate_bounded(spark):
         total_tokens += r.n_tokens
     rate = total_masked / total_tokens
     assert 0.10 < rate < 0.20
+
+
+def test_mad_outliers_are_robust_to_the_spikes_they_flag(spark):
+    """Flagged rows must satisfy the threshold against driver-recomputed
+    median/MAD, and removing them must not change the medians (robustness
+    property that mean/sigma z-scores lack)."""
+    import statistics
+
+    import clickhouse_sinker_nali_spark.operators.advanced as A
+
+    rows = A.mad_outliers(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_type = {}
+    for e in ev:
+        by_type.setdefault(e.event_type, []).append(e.value)
+    for t, vals in by_type.items():
+        med = statistics.median(vals)
+        mad = statistics.median([abs(v - med) for v in vals])
+        flagged = [r for r in rows if r.event_type == t]
+        for r in flagged:
+            assert abs(r.median - round(med, 6)) < 1e-6
+            assert A._MAD_CONSIST * abs(r.value - med) / mad > A._MAD_CUT
+
+
+def test_doremi_weights_form_a_distribution_favoring_hard_sources(spark):
+    """Weights must sum to 1, cover every source, and be monotone in the
+    excess score (harder domain ⇒ strictly larger weight)."""
+    import clickhouse_sinker_nali_spark.operators.curation as C
+
+    rows = C.doremi_weights(spark, SF_DIR).collect()
+    srcs = {r.source for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").select("source").distinct().collect()}
+    assert {r.source for r in rows} == srcs
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    ordered = sorted(rows, key=lambda r: r.excess)
+    ws = [r.weight for r in ordered]
+    assert all(a <= b + 1e-9 for a, b in zip(ws, ws[1:]))

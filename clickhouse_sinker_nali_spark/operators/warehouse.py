@@ -400,9 +400,16 @@ def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the dimension key and every window reuses that partitioning — a
     single exchange in the plan.
     """
+    orders = load_table(spark, sf_dir, "orders")
+    return scd2_intervals(orders)
+
+
+def scd2_intervals(orders: DataFrame) -> DataFrame:
+    """SCD2 core over an arbitrary order change-log DataFrame (columns
+    o_custkey, o_orderstatus, o_orderdate, o_orderkey) — shared by the
+    batch build above and the streaming incremental maintainer."""
     from pyspark.sql.window import Window
 
-    orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     log = orders.select(
         "o_custkey",

@@ -616,3 +616,58 @@ def test_streaming_hll_registers_match_batch_sketch(spark, tmp_path):
         .collect()
     }
     assert got == batch
+
+
+def test_streaming_scd2_matches_batch_including_late_reopen(spark, tmp_path):
+    """Two micro-batches (the second containing a LATE change that lands
+    between two existing intervals) must leave the serving dimension
+    equal to the one-shot batch SCD2 over all rows."""
+    from clickhouse_sinker_nali_spark.operators.warehouse import scd2_intervals
+    from clickhouse_sinker_nali_spark.streaming.analytics import (
+        streaming_scd2_maintenance,
+    )
+
+    rows_b1 = [
+        (1, "O", "1995-01-01", 10),
+        (1, "F", "1995-06-01", 11),
+        (2, "O", "1995-02-01", 20),
+    ]
+    rows_b2 = [
+        (1, "P", "1995-03-15", 12),   # late: splits customer 1's first interval
+        (3, "F", "1995-04-01", 30),   # brand-new key
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for fname, chunk in (("a.txt", rows_b1), ("b.txt", rows_b2)):
+        with open(os.path.join(src, fname), "w") as f:
+            for ck, st, d, ok in chunk:
+                f.write(json.dumps({
+                    "o_custkey": ck, "o_orderstatus": st,
+                    "o_orderdate": d, "o_orderkey": ok,
+                }) + "\n")
+
+    schema = "o_custkey bigint, o_orderstatus string, o_orderdate date, o_orderkey bigint"
+    store = str(tmp_path / "scd2")
+    q = (
+        streaming_scd2_maintenance(_stream_json(spark, src, schema), store)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd2"))
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.custkey, r.status, str(r.valid_from), str(r.valid_to))
+        for r in spark.read.parquet(os.path.join(store, "dim")).collect()
+    }
+    all_rows = spark.createDataFrame(
+        [(ck, st, d, ok) for ck, st, d, ok in rows_b1 + rows_b2],
+        "o_custkey bigint, o_orderstatus string, o_orderdate string, o_orderkey bigint",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    expect = {
+        (r.custkey, r.status, str(r.valid_from), str(r.valid_to))
+        for r in scd2_intervals(all_rows).collect()
+    }
+    assert got == expect
+    # the late change must actually have split an interval
+    assert any(c == 1 and s == "P" for c, s, _, _ in got)

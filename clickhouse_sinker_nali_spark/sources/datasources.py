@@ -91,3 +91,164 @@ class QQWryDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register the connector on a session."""
     spark.dataSource.register(QQWryDataSource)
+
+
+# --------------------------------------------------------------------------
+# Shard-manifest writer: df.write.format("shardsink")
+# --------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+
+from pyspark.sql.datasource import (
+    DataSourceWriter,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, shard_file: str, n_rows: int, n_bytes: int) -> None:
+        self.shard_file = shard_file
+        self.n_rows = n_rows
+        self.n_bytes = n_bytes
+
+
+class ShardSinkWriter(DataSourceWriter):
+    """Per-task JSONL shard files + a driver-committed manifest.
+
+    The export_shards operator computes shard MEMBERSHIP as a query; this
+    is the sink half as a pluggable format: each task streams its
+    partition to ``part-<pid>.jsonl`` and returns (file, rows, bytes) as
+    its commit message; ``commit`` runs once on the driver with every
+    task's message and atomically writes ``manifest.json`` — the
+    two-phase write protocol (no manifest ⇒ the export never happened,
+    Spark's own _SUCCESS discipline made explicit).
+    """
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("shardsink requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        _os.makedirs(self.path, exist_ok=True)
+        fname = _os.path.join(self.path, f"part-{pid:05d}.jsonl")
+        n = b = 0
+        with open(fname, "w") as f:
+            for row in iterator:
+                line = _json.dumps(row.asDict(), default=str) + "\n"
+                f.write(line)
+                n += 1
+                b += len(line)
+        return _ShardCommit(_os.path.basename(fname), n, b)
+
+    def commit(self, messages):
+        manifest = {
+            "shards": sorted(
+                (
+                    {
+                        "file": m.shard_file,
+                        "n_rows": m.n_rows,
+                        "n_bytes": m.n_bytes,
+                    }
+                    for m in messages
+                    if m is not None
+                ),
+                key=lambda d: d["file"],
+            ),
+            "total_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        tmp = _os.path.join(self.path, "manifest.json.tmp")
+        with open(tmp, "w") as f:
+            _json.dump(manifest, f, indent=1, sort_keys=True)
+        _os.replace(tmp, _os.path.join(self.path, "manifest.json"))
+
+    def abort(self, messages):
+        pass  # partial part files carry no manifest ⇒ export not visible
+
+
+class ShardSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "shardsink"
+
+    def schema(self):
+        return "unused string"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return ShardSinkWriter(self.options, overwrite)
+
+
+# --------------------------------------------------------------------------
+# Replay stream source: spark.readStream.format("replay")
+# --------------------------------------------------------------------------
+
+
+class ReplayStreamReader(SimpleDataSourceStreamReader):
+    """Deterministic micro-batch replay of numbered JSONL files — the
+    Kafka stand-in promoted to a REAL pluggable streaming source: offsets
+    are file indexes, ``initialOffset``→0, each ``read`` consumes every
+    file that has appeared since the last offset, and restart resumes
+    from the checkpointed offset via ``readBetweenOffsets`` (the
+    replayability contract Kafka gives via (partition, offset)).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("replay source requires a path")
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def _files(self):
+        return sorted(
+            f for f in _os.listdir(self.path) if f.endswith(".jsonl")
+        )
+
+    def read(self, start: dict):
+        files = self._files()
+        lo = start["idx"]
+        rows = []
+        for fname in files[lo:]:
+            with open(_os.path.join(self.path, fname)) as f:
+                for line in f:
+                    d = _json.loads(line)
+                    rows.append((d["doc_id"], d["text"]))
+        return iter(rows), {"idx": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        rows = []
+        for fname in files[start["idx"]:end["idx"]]:
+            with open(_os.path.join(self.path, fname)) as f:
+                for line in f:
+                    d = _json.loads(line)
+                    rows.append((d["doc_id"], d["text"]))
+        return iter(rows)
+
+    def commit(self, end) -> None:
+        pass  # files are immutable; nothing to acknowledge
+
+
+class ReplayDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "replay"
+
+    def schema(self):
+        return "doc_id bigint, text string"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return ReplayStreamReader(self.options)
+
+
+def register_all(spark) -> None:
+    """Register every connector in this module on a session."""
+    for src in (QQWryDataSource, ShardSinkDataSource, ReplayDataSource):
+        spark.dataSource.register(src)

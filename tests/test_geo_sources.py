@@ -347,3 +347,67 @@ def test_qqwry_python_datasource_matches_converter(spark, tmp_path):
     assert got == expect
     assert len(got) == len(ranges)
     assert via_ds.rdd.getNumPartitions() > 1
+
+
+def test_shardsink_writer_emits_manifest_and_all_rows(spark, tmp_path):
+    """df.write.format('shardsink') must produce JSONL shards whose union
+    is the input and an atomically-committed manifest whose totals match."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_sinker_nali_spark.sources import datasources
+
+    datasources.register_all(spark)
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+    ).repartition(4)
+    out = str(tmp_path / "export")
+    df.write.format("shardsink").mode("append").save(out)
+
+    manifest = _json.load(open(os.path.join(out, "manifest.json")))
+    assert manifest["total_rows"] == 100
+    assert sum(s["n_rows"] for s in manifest["shards"]) == 100
+    got = set()
+    for s in manifest["shards"]:
+        with open(os.path.join(out, s["file"])) as f:
+            lines = f.readlines()
+        assert len(lines) == s["n_rows"]
+        for ln in lines:
+            got.add(_json.loads(ln)["doc_id"])
+    assert got == set(range(100))
+
+
+def test_replay_stream_source_delivers_files_as_batches(spark, tmp_path):
+    """spark.readStream.format('replay') must deliver every jsonl file's
+    rows exactly once across micro-batches."""
+    import json as _json
+    import os
+
+    from clickhouse_sinker_nali_spark.sources import datasources
+
+    datasources.register_all(spark)
+    src = str(tmp_path / "replay_src")
+    os.makedirs(src)
+    for i in range(3):
+        with open(os.path.join(src, f"{i:03d}.jsonl"), "w") as f:
+            for j in range(5):
+                f.write(_json.dumps({"doc_id": i * 10 + j, "text": f"d{i}-{j}"}) + "\n")
+
+    out = str(tmp_path / "replay_out")
+    q = (
+        spark.readStream.format("replay")
+        .option("path", src)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_replay"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {i * 10 + j for i in range(3) for j in range(5)}
+    assert spark.read.parquet(out).count() == 15

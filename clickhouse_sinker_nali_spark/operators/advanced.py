@@ -1773,20 +1773,24 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(adev, 0.5)").alias("mad")
     )
-    z = (
-        F.lit(_MAD_CONSIST)
-        * F.abs(F.col("value") - F.col("med"))
-        / F.col("mad")
-    )
+    # all outputs are RAW doubles, no in-SQL ROUND: the exact-percentile
+    # pipeline is bit-identical across engines, and engine ROUND is NOT —
+    # DuckDB rounds the shortest decimal repr (3.8522499999999997 prints
+    # "3.85225" → 3.8523) where Spark/Python round the binary value
+    # (→ 3.8522).  Emitting the identical raw doubles lets the
+    # comparator's single canonicalization round both sides the same way;
+    # rounding inside the query re-introduces the divergence it was meant
+    # to prevent (bitten at sf0.1, event 1222).
+    z = F.lit(_MAD_CONSIST) * F.abs(F.col("value") - F.col("med")) / F.col("mad")
     return (
         dev.join(F.broadcast(mad), "event_type")
         .select(
             "event_type",
             "event_id",
             "value",
-            F.round("med", 6).alias("median"),
-            F.round("mad", 6).alias("mad"),
-            F.round(z, 4).alias("mod_zscore"),
+            F.col("med").alias("median"),
+            "mad",
+            z.alias("mod_zscore"),
         )
         .filter(F.col("mod_zscore") > _MAD_CUT)
         .orderBy("event_type", "event_id")
@@ -1806,10 +1810,10 @@ mad AS (
     SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
 )
 SELECT d.event_type, d.event_id, d.value,
-       ROUND(d.med, 6) AS median,
-       ROUND(m.mad, 6) AS mad,
-       ROUND({_MAD_CONSIST} * ABS(d.value - d.med) / m.mad, 4) AS mod_zscore
+       d.med AS median,
+       m.mad,
+       {_MAD_CONSIST} * ABS(d.value - d.med) / m.mad AS mod_zscore
 FROM dev d JOIN mad m USING (event_type)
-WHERE ROUND({_MAD_CONSIST} * ABS(d.value - d.med) / m.mad, 4) > {_MAD_CUT}
+WHERE {_MAD_CONSIST} * ABS(d.value - d.med) / m.mad > {_MAD_CUT}
 ORDER BY d.event_type, d.event_id
 """

@@ -15,6 +15,15 @@ compare equal.  Two rounds of "local green, driver red" (r1: unhashable
 array cells; r2: HUGEINT floats) came from this seam; do not switch back
 to ``fetchall()``.
 
+A second engine seam (r3): engine ROUND() is NOT portable on doubles.
+DuckDB rounds the shortest decimal repr (3.8522499999999997 prints as
+"3.85225" and rounds half-up to 3.8523) while Spark/Python round the
+binary value (3.8522).  When both engines compute bit-identical raw
+doubles, emit them UNROUNDED and let this script's canonicalization
+round both sides the same way; only round in-SQL when the raw values
+genuinely differ beyond 6 dp (ln/exp 1-ulp wobble), where the boundary
+coincidence is overwhelmingly unlikely.
+
 Usage: python scripts/check_oracle.py [sf_dir] [name ...]
 """
 

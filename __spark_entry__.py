@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": A.mad_outliers,
         # model-signal mixture weights (DoReMi-lite excess softmax)
         "doremi_weights": C.doremi_weights,
+        # file lineage + order-insensitive content checksums per input file
+        "ingest_provenance": I.ingest_provenance,
     }
 
 
@@ -404,4 +406,5 @@ def oracle_sql() -> dict[str, str]:
         "mlm_masking": C.MLM_MASKING_SQL,
         "mad_outliers": A.MAD_OUTLIERS_SQL,
         "doremi_weights": C.DOREMI_SQL,
+        "ingest_provenance": I.INGEST_PROVENANCE_SQL,
     }

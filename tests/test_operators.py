@@ -2424,3 +2424,33 @@ def test_doremi_weights_form_a_distribution_favoring_hard_sources(spark):
     ordered = sorted(rows, key=lambda r: r.excess)
     ws = [r.weight for r in ordered]
     assert all(a <= b + 1e-9 for a, b in zip(ws, ws[1:]))
+
+
+def test_provenance_checksum_is_layout_invariant(spark, tmp_path):
+    """The per-file content checksum must be identical after rewriting the
+    same rows into a different partition layout (order-insensitive), and
+    multi-file inputs must produce one lineage row per file."""
+    import clickhouse_sinker_nali_spark.operators.ingest as I
+
+    base = I.ingest_provenance(spark, SF_DIR).collect()
+    assert len(base) == 1 and base[0].file == "documents.parquet"
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    relayout = str(tmp_path / "relayout")
+    docs.repartition(4).write.mode("overwrite").parquet(relayout)
+    rewritten = spark.read.parquet(relayout)
+    from pyspark.sql import functions as F
+    from clickhouse_sinker_nali_spark.functions import portable_hash64
+
+    row_fp = portable_hash64(
+        F.concat_ws(
+            "\x1f",
+            F.col("doc_id").cast("string"), F.col("text"), F.col("lang"),
+            F.col("source"), F.col("n_chars").cast("string"),
+        )
+    )
+    agg = rewritten.select(row_fp.alias("fp")).agg(
+        F.pmod(F.sum("fp"), F.lit(1 << 60)).alias("checksum"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert agg.n == base[0].n_rows
+    assert agg.checksum == base[0].content_checksum

@@ -243,6 +243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doremi_weights": C.doremi_weights,
         # file lineage + order-insensitive content checksums per input file
         "ingest_provenance": I.ingest_provenance,
+        # code-switch detection: windowed lang-ID + sessionized collapse
+        "lang_segments": T.lang_segments,
     }
 
 
@@ -407,4 +409,5 @@ def oracle_sql() -> dict[str, str]:
         "mad_outliers": A.MAD_OUTLIERS_SQL,
         "doremi_weights": C.DOREMI_SQL,
         "ingest_provenance": I.INGEST_PROVENANCE_SQL,
+        "lang_segments": T.LANG_SEGMENTS_SQL,
     }

@@ -1421,3 +1421,131 @@ FROM bigrams b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
 GROUP BY b.doc_id
 ORDER BY b.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Language segmentation (code-switch detection over token windows)
+# --------------------------------------------------------------------------
+
+_SEG_WIN = 16  # tokens per language-ID window
+
+
+def lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous same-language SEGMENTS within each document — the
+    code-switch detector: documents that interleave languages defeat
+    doc-level language ID (one label for mixed content mislabels half the
+    tokens), so multilingual pipelines segment first and route each
+    segment to its own cleaning/filtering stack.
+
+    Composition of two audited patterns: the lang-ID marker argmax
+    applied per 16-token WINDOW (explode → window aggregate, both
+    map-side-combinable and keyed on (doc, window) — even partitioning),
+    then the sessionize collapse (LAG + running boundary count,
+    partitioned per doc) to merge consecutive same-language windows into
+    segments.  Output is one row per segment with its language and
+    window span.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(_words()).alias("pos", "tok")
+    ).select("doc_id", (F.col("pos") / _SEG_WIN).cast("int").alias("win"), "tok")
+    marker_arrays = {
+        lang: F.array(*[F.lit(m) for m in ms]) for lang, ms in _MARKERS.items()
+    }
+    hits = toks.groupBy("doc_id", "win").agg(
+        *[
+            F.sum(
+                F.when(F.array_contains(marker_arrays[lang], F.col("tok")), 1)
+                .otherwise(0)
+            ).alias(f"hits_{lang}")
+            for lang in ("en", "es", "de", "fr")
+        ]
+    )
+    he, hs, hd, hf = (F.col(f"hits_{x}") for x in ("en", "es", "de", "fr"))
+    pred = (
+        F.when((he >= hs) & (he >= hd) & (he >= hf) & (he > 0), "en")
+        .when((hs >= hd) & (hs >= hf) & (hs > 0), "es")
+        .when((hd >= hf) & (hd > 0), "de")
+        .when(hf > 0, "fr")
+        .otherwise("unknown")
+    )
+    wins = hits.select("doc_id", "win", pred.alias("win_lang"))
+    w = Window.partitionBy("doc_id").orderBy("win")
+    seg = wins.withColumn(
+        "is_start",
+        F.when(
+            F.lag("win_lang").over(w).isNull()
+            | (F.lag("win_lang").over(w) != F.col("win_lang")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "seg_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    return (
+        seg.groupBy("doc_id", "seg_id")
+        .agg(
+            F.min_by("win_lang", "win").alias("seg_lang"),
+            F.min("win").alias("first_win"),
+            F.max("win").alias("last_win"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .orderBy("doc_id", "seg_id")
+    )
+
+
+LANG_SEGMENTS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST((generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) - 1)
+                // {_SEG_WIN} AS INTEGER) AS win,
+           unnest(regexp_split_to_array(text, '\\s+')) AS tok
+    FROM documents
+),
+hits AS (
+    SELECT doc_id, win,
+           SUM(CASE WHEN tok IN ({", ".join(f"'{m}'" for m in _MARKERS['en'])})
+                    THEN 1 ELSE 0 END) AS hits_en,
+           SUM(CASE WHEN tok IN ({", ".join(f"'{m}'" for m in _MARKERS['es'])})
+                    THEN 1 ELSE 0 END) AS hits_es,
+           SUM(CASE WHEN tok IN ({", ".join(f"'{m}'" for m in _MARKERS['de'])})
+                    THEN 1 ELSE 0 END) AS hits_de,
+           SUM(CASE WHEN tok IN ({", ".join(f"'{m}'" for m in _MARKERS['fr'])})
+                    THEN 1 ELSE 0 END) AS hits_fr
+    FROM toks GROUP BY doc_id, win
+),
+wins AS (
+    SELECT doc_id, win,
+           CASE WHEN hits_en >= hits_es AND hits_en >= hits_de
+                     AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+                WHEN hits_es >= hits_de AND hits_es >= hits_fr
+                     AND hits_es > 0 THEN 'es'
+                WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+                WHEN hits_fr > 0 THEN 'fr'
+                ELSE 'unknown' END AS win_lang
+    FROM hits
+),
+seg AS (
+    SELECT doc_id, win, win_lang,
+           CAST(SUM(CASE WHEN prev IS NULL OR prev <> win_lang THEN 1 ELSE 0 END)
+                OVER (PARTITION BY doc_id ORDER BY win
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS seg_id
+    FROM (
+        SELECT doc_id, win, win_lang,
+               LAG(win_lang) OVER (PARTITION BY doc_id ORDER BY win) AS prev
+        FROM wins
+    )
+)
+SELECT doc_id, seg_id,
+       MIN_BY(win_lang, win) AS seg_lang,
+       CAST(MIN(win) AS INTEGER) AS first_win,
+       CAST(MAX(win) AS INTEGER) AS last_win,
+       COUNT(*) AS n_windows
+FROM seg
+GROUP BY doc_id, seg_id
+ORDER BY doc_id, seg_id
+"""

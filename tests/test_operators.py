@@ -2454,3 +2454,28 @@ def test_provenance_checksum_is_layout_invariant(spark, tmp_path):
     ).collect()[0]
     assert agg.n == base[0].n_rows
     assert agg.checksum == base[0].content_checksum
+
+
+def test_lang_segments_partition_each_doc_contiguously(spark):
+    """Segments must tile each doc's window range without gaps or
+    overlaps, adjacent segments must differ in language, and a
+    single-language doc must yield exactly one segment."""
+    import clickhouse_sinker_nali_spark.operators.text as T
+
+    rows = T.lang_segments(spark, SF_DIR).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    single_seg = 0
+    for doc_id, segs in by_doc.items():
+        segs.sort(key=lambda r: r.seg_id)
+        assert segs[0].first_win == 0
+        for a, b in zip(segs, segs[1:]):
+            assert b.first_win == a.last_win + 1
+            assert b.seg_lang != a.seg_lang
+        for s in segs:
+            assert s.n_windows == s.last_win - s.first_win + 1
+        if len(segs) == 1:
+            single_seg += 1
+    assert single_seg > 0

@@ -87,6 +87,11 @@ HEADLINE = {
     "sliding_distinct_users": W.sliding_distinct_users,
     "ann_pq_topk": S.ann_pq_topk,
     "ann_ivfpq_topk": S.ann_ivfpq_topk,
+    # eighth wave: LM scoring, sparse similarity join, example builders
+    "bigram_kn_logprob": T.bigram_kn_logprob,
+    "dedup_tfidf_cosine": D.dedup_tfidf_cosine,
+    "mlm_masking": C.mlm_masking,
+    "interval_overlap_join": W.interval_overlap_join,
 }
 
 

@@ -245,6 +245,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_provenance": I.ingest_provenance,
         # code-switch detection: windowed lang-ID + sessionized collapse
         "lang_segments": T.lang_segments,
+        # outlier treatment: per-group quantile clipping audit
+        "winsorize_values": A.winsorize_values,
+        # corpus drift: bounded JS divergence between vocabulary halves
+        "vocab_jsd_drift": T.vocab_jsd_drift,
     }
 
 
@@ -410,4 +414,6 @@ def oracle_sql() -> dict[str, str]:
         "doremi_weights": C.DOREMI_SQL,
         "ingest_provenance": I.INGEST_PROVENANCE_SQL,
         "lang_segments": T.LANG_SEGMENTS_SQL,
+        "winsorize_values": A.WINSORIZE_SQL,
+        "vocab_jsd_drift": T.VOCAB_JSD_SQL,
     }

@@ -1817,3 +1817,78 @@ FROM dev d JOIN mad m USING (event_type)
 WHERE {_MAD_CONSIST} * ABS(d.value - d.med) / m.mad > {_MAD_CUT}
 ORDER BY d.event_type, d.event_id
 """
+
+
+# --------------------------------------------------------------------------
+# Winsorization (per-group quantile clipping, the outlier TREATMENT)
+# --------------------------------------------------------------------------
+
+_WINSOR_LO = 0.01
+_WINSOR_HI = 0.99
+
+
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization audit: clip ``value`` to its
+    [p01, p99] and report how much mass moved — the TREATMENT step after
+    an outlier SCAN (mad_outliers flags, winsorizing repairs: ML feature
+    pipelines clip rather than drop so row counts survive joins).
+
+    Exact percentiles per group (one shuffle), caps broadcast back, then
+    a second map-side-combined aggregate over the clipped column.  Means
+    are decimal-summed (order-free); caps and means emit as RAW doubles —
+    the exact-percentile pipeline is bit-identical across engines and
+    engine ROUND is not (the mad_outliers lesson).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    caps = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {_WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(value, {_WINSOR_HI})").alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(caps), "event_type").select(
+        "event_type", "value", "lo", "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("w"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint").alias("n_clipped_lo"),
+            F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint").alias("n_clipped_hi"),
+            F.min("lo").alias("p01"),
+            F.min("hi").alias("p99"),
+            (
+                F.sum(F.col("value").cast("decimal(38,18)")) / F.count(F.lit(1))
+            ).cast("double").alias("mean_raw"),
+            (
+                F.sum(F.col("w").cast("decimal(38,18)")) / F.count(F.lit(1))
+            ).cast("double").alias("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    )
+
+
+WINSORIZE_SQL = f"""
+WITH caps AS (
+    SELECT event_type,
+           quantile_cont(value, {_WINSOR_LO}) AS lo,
+           quantile_cont(value, {_WINSOR_HI}) AS hi
+    FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN e.value < c.lo THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_lo,
+       CAST(SUM(CASE WHEN e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped_hi,
+       MIN(c.lo) AS p01,
+       MIN(c.hi) AS p99,
+       CAST(SUM(CAST(e.value AS DECIMAL(38,18))) / COUNT(*) AS DOUBLE)
+           AS mean_raw,
+       CAST(SUM(CAST(LEAST(GREATEST(e.value, c.lo), c.hi) AS DECIMAL(38,18)))
+            / COUNT(*) AS DOUBLE) AS mean_winsorized
+FROM events e JOIN caps c USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""

@@ -1549,3 +1549,100 @@ FROM seg
 GROUP BY doc_id, seg_id
 ORDER BY doc_id, seg_id
 """
+
+
+# --------------------------------------------------------------------------
+# Vocabulary drift (Jensen-Shannon divergence between time/corpus halves)
+# --------------------------------------------------------------------------
+
+
+def vocab_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the word distributions of the
+    corpus's two halves (split by doc_id hash gate) — the distribution-
+    drift monitor for text: run against last month's snapshot it answers
+    "did the crawl change under us" with one bounded number (JSD ∈
+    [0, ln 2]), where raw KL explodes on any term new to one side.
+
+    One word-count aggregate per half from a single exploded pass
+    (conditional sums, not two scans), P/Q/M in doubles with fixed
+    expression order, and the two KL halves accumulated in DECIMAL(38,18)
+    (the chi-square discipline — per-term ln() wobble is captured exactly
+    once; cross-term order cannot move the sum).  Absent terms contribute
+    their half's KL term with p·ln(2p/m) where the OTHER side is 0 —
+    finite by construction.
+    """
+    from ..functions import portable_hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    half = (
+        F.pmod(
+            portable_hash64(
+                F.concat(F.lit("jsd:"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(2),
+        )
+    ).alias("half")
+    words = docs.select(half, F.explode(_words()).alias("word")).filter(
+        F.col("word") != ""
+    )
+    counts = words.groupBy("word").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    totals = counts.agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    with_p = counts.crossJoin(F.broadcast(totals)).select(
+        "word",
+        (F.col("ca").cast("double") / F.col("ta")).alias("p"),
+        (F.col("cb").cast("double") / F.col("tb")).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / F.lit(2.0)
+    term = (
+        F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+        + F.when(F.col("q") > 0, F.col("q") * F.log(F.col("q") / m)).otherwise(0.0)
+    )
+    return with_p.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(F.when((F.col("p") > 0) & (F.col("q") == 0), 1).otherwise(0))
+        .cast("bigint").alias("n_only_a"),
+        F.sum(F.when((F.col("q") > 0) & (F.col("p") == 0), 1).otherwise(0))
+        .cast("bigint").alias("n_only_b"),
+        (
+            F.sum(term.cast("decimal(38,18)")).cast("double") / F.lit(2.0)
+        ).alias("jsd"),
+    )
+
+
+_JSD_GATE = "(('0x' || substr(md5('jsd:' || doc_id::VARCHAR), 1, 15))::BIGINT % 2)"
+
+VOCAB_JSD_SQL = f"""
+WITH words AS (
+    SELECT {_JSD_GATE} AS half,
+           unnest(regexp_split_to_array(text, '\\s+')) AS word
+    FROM documents
+),
+counts AS (
+    SELECT word,
+           SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+           SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+    FROM words WHERE word <> '' GROUP BY word
+),
+totals AS (SELECT SUM(ca) AS ta, SUM(cb) AS tb FROM counts),
+with_p AS (
+    SELECT word,
+           CAST(ca AS DOUBLE) / ta AS p,
+           CAST(cb AS DOUBLE) / tb AS q
+    FROM counts, totals
+)
+SELECT COUNT(*) AS n_terms,
+       CAST(SUM(CASE WHEN p > 0 AND q = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_only_a,
+       CAST(SUM(CASE WHEN q > 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_only_b,
+       CAST(SUM(CAST(
+           (CASE WHEN p > 0 THEN p * LN(p / ((p + q) / 2.0)) ELSE 0.0 END)
+           + (CASE WHEN q > 0 THEN q * LN(q / ((p + q) / 2.0)) ELSE 0.0 END)
+           AS DECIMAL(38,18))) AS DOUBLE) / 2.0 AS jsd
+FROM with_p
+"""

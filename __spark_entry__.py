@@ -249,6 +249,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_values": A.winsorize_values,
         # corpus drift: bounded JS divergence between vocabulary halves
         "vocab_jsd_drift": T.vocab_jsd_drift,
+        # video shot segmentation: UDF frame stage feeding window analytics
+        "multimodal_shot_bounds": M.multimodal_shot_bounds,
     }
 
 
@@ -416,4 +418,5 @@ def oracle_sql() -> dict[str, str]:
         "lang_segments": T.LANG_SEGMENTS_SQL,
         "winsorize_values": A.WINSORIZE_SQL,
         "vocab_jsd_drift": T.VOCAB_JSD_SQL,
+        "multimodal_shot_bounds": M.MULTIMODAL_SHOTS_SQL,
     }

@@ -423,3 +423,83 @@ FROM sized,
               AS i)
 ORDER BY doc_id, chunk_idx
 """
+
+
+# --------------------------------------------------------------------------
+# Shot-boundary detection (windowed analytics over UDF-sampled frames)
+# --------------------------------------------------------------------------
+
+_SHOT_SIG_MOD = 1000   # per-frame scalar signature domain
+_SHOT_CUT = 400        # |Δsignature| above this = new shot
+
+
+def multimodal_shot_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot segmentation per video: a scalar per-frame signature (stub for
+    a color-histogram/embedding distance), LAG-diff per video, boundary
+    where the jump exceeds the cut — the canonical video-curation step
+    (split on shots, then dedup/caption per shot, not per raw video).
+
+    The interesting part is the SHAPE: an Arrow-batched mapInPandas stage
+    (frame sampling, variable fan-out) feeding windowed analytics — UDF
+    output is a first-class relation, windows partition by video (even
+    keying), and the per-video rollup is map-side combined.  The decode
+    stub is the documented deterministic fake; a real pyav decoder slots
+    into the same pipeline unchanged.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_binary(docs))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    sig = F.pmod(F.col("frame_hash"), F.lit(_SHOT_SIG_MOD))
+    diffed = frames.select(
+        "doc_id", "frame_idx", sig.alias("sig")
+    ).withColumn("prev_sig", F.lag("sig").over(w))
+    boundary = F.when(
+        F.col("prev_sig").isNull()
+        | (F.abs(F.col("sig") - F.col("prev_sig")) > _SHOT_CUT),
+        1,
+    ).otherwise(0)
+    marked = diffed.withColumn("is_bound", boundary)
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("is_bound").cast("bigint").alias("n_shots"),
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(
+                        F.when(F.col("is_bound") == 1, F.col("frame_idx"))
+                    )
+                ),
+            ).alias("shot_starts"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MULTIMODAL_SHOTS_SQL = f"""
+WITH frames AS ({MULTIMODAL_FRAMES_SQL.replace("ORDER BY doc_id, frame_idx", "")}),
+diffed AS (
+    SELECT doc_id, frame_idx,
+           frame_hash % {_SHOT_SIG_MOD} AS sig,
+           LAG(frame_hash % {_SHOT_SIG_MOD}) OVER (
+               PARTITION BY doc_id ORDER BY frame_idx) AS prev_sig
+    FROM frames
+),
+marked AS (
+    SELECT doc_id, frame_idx,
+           CASE WHEN prev_sig IS NULL OR ABS(sig - prev_sig) > {_SHOT_CUT}
+                THEN 1 ELSE 0 END AS is_bound
+    FROM diffed
+)
+SELECT doc_id,
+       COUNT(*) AS n_frames,
+       CAST(SUM(is_bound) AS BIGINT) AS n_shots,
+       COALESCE(string_agg(CASE WHEN is_bound = 1 THEN frame_idx::VARCHAR END,
+                           ',' ORDER BY frame_idx), '') AS shot_starts
+FROM marked
+GROUP BY doc_id
+ORDER BY doc_id
+"""

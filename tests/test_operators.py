@@ -2533,3 +2533,32 @@ def test_vocab_jsd_is_bounded_and_zero_for_identical_halves(spark):
     jsd /= 2.0
     assert abs(row.jsd - jsd) < 1e-9
     assert row.n_only_a == sum(1 for w in ca if w not in cb)
+
+
+def test_shot_bounds_segment_every_video(spark):
+    """Every video must have >= 1 shot (frame 0 always starts one), shot
+    count must equal the driver-side recount from the deterministic frame
+    hashes, and shot_starts must begin with 0."""
+    import hashlib
+
+    import clickhouse_sinker_nali_spark.operators.multimodal as M
+
+    rows = M.multimodal_shot_bounds(spark, SF_DIR).collect()
+    assert rows
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    blobs = {r.doc_id: r for r in M.attach_binary(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")).collect()}
+    for r in rows[:50]:
+        payload = bytes(blobs[r.doc_id].blob)
+        h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+        n = h % 4 + 1
+        sigs = [
+            int(hashlib.md5(f"{h}:{i}".encode()).hexdigest()[:15], 16) % M._SHOT_SIG_MOD
+            for i in range(n)
+        ]
+        shots = 1 + sum(
+            1 for a, b in zip(sigs, sigs[1:]) if abs(b - a) > M._SHOT_CUT
+        )
+        assert r.n_frames == n
+        assert r.n_shots == shots
+        assert r.shot_starts.startswith("0")

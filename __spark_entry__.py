@@ -251,6 +251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_jsd_drift": T.vocab_jsd_drift,
         # video shot segmentation: UDF frame stage feeding window analytics
         "multimodal_shot_bounds": M.multimodal_shot_bounds,
+        # capstone: one-row corpus health dashboard over the quality families
+        "corpus_health_report": C.corpus_health_report,
     }
 
 
@@ -419,4 +421,5 @@ def oracle_sql() -> dict[str, str]:
         "winsorize_values": A.WINSORIZE_SQL,
         "vocab_jsd_drift": T.VOCAB_JSD_SQL,
         "multimodal_shot_bounds": M.MULTIMODAL_SHOTS_SQL,
+        "corpus_health_report": C.CORPUS_HEALTH_SQL,
     }

@@ -1311,3 +1311,126 @@ ORDER BY source
 """
 
 DOREMI_SQL = DOREMI_SQL.replace("{unigram}", T.UNIGRAM_LOGPROB_SQL)
+
+
+# --------------------------------------------------------------------------
+# Corpus health report (one-row dashboard over the quality families)
+# --------------------------------------------------------------------------
+
+
+def corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE row summarizing corpus health — the number a data lead reads
+    before any training run: size, duplication (exact rate + near-dup
+    pair count), mean quality, language balance (entropy), benchmark
+    contamination rate, token volume.  Each signal is an already-audited
+    operator's aggregate; composing them into a single row proves the
+    report is one job, not six notebooks.
+
+    Every input collapses to a 1-row (or |langs|-row) aggregate before
+    the final crossJoin of broadcasts — the corpus-scale work is the
+    scans the underlying operators already do; entropy's Σ p·ln p runs
+    over |langs| terms in decimal (order-free).
+    """
+    from ..functions import portable_hash64
+    from . import dedup as D
+    from . import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(portable_hash64("text")).alias("n_distinct"),
+    )
+    qc = T.quality_columns()
+    qual = docs.select(
+        qc["quality"].cast("decimal(38,18)").alias("q"),
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("nt"),
+    ).agg(
+        (F.sum("q") / F.count(F.lit(1))).cast("double").alias("mean_quality"),
+        F.sum("nt").alias("total_tokens"),
+    )
+    lang_counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    lang_tot = lang_counts.agg(F.sum("n").alias("t"))
+    p = F.col("n").cast("double") / F.col("t")
+    entropy = (
+        lang_counts.crossJoin(F.broadcast(lang_tot))
+        .select((-(p * F.log(p))).cast("decimal(38,18)").alias("term"))
+        .agg(F.sum("term").cast("double").alias("lang_entropy"))
+    )
+    pairs = D.dedup_minhash_lsh(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("near_dup_pairs")
+    )
+    contam = T.decontaminate(spark, sf_dir).agg(
+        F.sum(F.when(F.col("contaminated"), 1).otherwise(0))
+        .cast("bigint").alias("n_contaminated"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    return (
+        base.crossJoin(F.broadcast(qual))
+        .crossJoin(F.broadcast(entropy))
+        .crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(contam))
+        .select(
+            "n_docs",
+            (
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_docs")
+            ).alias("exact_dup_rate"),
+            "near_dup_pairs",
+            "mean_quality",
+            "lang_entropy",
+            "total_tokens",
+            (
+                F.col("n_contaminated").cast("double") / F.col("n_checked")
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+CORPUS_HEALTH_SQL = f"""
+WITH base AS (
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT {portable_hash64_sql('text')}) AS n_distinct
+    FROM documents
+),
+qual AS (
+    SELECT CAST(SUM(CAST(quality AS DECIMAL(38,18))) / COUNT(*) AS DOUBLE)
+               AS mean_quality
+    FROM ({{quality}}) q
+),
+toks AS (
+    SELECT CAST(SUM(CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT))
+                AS BIGINT) AS total_tokens
+    FROM documents
+),
+lc AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+lt AS (SELECT SUM(n) AS t FROM lc),
+ent AS (
+    SELECT CAST(SUM(CAST(-(CAST(n AS DOUBLE) / t)
+                         * LN(CAST(n AS DOUBLE) / t) AS DECIMAL(38,18)))
+                AS DOUBLE) AS lang_entropy
+    FROM lc, lt
+),
+pairs AS (SELECT COUNT(*) AS near_dup_pairs FROM ({{lsh}}) p),
+contam AS (
+    SELECT CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated,
+           COUNT(*) AS n_checked
+    FROM ({{decon}}) c
+)
+SELECT base.n_docs,
+       1.0 - CAST(base.n_distinct AS DOUBLE) / base.n_docs AS exact_dup_rate,
+       pairs.near_dup_pairs,
+       qual.mean_quality,
+       ent.lang_entropy,
+       toks.total_tokens,
+       CAST(contam.n_contaminated AS DOUBLE) / contam.n_checked
+           AS contamination_rate
+FROM base, qual, toks, ent, pairs, contam
+"""
+
+CORPUS_HEALTH_SQL = (
+    CORPUS_HEALTH_SQL
+    .replace("{quality}", T.QUALITY_SQL)
+    .replace("{lsh}", D.DEDUP_MINHASH_SQL.replace("ORDER BY doc_a, doc_b", ""))
+    .replace("{decon}", T.DECONTAMINATE_SQL.replace("ORDER BY d.doc_id", ""))
+)

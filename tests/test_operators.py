@@ -2562,3 +2562,29 @@ def test_shot_bounds_segment_every_video(spark):
         assert r.n_frames == n
         assert r.n_shots == shots
         assert r.shot_starts.startswith("0")
+
+
+def test_corpus_health_report_reconciles_with_components(spark):
+    """Each reported number must equal its standalone operator's result:
+    near-dup pairs, contamination rate, token total, language entropy."""
+    import math
+
+    import clickhouse_sinker_nali_spark.operators.curation as C
+    import clickhouse_sinker_nali_spark.operators.dedup as D
+    import clickhouse_sinker_nali_spark.operators.text as T
+
+    r = C.corpus_health_report(spark, SF_DIR).collect()[0]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    assert r.n_docs == len(docs)
+    assert r.near_dup_pairs == D.dedup_minhash_lsh(spark, SF_DIR).count()
+    decon = T.decontaminate(spark, SF_DIR).collect()
+    rate = sum(1 for x in decon if x.contaminated) / len(decon)
+    assert abs(r.contamination_rate - rate) < 1e-12
+    assert r.total_tokens == sum(len(d.text.split()) for d in docs)
+    from collections import Counter
+
+    lc = Counter(d.lang for d in docs)
+    t = sum(lc.values())
+    ent = -sum((n / t) * math.log(n / t) for n in lc.values())
+    assert abs(r.lang_entropy - ent) < 1e-9
+    assert 0.0 <= r.exact_dup_rate < 1.0

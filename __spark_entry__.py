@@ -253,6 +253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_shot_bounds": M.multimodal_shot_bounds,
         # capstone: one-row corpus health dashboard over the quality families
         "corpus_health_report": C.corpus_health_report,
+        # per-key salt factors from the observed histogram (AQE-free skew fix)
+        "skew_join_adaptive": SC.skew_join_adaptive,
     }
 
 
@@ -422,4 +424,5 @@ def oracle_sql() -> dict[str, str]:
         "vocab_jsd_drift": T.VOCAB_JSD_SQL,
         "multimodal_shot_bounds": M.MULTIMODAL_SHOTS_SQL,
         "corpus_health_report": C.CORPUS_HEALTH_SQL,
+        "skew_join_adaptive": SC.SKEW_ADAPTIVE_SQL,
     }

@@ -460,3 +460,89 @@ def row_ttl_filter(df: DataFrame, ts_col: str, keep_days: int, now_ts: str) -> D
     return df.filter(
         F.col(ts_col) >= F.to_timestamp(F.lit(now_ts)) - F.expr(f"INTERVAL {int(keep_days)} DAYS")
     )
+
+
+# --------------------------------------------------------------------------
+# Adaptive skew salting: derive per-key salt factors from observed skew
+# --------------------------------------------------------------------------
+
+SALT_TARGET_ROWS = 20  # target rows per (key, salt) reducer slice
+
+
+def adaptive_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_salt_source: Column,
+    target_rows: int = SALT_TARGET_ROWS,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted equi-join whose salt factor is PER KEY, derived from the
+    left side's observed key histogram — the production form of
+    :func:`salted_join`: a fixed global n_salts over-replicates the right
+    side for every COLD key (n_salts× shuffle on rows that never needed
+    it) while under-splitting the hottest ones; here each key gets
+    ``ceil(count/target)`` salts, so replication is paid exactly where
+    skew exists.
+
+    The histogram is one map-combined count on the join key (tiny
+    relation, broadcast back onto BOTH sides); row-level results remain
+    identical to the plain join — pinned by the oracle running unsalted.
+    At 100 TB the histogram pass is the same scan AQE's skew-join
+    statistics come from; this operator is the declarative version that
+    also works for aggregate-free shuffles AQE cannot rewrite.
+    """
+    hist = left.groupBy(on).agg(F.count(F.lit(1)).alias("__n"))
+    factors = hist.select(
+        on,
+        F.greatest(
+            F.lit(1), F.ceil(F.col("__n") / F.lit(target_rows))
+        ).cast("int").alias("__nsalt"),
+    )
+    l_f = left.join(F.broadcast(factors), on)
+    salted_l = l_f.withColumn(
+        "__salt", F.pmod(F.xxhash64(left_salt_source), F.col("__nsalt"))
+    ).drop("__nsalt")
+    r_f = right.join(F.broadcast(factors), on)
+    salted_r = r_f.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.col("__nsalt") - 1))
+    ).drop("__nsalt")
+    return salted_l.join(salted_r, [on, "__salt"], how).drop("__salt")
+
+
+def skew_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted-join revenue rollup with PER-KEY salt factors derived
+    from the lineitem key histogram; oracle = the plain unsalted join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = adaptive_salted_join(li, orders, "l_orderkey", F.col("l_linenumber"))
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).cast("decimal(18,4)")
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SKEW_ADAPTIVE_SQL = """
+SELECT o.o_orderpriority,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""

@@ -2588,3 +2588,27 @@ def test_corpus_health_report_reconciles_with_components(spark):
     ent = -sum((n / t) * math.log(n / t) for n in lc.values())
     assert abs(r.lang_entropy - ent) < 1e-9
     assert 0.0 <= r.exact_dup_rate < 1.0
+
+
+def test_adaptive_salted_join_matches_plain_and_scales_salts(spark):
+    """Row-level parity with the plain join on a skewed fixture, and the
+    derived salt factor must grow with key frequency (hot key gets more
+    salts than a singleton)."""
+    import math
+
+    import clickhouse_sinker_nali_spark.operators.scale as SC
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(100)] + [(2, 0), (3, 0)], ["k", "v"]
+    )
+    right = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "tag"])
+    plain = sorted(
+        (r.k, r.v, r.tag) for r in left.join(right, "k").collect()
+    )
+    salted = sorted(
+        (r.k, r.v, r.tag)
+        for r in SC.adaptive_salted_join(left, right, "k", F.col("v")).collect()
+    )
+    assert salted == plain
+    hist = {r.k: r["__n"] for r in left.groupBy("k").agg(F.count(F.lit(1)).alias("__n")).collect()}
+    assert math.ceil(hist[1] / SC.SALT_TARGET_ROWS) > 1  # hot key genuinely split

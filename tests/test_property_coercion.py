@@ -256,3 +256,45 @@ def test_normalize_text_idempotent_and_clean(spark, texts):
         assert "  " not in nt
         assert not any(ord(c) < 0x20 or 0x7F <= ord(c) <= 0x9F for c in nt)
         assert again[r.doc_id] == nt, "normalize_text is not idempotent"
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="\x00"
+            ),
+            min_size=0,
+            max_size=64,
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_portable_hash64_parity_spark_duckdb(spark, strings):
+    """The 60-bit portable hash — the foundation under every dedup /
+    shard / sampling / shuffle gate — must agree bit-for-bit between
+    Spark and DuckDB on arbitrary unicode strings."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_sinker_nali_spark.functions import portable_hash64
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r.s: r.h
+        for r in df.select("s", portable_hash64("s").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in strings:
+        (h,) = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+        ).fetchone()
+        assert got[s] == h, f"hash divergence on {s!r}"

@@ -255,6 +255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_health_report": C.corpus_health_report,
         # per-key salt factors from the observed histogram (AQE-free skew fix)
         "skew_join_adaptive": SC.skew_join_adaptive,
+        # retrieval evaluation: MRR + nDCG vs an independent truth signal
+        "ir_eval_metrics": T.ir_eval_metrics,
     }
 
 
@@ -425,4 +427,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_shot_bounds": M.MULTIMODAL_SHOTS_SQL,
         "corpus_health_report": C.CORPUS_HEALTH_SQL,
         "skew_join_adaptive": SC.SKEW_ADAPTIVE_SQL,
+        "ir_eval_metrics": T.IR_EVAL_SQL,
     }

@@ -2612,3 +2612,57 @@ def test_adaptive_salted_join_matches_plain_and_scales_salts(spark):
     assert salted == plain
     hist = {r.k: r["__n"] for r in left.groupBy("k").agg(F.count(F.lit(1)).alias("__n")).collect()}
     assert math.ceil(hist[1] / SC.SALT_TARGET_ROWS) > 1  # hot key genuinely split
+
+
+def test_ir_eval_metrics_agree_with_driver_recompute(spark):
+    """MRR/nDCG per query must match a driver-side recomputation of the
+    bigram-cosine ranking judged by 5-gram overlap."""
+    import math
+    from collections import Counter
+
+    import clickhouse_sinker_nali_spark.operators.text as T
+
+    rows = {r.qid: r for r in T.ir_eval_metrics(spark, SF_DIR).collect()}
+    docs = {r.doc_id: r.text.split() for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()}
+    grams2 = {d: Counter(" ".join(w[i:i+2]) for i in range(len(w) - 1)) for d, w in docs.items()}
+    set5 = {d: set(" ".join(w[i:i+5]) for i in range(len(w) - 4)) for d, w in docs.items()}
+    df2 = Counter()
+    for d, g in grams2.items():
+        for t in set(g):
+            df2[t] += 1
+    n = len(docs)
+    qids = [d for d in docs if d % T._BENCH_MOD == 0]
+    assert set(rows) <= set(qids)
+    for qid in rows:
+        wq = {
+            t: c * (math.log((n + 1) / (df2[t] + 1)) + 1.0)
+            for t, c in grams2[qid].items() if df2[t] <= T._IR_MAX_DF
+        }
+        nq = math.sqrt(sum(v * v for v in wq.values()))
+        scored = []
+        for cid, g in grams2.items():
+            if cid % T._BENCH_MOD == 0:
+                continue
+            wc = {
+                t: c * (math.log((n + 1) / (df2[t] + 1)) + 1.0)
+                for t, c in g.items() if df2[t] <= T._IR_MAX_DF
+            }
+            dot = sum(v * wc[t] for t, v in wq.items() if t in wc)
+            if dot == 0:
+                continue
+            nc = math.sqrt(sum(v * v for v in wc.values()))
+            scored.append((dot / (nq * nc), cid))
+        top = sorted(scored, key=lambda t: (-t[0], t[1]))[: T._IR_K]
+        rel_ranks = [
+            i + 1 for i, (_, cid) in enumerate(top)
+            if set5[qid] & set5[cid]
+        ]
+        r = rows[qid]
+        assert r.n_retrieved == len(top)
+        if rel_ranks:
+            assert r.first_rel_rank == rel_ranks[0]
+            assert abs(r.rr - 1.0 / rel_ranks[0]) < 1e-9
+            dcg = sum(1.0 / (math.log(k + 1.0) / math.log(2.0)) for k in rel_ranks)
+            assert abs(r.dcg - dcg) < 1e-6
+        else:
+            assert r.first_rel_rank is None and r.rr == 0.0 and r.dcg == 0.0

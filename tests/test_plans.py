@@ -677,3 +677,31 @@ def test_asof_variants_is_union_merge_not_join_fanout(spark):
     for frag in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                  "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert frag not in plan, f"unexpected {frag} in union-merge as-of"
+
+
+def test_bigram_kn_windows_and_aggregates_stay_keyed(spark):
+    """The bigram extraction window must be partitioned per doc, and both
+    count aggregates must map-side combine (partial agg present)."""
+    df = T.bigram_kn_logprob(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    windows = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    doc_keyed = [ln for ln in windows if "doc_id" in ln]
+    # the lead() bigram windows ride the doc key; the single permitted
+    # unpartitioned window is the vocab-sized continuation normalizer
+    assert doc_keyed
+    assert len(windows) - len(doc_keyed) <= 1
+    assert partial_aggregation_present(df)
+
+
+def test_ir_eval_candidates_come_from_equi_join_not_crossproduct(spark):
+    """Retrieval candidates must flow through term-key equi-joins; a
+    cartesian/nested-loop between query and corpus sides would be the
+    all-pairs wall the postings design exists to avoid."""
+    df = T.ir_eval_metrics(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # 1-row scalar attaches (the corpus-size broadcast, re-instantiated
+    # per weights consumer) surface as BroadcastNestedLoopJoin; four
+    # consumers -> four attaches, all with a 1-row build side
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)         or ("BroadcastHashJoin" in plan)

@@ -257,6 +257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_join_adaptive": SC.skew_join_adaptive,
         # retrieval evaluation: MRR + nDCG vs an independent truth signal
         "ir_eval_metrics": T.ir_eval_metrics,
+        # engagement distribution: session survival curve S(t)
+        "session_survival": A.session_survival,
     }
 
 
@@ -428,4 +430,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_health_report": C.CORPUS_HEALTH_SQL,
         "skew_join_adaptive": SC.SKEW_ADAPTIVE_SQL,
         "ir_eval_metrics": T.IR_EVAL_SQL,
+        "session_survival": A.SESSION_SURVIVAL_SQL,
     }

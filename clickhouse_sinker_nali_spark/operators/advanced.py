@@ -1892,3 +1892,109 @@ FROM events e JOIN caps c USING (event_type)
 GROUP BY e.event_type
 ORDER BY e.event_type
 """
+
+
+# --------------------------------------------------------------------------
+# Session survival curve (duration distribution as S(t) = P[duration >= t])
+# --------------------------------------------------------------------------
+
+_SURV_BUCKET_S = 300  # 5-minute survival grid
+
+
+def session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve of session durations: for each 5-minute mark t,
+    the fraction of sessions still alive at t — the engagement
+    distribution product analytics reads (where a mean hides the shape,
+    S(t) shows the cliff), computed as a complementary cumulative count.
+
+    Sessionization is the audited 30-min-gap operator re-derived in one
+    pass (two user-keyed windows); durations aggregate per session, then
+    the survival grid is the classic explode-to-marks trick from
+    ``sliding_distinct_users``: each session contributes a row to every
+    mark ≤ its duration, so S(t) is one map-combined count per mark —
+    no window over the session table at all.  Fractions emit as RAW
+    doubles (single division of exact integers).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp_ltz").cast("double")
+    gap = sec - F.lag(sec, 1).over(w)
+    marked = ev.select(
+        "user_id",
+        sec.alias("sec"),
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_start"),
+    )
+    sess = marked.select(
+        "user_id",
+        F.sum("is_start")
+        .over(w.orderBy("sec").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("session_id"),
+        "sec",
+    )
+    durs = sess.groupBy("user_id", "session_id").agg(
+        (F.max("sec") - F.min("sec")).alias("duration")
+    )
+    totals = durs.agg(F.count(F.lit(1)).alias("n_sessions"))
+    marks = durs.select(
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor(F.col("duration") / _SURV_BUCKET_S).cast("int"),
+            )
+        ).alias("mark")
+    )
+    return (
+        marks.groupBy("mark")
+        .agg(F.count(F.lit(1)).alias("n_alive"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            (F.col("mark") * _SURV_BUCKET_S).cast("bigint").alias("t_seconds"),
+            "n_alive",
+            (F.col("n_alive").cast("double") / F.col("n_sessions")).alias(
+                "survival"
+            ),
+        )
+        .orderBy("t_seconds")
+    )
+
+
+SESSION_SURVIVAL_SQL = f"""
+WITH marked AS (
+    SELECT user_id, epoch(ts) AS sec,
+           CASE WHEN lag_sec IS NULL OR epoch(ts) - lag_sec > 1800
+                THEN 1 ELSE 0 END AS is_start
+    FROM (
+        SELECT user_id, ts, event_id,
+               LAG(epoch(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS lag_sec
+        FROM events
+    )
+),
+sess AS (
+    SELECT user_id,
+           CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY sec
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id,
+           sec
+    FROM marked
+),
+durs AS (
+    SELECT user_id, session_id, MAX(sec) - MIN(sec) AS duration
+    FROM sess GROUP BY user_id, session_id
+),
+totals AS (SELECT COUNT(*) AS n_sessions FROM durs),
+marks AS (
+    SELECT unnest(range(0, CAST(FLOOR(duration / {_SURV_BUCKET_S}) AS BIGINT) + 1))
+        AS mark
+    FROM durs
+)
+SELECT CAST(mark * {_SURV_BUCKET_S} AS BIGINT) AS t_seconds,
+       COUNT(*) AS n_alive,
+       CAST(COUNT(*) AS DOUBLE) / t.n_sessions AS survival
+FROM marks, totals t
+GROUP BY mark, t.n_sessions
+ORDER BY t_seconds
+"""

@@ -2666,3 +2666,34 @@ def test_ir_eval_metrics_agree_with_driver_recompute(spark):
             assert abs(r.dcg - dcg) < 1e-6
         else:
             assert r.first_rel_rank is None and r.rr == 0.0 and r.dcg == 0.0
+
+
+def test_session_survival_is_monotone_and_anchored(spark):
+    """S(0) must equal 1 (every session alive at t=0), survival must be
+    non-increasing, and counts must reconcile with a driver-side
+    sessionization."""
+    import clickhouse_sinker_nali_spark.operators.advanced as A
+
+    rows = A.session_survival(spark, SF_DIR).collect()
+    assert rows[0].t_seconds == 0 and abs(rows[0].survival - 1.0) < 1e-12
+    surv = [r.survival for r in rows]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    ev = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    import calendar
+
+    sessions = []
+    prev_user = prev_sec = None
+    for e in ev:
+        sec = calendar.timegm(e.ts.timetuple()) + e.ts.microsecond / 1e6
+        if e.user_id != prev_user or prev_sec is None or sec - prev_sec > 1800:
+            sessions.append([sec, sec])
+        else:
+            sessions[-1][1] = sec
+        prev_user, prev_sec = e.user_id, sec
+    assert rows[0].n_alive == len(sessions)
+    for r in rows[:8]:
+        alive = sum(1 for s, e in sessions if (e - s) >= r.t_seconds)
+        assert r.n_alive == alive

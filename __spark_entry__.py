@@ -259,6 +259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ir_eval_metrics": T.ir_eval_metrics,
         # engagement distribution: session survival curve S(t)
         "session_survival": A.session_survival,
+        # first-order Markov behavior model: P(next event | current)
+        "event_transitions": A.event_transitions,
     }
 
 
@@ -431,4 +433,5 @@ def oracle_sql() -> dict[str, str]:
         "skew_join_adaptive": SC.SKEW_ADAPTIVE_SQL,
         "ir_eval_metrics": T.IR_EVAL_SQL,
         "session_survival": A.SESSION_SURVIVAL_SQL,
+        "event_transitions": A.EVENT_TRANSITIONS_SQL,
     }

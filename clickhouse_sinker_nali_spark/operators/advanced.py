@@ -1998,3 +1998,63 @@ FROM marks, totals t
 GROUP BY mark, t.n_sessions
 ORDER BY t_seconds
 """
+
+
+# --------------------------------------------------------------------------
+# Event transition matrix (first-order Markov model of user behavior)
+# --------------------------------------------------------------------------
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: for every
+    (current → next) pair within a user's stream, the transition count
+    and P(next | current) — the behavioral model behind next-action
+    prediction, funnel diagnosis, and bot detection (uniform rows flag
+    scripted traffic).
+
+    One LEAD window per user (high-cardinality key) and one |types|²
+    aggregate; probabilities are single divisions of exact integer
+    counts (raw doubles out — the portable-ROUND discipline).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    counts = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    row_tot = counts.groupBy("cur").agg(F.sum("n").alias("t"))
+    return (
+        counts.join(F.broadcast(row_tot), "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            (F.col("n").cast("double") / F.col("t")).alias("p"),
+        )
+        .orderBy("cur", "nxt")
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH pairs AS (
+    SELECT cur, nxt FROM (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+        FROM events
+    ) WHERE nxt IS NOT NULL
+),
+counts AS (SELECT cur, nxt, COUNT(*) AS n FROM pairs GROUP BY cur, nxt),
+row_tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS t FROM counts GROUP BY cur)
+SELECT c.cur, c.nxt, c.n,
+       CAST(c.n AS DOUBLE) / r.t AS p
+FROM counts c JOIN row_tot r USING (cur)
+ORDER BY c.cur, c.nxt
+"""

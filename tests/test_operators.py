@@ -2697,3 +2697,28 @@ def test_session_survival_is_monotone_and_anchored(spark):
     for r in rows[:8]:
         alive = sum(1 for s, e in sessions if (e - s) >= r.t_seconds)
         assert r.n_alive == alive
+
+
+def test_event_transitions_rows_are_distributions(spark):
+    """Each current-state row's probabilities must sum to 1, the pair
+    count total must equal events minus one per user stream, and the
+    counts must match a driver-side recount."""
+    from collections import Counter
+
+    import clickhouse_sinker_nali_spark.operators.advanced as A
+
+    rows = A.event_transitions(spark, SF_DIR).collect()
+    by_cur = {}
+    for r in rows:
+        by_cur.setdefault(r.cur, []).append(r)
+    for cur, rs in by_cur.items():
+        assert abs(sum(r.p for r in rs) - 1.0) < 1e-9
+    ev = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    expect = Counter()
+    for a, b in zip(ev, ev[1:]):
+        if a.user_id == b.user_id:
+            expect[(a.event_type, b.event_type)] += 1
+    assert {(r.cur, r.nxt): r.n for r in rows} == dict(expect)

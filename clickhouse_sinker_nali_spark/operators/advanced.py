@@ -1393,7 +1393,7 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     regs = (
         ev.select(
-            (h / F.lit(1 << _HLL_REM_BITS)).cast("bigint").alias("bucket"),
+            F.shiftright(h, _HLL_REM_BITS).alias("bucket"),
             rho.alias("rho"),
         )
         .groupBy("bucket")
@@ -1549,10 +1549,17 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_intersection"),
         )
     )
-    est_union = F.round(
-        F.lit(float(_KMV_K - 1))
-        / (F.col("kth_hash").cast("double") / F.lit(_KMV_SPACE)),
-        4,
+    # Under-filled sketch (fewer than K distinct hashes exist): the sketch
+    # IS the exact set, so return k_used rather than the (K-1)/u estimator,
+    # which would systematically overestimate small inputs.
+    est_union = F.when(
+        F.col("k_used") < _KMV_K, F.col("k_used").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(_KMV_K - 1))
+            / (F.col("kth_hash").cast("double") / F.lit(_KMV_SPACE)),
+            4,
+        )
     )
     jac = F.col("n_both").cast("double") / F.col("k_used").cast("double")
     return (
@@ -1614,13 +1621,17 @@ ex AS (
 )
 SELECT '{_KMV_TYPE_A}' AS type_a, '{_KMV_TYPE_B}' AS type_b,
        ex.exact_union, ex.exact_intersection,
-       ROUND({float(_KMV_K - 1)!r}
-             / (CAST(agg.kth_hash AS DOUBLE) / {_KMV_SPACE}), 4) AS est_union,
+       CASE WHEN agg.k_used < {_KMV_K} THEN CAST(agg.k_used AS DOUBLE)
+            ELSE ROUND({float(_KMV_K - 1)!r}
+                       / (CAST(agg.kth_hash AS DOUBLE) / {_KMV_SPACE}), 4)
+       END AS est_union,
        ROUND(CAST(agg.n_both AS DOUBLE) / CAST(agg.k_used AS DOUBLE), 6)
            AS est_jaccard,
        ROUND(CAST(agg.n_both AS DOUBLE) / CAST(agg.k_used AS DOUBLE)
-             * ROUND({float(_KMV_K - 1)!r}
-                     / (CAST(agg.kth_hash AS DOUBLE) / {_KMV_SPACE}), 4), 4)
+             * CASE WHEN agg.k_used < {_KMV_K} THEN CAST(agg.k_used AS DOUBLE)
+                    ELSE ROUND({float(_KMV_K - 1)!r}
+                               / (CAST(agg.kth_hash AS DOUBLE) / {_KMV_SPACE}), 4)
+               END, 4)
            AS est_intersection
 FROM agg, ex
 """
@@ -1923,13 +1934,17 @@ def session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap = sec - F.lag(sec, 1).over(w)
     marked = ev.select(
         "user_id",
+        "event_id",
         sec.alias("sec"),
         F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("is_start"),
     )
+    # Tiebreak the running sum on event_id as well: two same-timestamp
+    # events of one user would otherwise make the session assignment
+    # nondeterministic across retries/partitionings and across engines.
     sess = marked.select(
         "user_id",
         F.sum("is_start")
-        .over(w.orderBy("sec").rowsBetween(Window.unboundedPreceding, 0))
+        .over(w.orderBy("sec", "event_id").rowsBetween(Window.unboundedPreceding, 0))
         .cast("bigint")
         .alias("session_id"),
         "sec",
@@ -1963,7 +1978,7 @@ def session_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSION_SURVIVAL_SQL = f"""
 WITH marked AS (
-    SELECT user_id, epoch(ts) AS sec,
+    SELECT user_id, event_id, epoch(ts) AS sec,
            CASE WHEN lag_sec IS NULL OR epoch(ts) - lag_sec > 1800
                 THEN 1 ELSE 0 END AS is_start
     FROM (
@@ -1975,7 +1990,7 @@ WITH marked AS (
 ),
 sess AS (
     SELECT user_id,
-           CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY sec
+           CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY sec, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS session_id,
            sec

@@ -556,7 +556,17 @@ def ingest_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.pmod(F.sum(F.col("fp")), F.lit(1 << 60)).alias("content_checksum"),
+            # sum in DECIMAL(38,0): fp is 60-bit, so a BIGINT sum would wrap
+            # after ~8 rows — only "correct" under non-ANSI overflow
+            # semantics; ANSI mode (the Spark 4 default for caller-supplied
+            # sessions) would throw at runtime.  The decimal sum matches the
+            # oracle's HUGEINT sum exactly.
+            F.pmod(
+                F.sum(F.col("fp").cast("decimal(38,0)")),
+                F.lit(1 << 60).cast("decimal(38,0)"),
+            )
+            .cast("bigint")
+            .alias("content_checksum"),
         )
         .orderBy("file")
     )

@@ -492,6 +492,14 @@ def adaptive_salted_join(
     statistics come from; this operator is the declarative version that
     also works for aggregate-free shuffles AQE cannot rewrite.
     """
+    if how != "inner":
+        # Both sides are pre-joined (inner) against the left-derived factor
+        # table, so any non-inner `how` would silently drop right-only keys
+        # and outer-null rows — refuse rather than diverge from the plain
+        # join this function promises row-identical results with.
+        raise ValueError(
+            f"adaptive_salted_join supports how='inner' only, got {how!r}"
+        )
     hist = left.groupBy(on).agg(F.count(F.lit(1)).alias("__n"))
     factors = hist.select(
         on,

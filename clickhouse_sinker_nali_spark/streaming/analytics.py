@@ -421,7 +421,7 @@ def streaming_hll_registers(events_stream: DataFrame, store_path: str):
         F.lit(_HLL_REM_BITS + 1) - F.length(F.bin(rem))
     )
     per_row = events_stream.select(
-        (h / F.lit(1 << _HLL_REM_BITS)).cast("bigint").alias("bucket"),
+        F.shiftright(h, _HLL_REM_BITS).alias("bucket"),
         rho.alias("rho"),
     )
 

@@ -206,7 +206,11 @@ def bench_ingest_apache(spark) -> tuple[float, list[float]]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark("bench")
+    # Progress bars share stdout with the result line and have clobbered the
+    # driver's tail-capture three rounds running — keep stdout JSON-only.
+    spark = get_spark(
+        "bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM + parquet footers once so per-query numbers measure the
@@ -227,24 +231,29 @@ def main() -> None:
     apache_rps, apache_reps = bench_ingest_apache(spark)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "query_reps": query_reps,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "ingest_parse_rows_per_sec": round(parse_rps),
-                "ingest_rows_per_sec": round(full_rps),
-                "ingest_apache_log_rows_per_sec": round(apache_rps),
-                "ingest_parse_reps_sec": parse_reps,
-                "ingest_full_reps_sec": full_reps,
-                "ingest_apache_reps_sec": apache_reps,
-            }
-        )
+    result = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "query_reps": query_reps,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "ingest_parse_rows_per_sec": round(parse_rps),
+            "ingest_rows_per_sec": round(full_rps),
+            "ingest_apache_log_rows_per_sec": round(apache_rps),
+            "ingest_parse_reps_sec": parse_reps,
+            "ingest_full_reps_sec": full_reps,
+            "ingest_apache_reps_sec": apache_reps,
+        }
     )
+    # Also persist to a file: the driver tail-captures stdout, and JVM noise
+    # has corrupted that capture in past rounds — the file is the durable copy.
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.out.json")
+    with open(out_path, "w") as f:
+        f.write(result + "\n")
+    print(result)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -64,15 +64,22 @@ def with_retries(
     backoff_s: float = 0.1,
     sleep: Callable[[float], None] = time.sleep,
     on_rotate: Callable[[], None] | None = None,
+    should_rotate: Callable[[Exception], bool] | None = None,
 ) -> int:
     """Replica-rotating retry loop (K3).
 
     Calls ``fn(replica_idx)``; on failure rotates to the next replica with
     backoff, up to ``retry_times`` full rotations (retry_times <= 0 →
     infinite, the reference's default).  Returns the replica index that
-    succeeded.  The reference reconnects only on connectivity-class errors
-    (CH codes 242/319/1000) — callers can pre-filter by re-raising
-    non-retryable exceptions from ``fn``.
+    succeeded.
+
+    ``should_rotate(exc)`` implements the reference's ``shouldReconnect``
+    filter (output/clickhouse_util.go:16-30): a server error that would
+    fail identically on every replica (anything but CH codes 242/319/1000)
+    re-raises immediately instead of burning the rotation budget — pass
+    :func:`..streaming.chdialect.should_reconnect` when the sink speaks
+    ClickHouse.  Default: every failure rotates (non-server errors are
+    connection-suspect).
     """
     attempt = 0
     while True:
@@ -80,7 +87,9 @@ def with_retries(
         try:
             fn(replica)
             return replica
-        except Exception:
+        except Exception as e:
+            if should_rotate is not None and not should_rotate(e):
+                raise
             attempt += 1
             if on_rotate is not None:  # ClickhouseReconnectTotal analog
                 on_rotate()
@@ -203,6 +212,8 @@ class JdbcClickHouseSink:
             # reference default: whole batch to one shard, stable by epoch
             parts = [None] * shards
             parts[epoch_id % shards] = df
+        from .chdialect import should_reconnect
+
         for s, part in enumerate(parts):
             if part is None:
                 continue
@@ -220,6 +231,9 @@ class JdbcClickHouseSink:
                 replicas=len(replicas),
                 retry_times=self.retry_times,
                 on_rotate=on_rotate,
+                # shouldReconnect parity: a non-replica-specific CH server
+                # error fails fast instead of rotating replicas
+                should_rotate=should_reconnect,
             )
 
 

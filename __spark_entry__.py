@@ -261,6 +261,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_survival": A.session_survival,
         # first-order Markov behavior model: P(next event | current)
         "event_transitions": A.event_transitions,
+        # hard-negative mining on the IVF-PQ scale path (probe -> ADC
+        # shortlist with label predicate -> exact re-rank)
+        "hard_negatives_ivfpq": S.hard_negatives_ivfpq,
+        # embedding near-dup pairs blocked on the IVF cell id (bounded
+        # blocks; the scale form of dedup_embedding_cosine)
+        "dedup_embedding_cosine_cells": D.dedup_embedding_cosine_cells,
     }
 
 
@@ -434,4 +440,6 @@ def oracle_sql() -> dict[str, str]:
         "ir_eval_metrics": T.IR_EVAL_SQL,
         "session_survival": A.SESSION_SURVIVAL_SQL,
         "event_transitions": A.EVENT_TRANSITIONS_SQL,
+        "hard_negatives_ivfpq": S.HARD_NEGATIVES_IVFPQ_SQL,
+        "dedup_embedding_cosine_cells": D._dedup_cells_sql(),
     }

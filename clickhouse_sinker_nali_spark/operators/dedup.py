@@ -488,30 +488,80 @@ DEDUP_SIMHASH_SQL = (
 # --------------------------------------------------------------------------
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup vector pairs: cosine ≥ 0.4 within a blocking key (label).
+def embedding_block_pairs(
+    emb: DataFrame,
+    block_col,
+    threshold: float = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    block_name: str = "label",
+) -> DataFrame:
+    """Blocked near-dup pair generation: all (a, b) pairs sharing the
+    blocking key with cosine ≥ threshold.
 
-    Blocking on the coarse cluster label keeps the pairwise verify
-    per-block (in production the block key is an IVF/LSH bucket, same
-    shape).  Cosine is the JVM-side zip_with/aggregate fold — doubles, no
-    Python, deterministic.
+    ``block_col`` is any Column expression — the parameter that decides
+    whether this scales: a FIXED-cardinality key (like the test corpus's
+    ``label``) makes each block grow linearly with the corpus and the
+    pairwise verify inside it quadratic; a key whose cardinality grows
+    with N (IVF cell id via :func:`dedup_embedding_cosine_cells`, an LSH
+    band bucket) keeps blocks at a bounded mean size so total cost stays
+    ~N·blocksize.  Cosine is the JVM-side zip_with/aggregate fold —
+    doubles, no Python, deterministic.
     """
     from ..functions import cosine
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    if threshold is None:
+        threshold = COSINE_THRESHOLD
+    keyed = emb.select(
+        block_col.alias(block_name),
+        F.col(id_col).alias("vec_a"),
+        F.col(emb_col).alias("ea"),
     )
-    b = emb.select(
-        F.col("label"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    b = keyed.select(
+        F.col(block_name),
+        F.col("vec_a").alias("vec_b"),
+        F.col("ea").alias("eb"),
     )
     return (
-        a.join(b, "label")
+        keyed.join(b, block_name)
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("label", "vec_a", "vec_b", cosine("ea", "eb").alias("cos_sim"))
-        .filter(F.col("cos_sim") >= COSINE_THRESHOLD)
+        .select(block_name, "vec_a", "vec_b", cosine("ea", "eb").alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup vector pairs: cosine ≥ 0.4 within a blocking key (label).
+
+    The ``label`` block key is the test corpus's stand-in for a coarse
+    cluster id; its cardinality is FIXED, so at production scale use
+    :func:`dedup_embedding_cosine_cells` (IVF cell id — cardinality grows
+    with N, blocks stay bounded) — same plan, different ``block_col``.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_block_pairs(emb, F.col("label"))
+
+
+def dedup_embedding_cosine_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale form of :func:`dedup_embedding_cosine`: block on the IVF
+    cell id (nearest seed centroid) instead of the fixed-cardinality
+    label.  ``ivf_k`` grows the cell count as ceil(N/128), so mean block
+    size is pinned at ~128 vectors and the within-block pairwise work is
+    N·128 — linear in the corpus — where label-blocking would be N²/|labels|.
+
+    The tradeoff (shared with SemDeDup): near-dup pairs straddling a cell
+    boundary are missed; recall comes from probing multiple cells or a
+    second rotated clustering.  Cell assignment is the audited map-side
+    argmax against the centroid literal — zero shuffle before the block
+    equi-join.
+    """
+    from .similarity import _cell_scores, _centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+    cell = F.array_max(_cell_scores(cents, "embedding")).getField("cid")
+    return embedding_block_pairs(emb, cell.cast("bigint"), block_name="cell")
 
 
 DEDUP_EMBEDDING_SQL = f"""
@@ -524,6 +574,41 @@ JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE (list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
         / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))) >= {COSINE_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+def _dedup_cells_sql() -> str:
+    """Oracle for the IVF-cell-blocked variant — built lazily so dedup.py
+    does not import similarity's SQL fragments at module load."""
+    from .similarity import _COS_CT, _COS_QT, _IVF_K_SQL, N_QUERIES  # noqa: F401
+
+    cos_ab = (
+        "(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))))"
+    )
+    return f"""
+WITH kk AS ({_IVF_K_SQL}),
+cent AS (
+    SELECT vec_id - {N_QUERIES} AS cid, embedding FROM embeddings, kk
+    WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES} + kk.k
+),
+cell AS (
+    SELECT vec_id, cid FROM (
+        SELECT c.vec_id, t.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                    ORDER BY {_COS_CT} DESC, t.cid DESC) AS rn
+        FROM embeddings c, cent t
+    ) WHERE rn = 1
+)
+SELECT CAST(ca.cid AS BIGINT) AS cell, ca.vec_id AS vec_a, cb.vec_id AS vec_b,
+       {cos_ab} AS cos_sim
+FROM cell ca
+JOIN cell cb ON ca.cid = cb.cid AND ca.vec_id < cb.vec_id
+JOIN embeddings ea ON ea.vec_id = ca.vec_id
+JOIN embeddings eb ON eb.vec_id = cb.vec_id
+WHERE {cos_ab} >= {COSINE_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
 

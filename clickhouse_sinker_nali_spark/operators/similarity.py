@@ -1559,3 +1559,169 @@ FROM (
 WHERE rank <= {HARDNEG_K}
 ORDER BY query_id, rank
 """
+
+
+HARDNEG_SHORTLIST = 4 * HARDNEG_K  # ADC candidates per query before exact re-rank
+
+
+def hard_negatives_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`hard_negatives` with the IVF-PQ scale path instead of the
+    brute cross product: probe the query's NPROBE nearest cells, shortlist
+    by PQ asymmetric distance WITH the label-inequality predicate applied
+    before ranking, then exact-cosine re-rank only the shortlist against
+    the TRUE embeddings.
+
+    This is the composition the brute miner's docstring promises: at 100 TB
+    the candidate scan touches |corpus|·nprobe/K PQ codes (4 bits/subspace)
+    rather than every float vector, and the exact re-rank reads
+    HARDNEG_SHORTLIST true vectors per query — cost independent of corpus
+    size.  The label predicate prunes BEFORE both ranks, so k hard
+    negatives survive per query regardless of label skew in the probed
+    cells.  All pieces are the audited IVF (cell literals, map-side argmax)
+    and PQ (codebook literal, map-side argmin) constructions; the only
+    shuffles are the cell equi-join and the two per-query rank windows
+    (over ≤ cells·cellsize and ≤ SHORTLIST rows respectively).
+
+    Recall vs the brute miner is pinned by pytest; the oracle replays the
+    full two-stage composition, so membership AND ordering of the final
+    triples must match bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+    cbs = _pq_codebooks(emb)
+    cc = _pq_cc(cbs)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("n_label"),
+        F.array_max(_cell_scores(cents, "embedding")).getField("cid").alias("cid"),
+        _pq_codes_expr(cbs, cc).alias("codes"),
+    )
+    recon = corpus.select(
+        "neg_id", "n_label", "cid", _pq_recon_expr(cbs).alias("recon")
+    )
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("q_label"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.reverse(F.array_sort(_cell_scores(cents, "embedding"))),
+                    1,
+                    NPROBE,
+                ),
+                lambda s: s.getField("cid"),
+            )
+        ).alias("cid"),
+    )
+    shortlisted = (
+        recon.join(broadcast(probes), "cid")
+        .filter(F.col("n_label") != F.col("q_label"))
+        .select(
+            "query_id", "q_label", "qe", "neg_id", "n_label",
+            cosine("qe", "recon").alias("adc_cos"),
+        )
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neg_id")
+    )
+    cand = shortlisted.withColumn("adc_rank", F.row_number().over(w_adc)).filter(
+        F.col("adc_rank") <= HARDNEG_SHORTLIST
+    )
+    exact = cand.join(
+        emb.select(F.col("vec_id").alias("neg_id"), F.col("embedding").alias("ce")),
+        "neg_id",
+    ).select(
+        "query_id", "q_label", "neg_id", "n_label",
+        cosine("qe", "ce").alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARDNEG_K)
+        .select("query_id", "q_label", "rank", "neg_id", "n_label", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+_ADC_PR2 = (
+    "(list_dot_product(p.qe::DOUBLE[], r.recon)"
+    " / (sqrt(list_dot_product(p.qe::DOUBLE[], p.qe::DOUBLE[]))"
+    " * sqrt(list_dot_product(r.recon, r.recon))))"
+)
+_COS_PE = _cos_pair("cand.qe", "e.embedding")
+
+HARD_NEGATIVES_IVFPQ_SQL = f"""
+WITH kk AS ({_IVF_K_SQL}),
+cent AS (
+    SELECT vec_id - {N_QUERIES} AS cid, embedding FROM embeddings, kk
+    WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES} + kk.k
+),
+cell AS (
+    SELECT neighbor_id, cid FROM (
+        SELECT c.vec_id AS neighbor_id, t.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                    ORDER BY {_COS_CT} DESC, t.cid DESC) AS rn
+        FROM embeddings c, cent t
+        WHERE c.vec_id >= {N_QUERIES}
+    ) WHERE rn = 1
+),
+cb AS (
+    SELECT s.range AS s, e.vec_id - {N_QUERIES} AS j,
+           list_slice(e.embedding, s.range * {PQ_SD} + 1,
+                      s.range * {PQ_SD} + {PQ_SD}) AS c
+    FROM embeddings e, range({PQ_M}) s
+    WHERE e.vec_id >= {N_QUERIES} AND e.vec_id < {N_QUERIES} + {PQ_KSUB}
+),
+codes AS (
+    SELECT vec_id, s, j AS code FROM (
+        SELECT x.vec_id, cb.s, cb.j,
+               ROW_NUMBER() OVER (PARTITION BY x.vec_id, cb.s
+                    ORDER BY {_PQ_DIST} ASC, cb.j ASC) AS rn
+        FROM embeddings x, cb
+        WHERE x.vec_id >= {N_QUERIES}
+    ) WHERE rn = 1
+),
+recon AS (
+    SELECT codes.vec_id, cell.cid, e.label AS n_label,
+           flatten(list(cb.c::DOUBLE[] ORDER BY codes.s)) AS recon
+    FROM codes
+    JOIN cb ON cb.s = codes.s AND cb.j = codes.code
+    JOIN cell ON cell.neighbor_id = codes.vec_id
+    JOIN embeddings e ON e.vec_id = codes.vec_id
+    GROUP BY codes.vec_id, cell.cid, e.label
+),
+probes AS (
+    SELECT query_id, qe, q_label, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qe, q.label AS q_label,
+               t.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY {_COS_QT} DESC, t.cid DESC) AS rn
+        FROM embeddings q, cent t
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rn <= {NPROBE}
+),
+cand AS (
+    SELECT query_id, q_label, qe, neg_id, n_label FROM (
+        SELECT p.query_id, p.q_label, p.qe, r.vec_id AS neg_id, r.n_label,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                    ORDER BY {_ADC_PR2} DESC, r.vec_id) AS adc_rank
+        FROM probes p JOIN recon r ON p.cid = r.cid
+        WHERE r.n_label <> p.q_label
+    ) WHERE adc_rank <= {HARDNEG_SHORTLIST}
+)
+SELECT query_id, q_label, rank, neg_id, n_label, cos_sim
+FROM (
+    SELECT cand.query_id, cand.q_label, cand.neg_id, cand.n_label,
+           {_COS_PE} AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                ORDER BY {_COS_PE} DESC, cand.neg_id) AS rank
+    FROM cand JOIN embeddings e ON e.vec_id = cand.neg_id
+)
+WHERE rank <= {HARDNEG_K}
+ORDER BY query_id, rank
+"""

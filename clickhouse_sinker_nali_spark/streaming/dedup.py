@@ -148,6 +148,27 @@ def streaming_dedup_watermark(
 # --------------------------------------------------------------------------
 
 
+N_KEY_BUCKETS = 64  # band-store partition fanout on the bucket-key hash
+
+
+def _key_bucket(key_col) -> "F.Column":
+    """Partition bucket for a band-store row: a stable hash of the LSH
+    bucket key folded to ``N_KEY_BUCKETS``.  Internal layout only (never
+    oracle-compared), so Spark's builtin xxhash64 is fine."""
+    return F.pmod(F.xxhash64(key_col), F.lit(N_KEY_BUCKETS)).cast("int")
+
+
+def probe_band_store(spark, band_store: str, kbs: list[int]) -> DataFrame:
+    """Read ONLY the band-store partitions whose key-bucket appears in the
+    delta — the scan that keeps per-batch probe cost proportional to the
+    batch, not the index.  ``kb`` is a partition column, so the ``isin``
+    filter resolves at planning time (PartitionFilters in the scan node):
+    untouched buckets contribute zero files read no matter how many
+    billions of rows the index holds.  Pinned by plan-shape pytest.
+    """
+    return spark.read.parquet(band_store).filter(F.col("kb").isin(kbs))
+
+
 def streaming_lsh_index_maintenance(
     docs_stream: DataFrame, store_dir: str, pairs_dir: str
 ):
@@ -165,9 +186,11 @@ def streaming_lsh_index_maintenance(
     every qualifying pair has a unique LATER-arriving member that emits it
     exactly once.  Per-batch cost scales with |batch| band rows (equi-join
     probe against the store), not with the corpus — the property that
-    makes a 100 TB index maintainable at all.  The stores are append-only
-    parquet partitioned by ``band`` so the probe prunes to touched
-    partitions; exactly-once append comes from the checkpointed epoch.
+    makes a 100 TB index maintainable at all.  The band store is
+    append-only parquet partitioned by the bucket-key hash (``kb``), and
+    the probe reads only the delta's key-buckets via static partition
+    pruning (:func:`probe_band_store`); exactly-once append comes from the
+    checkpointed epoch.
     """
     import os
 
@@ -182,9 +205,16 @@ def streaming_lsh_index_maintenance(
         sh_delta = batch_df.select(
             "doc_id", F.explode(word_shingles("text", 3)).alias("shingle")
         ).persist()
-        banded_delta = _banded_sigs(sh_delta).persist()
+        banded_delta = (
+            _banded_sigs(sh_delta)
+            .withColumn("kb", _key_bucket(F.col("key")))
+            .persist()
+        )
+        # ≤ N_KEY_BUCKETS scalars — bounded collect, prunes the store scan
+        kbs = [r.kb for r in banded_delta.select("kb").distinct().collect()]
         try:
-            old_bands = spark.read.parquet(band_store)
+            old_bands = probe_band_store(spark, band_store, kbs)
+            old_bands.schema  # force resolution so a missing store raises here
             old_sh = spark.read.parquet(shingle_store)
         except Exception:
             old_bands, old_sh = None, None
@@ -211,7 +241,7 @@ def streaming_lsh_index_maintenance(
             "epoch", F.lit(int(epoch_id))
         )
         pairs.write.mode("append").parquet(pairs_dir)
-        banded_delta.write.mode("append").partitionBy("band").parquet(band_store)
+        banded_delta.write.mode("append").partitionBy("kb").parquet(band_store)
         sh_delta.write.mode("append").parquet(shingle_store)
         sh_delta.unpersist()
         banded_delta.unpersist()

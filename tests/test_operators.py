@@ -2349,6 +2349,71 @@ def test_hard_negatives_exclude_own_label_and_are_hardest(spark):
     assert got == [vid for _, vid in best]
 
 
+def test_hard_negatives_ivfpq_contract_and_recall(spark):
+    """The IVF-PQ-backed miner keeps the brute miner's contract (full
+    k per query, label inequality, exact cosines on the output rows) and
+    recalls at least the IVF probe's own floor vs the brute result —
+    candidates are restricted to probed cells, so recall is bounded by
+    cell recall, not by the mining logic."""
+    import numpy as np
+
+    import clickhouse_sinker_nali_spark.operators.similarity as S
+
+    rows = S.hard_negatives_ivfpq(spark, SF_DIR).collect()
+    assert len(rows) == S.N_QUERIES * S.HARDNEG_K
+    assert all(r.n_label != r.q_label for r in rows)
+    # ranks are dense 1..K per query
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, S.HARDNEG_K + 1)) for v in by_q.values())
+    # cos_sim on output rows is the TRUE cosine (exact re-rank, not ADC)
+    emb = {r.vec_id: np.array(r.embedding, dtype=float)
+           for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()}
+    for r in rows[:6]:
+        a, b = emb[r.query_id], emb[r.neg_id]
+        assert abs(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+                   - r.cos_sim) < 1e-9
+    # recall floor vs brute: the probe covers NPROBE of ~K cells, and the
+    # synthetic corpus is near-random (ann_recall_audit mean ~0.35), so pin
+    # a conservative floor that still catches a broken shortlist/join
+    brute = {(r.query_id, r.neg_id) for r in S.hard_negatives(spark, SF_DIR).collect()}
+    got = {(r.query_id, r.neg_id) for r in rows}
+    assert len(brute & got) / len(brute) >= 0.15
+
+
+def test_dedup_cell_blocking_keeps_blocks_bounded(spark):
+    """The scale property the cell-blocked variant exists for: keyed by
+    IVF cell id, block sizes stay around IVF_CELL_TARGET regardless of
+    corpus size (cell count grows as ceil(N/target)), where the label key
+    would concentrate the whole corpus into a fixed number of blocks."""
+    from pyspark.sql import functions as F
+
+    import clickhouse_sinker_nali_spark.operators.similarity as S
+
+    for sf_dir in [SF_DIR, "/root/testdata/sf0.01"]:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n = emb.count()
+        cents = S._centroids(emb)
+        assert len(cents) == S.ivf_k(n - S.N_QUERIES)
+        sizes = (
+            emb.select(
+                F.array_max(S._cell_scores(cents, "embedding"))
+                .getField("cid").alias("cell")
+            )
+            .groupBy("cell").count().collect()
+        )
+        max_block = max(r["count"] for r in sizes)
+        # seed centroids (not k-means) skew cells, so allow generous slack —
+        # the property under test is boundedness, not balance
+        assert max_block <= 16 * S.IVF_CELL_TARGET
+        # label blocking at the same SF concentrates ~N/|labels| per block,
+        # which grows linearly; verify the contrast that motivates the cell key
+        n_labels = emb.select("label").distinct().count()
+        assert len(sizes) >= max(8, (n - S.N_QUERIES) // S.IVF_CELL_TARGET) \
+            and len(sizes) > n_labels or n <= 600
+
+
 def test_length_bucket_batches_bound_padding(spark):
     """Every doc lands in exactly one batch; within a batch all lengths
     share the bucket (max - min < bucket width ⇒ padding_ratio bounded);

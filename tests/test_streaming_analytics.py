@@ -544,6 +544,56 @@ def test_streaming_lsh_index_matches_batch_lsh(spark, tmp_path):
     assert any(a < cut <= b for a, b, _ in got), "no new-old pair exercised"
 
 
+def test_lsh_band_store_probe_is_partition_pruned(spark, tmp_path):
+    """The property that keeps the per-batch probe cost proportional to
+    the BATCH at 100 TB index size: the band store is partitioned on the
+    bucket-key hash, and probing with the delta's key-buckets must prune
+    at planning time — untouched partitions contribute zero input files,
+    and the scan node carries the kb partition filter."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_sinker_nali_spark.streaming.dedup import (
+        N_KEY_BUCKETS,
+        _key_bucket,
+        probe_band_store,
+    )
+
+    store = str(tmp_path / "bands")
+    synthetic = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 6).cast("int").alias("band"),
+        F.md5(F.col("id").cast("string")).alias("key"),
+    ).withColumn("kb", _key_bucket(F.col("key")))
+    synthetic.write.partitionBy("kb").parquet(store)
+    all_kbs = {r.kb for r in spark.read.parquet(store).select("kb").distinct().collect()}
+    assert len(all_kbs) > 10  # store genuinely spans many buckets
+    probe_kbs = sorted(all_kbs)[:3]
+
+    probed = probe_band_store(spark, store, probe_kbs)
+    # files ACTUALLY read at execution (inputFiles() reports the relation
+    # before pushdown, so it cannot observe pruning)
+    files = [
+        r.f for r in probed.select(F.input_file_name().alias("f")).distinct().collect()
+    ]
+    assert files, "probe read no files"
+    assert all(any(f"kb={kb}/" in f for kb in probe_kbs) for f in files), (
+        "probe touched partitions outside its key-buckets"
+    )
+    all_files = {
+        r.f
+        for r in spark.read.parquet(store)
+        .select(F.input_file_name().alias("f")).distinct().collect()
+    }
+    assert len(files) < len(all_files)
+    # and the filter is a planning-time partition filter, not a row filter
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "kb" in plan.split("PartitionFilters", 1)[1][:200]
+    # correctness of the pruned read: exactly the rows of those buckets
+    expect = synthetic.filter(F.col("kb").isin([int(k) for k in probe_kbs])).count()
+    assert probed.count() == expect
+    assert N_KEY_BUCKETS == 64
+
+
 def test_streaming_hll_registers_match_batch_sketch(spark, tmp_path):
     """After two micro-batches the register store must equal the batch
     registers over all rows (max-merge correctness), hence the same

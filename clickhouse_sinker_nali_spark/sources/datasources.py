@@ -248,7 +248,173 @@ class ReplayDataSource(DataSource):
         return ReplayStreamReader(self.options)
 
 
+# --------------------------------------------------------------------------
+# Kafka-shaped stream source: spark.readStream.format("kafkasim")
+# --------------------------------------------------------------------------
+
+
+KAFKA_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset bigint, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+class KafkaSimStreamReader(SimpleDataSourceStreamReader):
+    """A broker-free source with Kafka's EXACT contract, so the full
+    ``build_kafka_source`` option surface is exercisable end-to-end in
+    this container (no broker exists here; reference input/kafka_sarama.go
+    consumes the real thing):
+
+    - schema = the 7 columns Spark's Kafka source emits (key/value as
+      BINARY, timestampType 0 = CreateTime);
+    - a "topic" is a directory of ``partition-N.jsonl`` files, offset =
+      line number within the partition file (dense, per-partition
+      monotonic — Kafka's replayability contract);
+    - ``subscribe`` picks the topic subdirectory;
+    - ``startingOffsets``: ``earliest`` | ``latest`` | per-partition JSON
+      (``{"<topic>": {"0": 5, ...}}``), resolved once at query start,
+      exactly like the Kafka source;
+    - ``maxOffsetsPerTrigger``: total per-batch cap apportioned across
+      partitions proportionally to their lag (floor + leftover to the
+      lowest partitions), Spark's Kafka rate-limit shape;
+    - restart resumes from the checkpointed per-partition offsets via
+      ``readBetweenOffsets``.
+    """
+
+    def __init__(self, options: dict) -> None:
+        root = options.get("path")
+        topic = options.get("subscribe")
+        if not root or not topic:
+            raise ValueError("kafkasim requires path and subscribe options")
+        self.topic = topic
+        self.dir = _os.path.join(root, topic)
+        self.starting = options.get("startingoffsets", options.get("startingOffsets", "earliest"))
+        cap = options.get("maxoffsetspertrigger", options.get("maxOffsetsPerTrigger"))
+        self.max_per_trigger = int(cap) if cap else None
+
+    # -- partition-log helpers ------------------------------------------
+
+    def _partitions(self) -> list[int]:
+        return sorted(
+            int(f[len("partition-"):-len(".jsonl")])
+            for f in _os.listdir(self.dir)
+            if f.startswith("partition-") and f.endswith(".jsonl")
+        )
+
+    def _end_offsets(self) -> dict[str, int]:
+        out = {}
+        for p in self._partitions():
+            with open(_os.path.join(self.dir, f"partition-{p}.jsonl")) as f:
+                out[str(p)] = sum(1 for _ in f)
+        return out
+
+    def _read_slice(self, part: int, lo: int, hi: int):
+        from datetime import datetime, timezone
+
+        rows = []
+        with open(_os.path.join(self.dir, f"partition-{part}.jsonl")) as f:
+            for off, line in enumerate(f):
+                if off < lo:
+                    continue
+                if off >= hi:
+                    break
+                d = _json.loads(line)
+                key = d.get("key")
+                ts = d.get("ts")
+                ts_val = (
+                    datetime.fromisoformat(ts).replace(tzinfo=None)
+                    if ts
+                    else datetime.now(timezone.utc).replace(tzinfo=None)
+                )
+                rows.append(
+                    (
+                        key.encode() if key is not None else None,
+                        d["value"].encode(),
+                        self.topic,
+                        part,
+                        off,
+                        ts_val,
+                        0,  # CreateTime, as the Kafka source reports
+                    )
+                )
+        return rows
+
+    # -- stream-reader contract -----------------------------------------
+
+    def initialOffset(self) -> dict:
+        if self.starting == "latest":
+            return self._end_offsets()
+        if isinstance(self.starting, str) and self.starting.strip().startswith("{"):
+            spec = _json.loads(self.starting)
+            per_part = spec.get(self.topic, {})
+            return {
+                str(p): int(per_part.get(str(p), 0)) for p in self._partitions()
+            }
+        return {str(p): 0 for p in self._partitions()}
+
+    def _apportion(self, start: dict, end: dict) -> dict:
+        """Cap total consumed offsets at maxOffsetsPerTrigger, split
+        proportionally to per-partition lag (Spark Kafka rate-limit)."""
+        if self.max_per_trigger is None:
+            return end
+        lags = {p: max(0, end.get(p, 0) - start.get(p, 0)) for p in end}
+        total = sum(lags.values())
+        if total <= self.max_per_trigger:
+            return end
+        capped, assigned = {}, 0
+        for p in sorted(lags, key=int):
+            share = int(self.max_per_trigger * lags[p] / total)
+            capped[p] = start.get(p, 0) + min(lags[p], share)
+            assigned += capped[p] - start.get(p, 0)
+        leftover = self.max_per_trigger - assigned
+        for p in sorted(lags, key=int):
+            if leftover <= 0:
+                break
+            room = (start.get(p, 0) + lags[p]) - capped[p]
+            take = min(room, leftover)
+            capped[p] += take
+            leftover -= take
+        return capped
+
+    def read(self, start: dict):
+        end = self._apportion(start, self._end_offsets())
+        rows = []
+        for p_str, hi in sorted(end.items(), key=lambda kv: int(kv[0])):
+            lo = start.get(p_str, 0)
+            if hi > lo:
+                rows.extend(self._read_slice(int(p_str), lo, hi))
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows = []
+        for p_str, hi in sorted(end.items(), key=lambda kv: int(kv[0])):
+            lo = start.get(p_str, 0)
+            if hi > lo:
+                rows.extend(self._read_slice(int(p_str), lo, hi))
+        return iter(rows)
+
+    def commit(self, end) -> None:
+        pass  # the checkpoint owns offsets (reference K5: no hand-commit)
+
+
+class KafkaSimDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "kafkasim"
+
+    def schema(self):
+        return KAFKA_SCHEMA
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return KafkaSimStreamReader(self.options)
+
+
 def register_all(spark) -> None:
     """Register every connector in this module on a session."""
-    for src in (QQWryDataSource, ShardSinkDataSource, ReplayDataSource):
+    for src in (
+        QQWryDataSource,
+        ShardSinkDataSource,
+        ReplayDataSource,
+        KafkaSimDataSource,
+    ):
         spark.dataSource.register(src)

@@ -80,15 +80,23 @@ class TaskConfig:
         return TableSchema.from_dims(self.dims)
 
 
-def build_kafka_source(spark: SparkSession, cfg: TaskConfig, brokers: str) -> DataFrame:
+def build_kafka_source(
+    spark: SparkSession, cfg: TaskConfig, brokers: str, fmt: str = "kafka"
+) -> DataFrame:
     """Kafka streaming source with the reference's consumption semantics.
 
     ``kafka_options`` passes through security config (TLS/SASL —
     reference's ``security`` map ≈ ``kafka.security.protocol`` /
     ``kafka.sasl.jaas.config`` options, SURVEY §2.1 S3).
+
+    ``fmt="kafkasim"`` (sources.datasources.KafkaSimDataSource) swaps in
+    the broker-free Kafka-shaped source with the SAME option surface and
+    output schema, so this builder — startingOffsets, maxOffsetsPerTrigger,
+    option passthrough included — is exercised end-to-end in environments
+    without a broker (add ``path`` via ``kafka_options``).
     """
     reader = (
-        spark.readStream.format("kafka")
+        spark.readStream.format(fmt)
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", cfg.topic)
         .option("startingOffsets", "earliest" if cfg.earliest else "latest")

@@ -1,0 +1,188 @@
+"""Kafka-source contract tests without a broker.
+
+``KafkaSimDataSource`` emulates Kafka's exact surface — the 7-column
+schema (binary key/value, topic, partition, offset, timestamp,
+timestampType), ``startingOffsets`` (earliest / latest / per-partition
+JSON), and ``maxOffsetsPerTrigger`` rate limiting — so the REAL
+``build_kafka_source`` builder and the full TaskConfig pipeline (parse,
+coerce, ``__kafka*`` virtual columns per reference model/message.go:183-190)
+run end-to-end against a source with Kafka's shape.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_sinker_nali_spark.sources.datasources import (
+    KAFKA_SCHEMA,
+    register_all,
+)
+from clickhouse_sinker_nali_spark.streaming.pipeline import (
+    TaskConfig,
+    build_kafka_source,
+    transform,
+)
+
+TOPIC = "apache_access_log1"
+
+DIMS = [
+    {"name": "time", "type": "DateTime"},
+    {"name": "name", "type": "String"},
+    {"name": "value", "type": "Float64"},
+    {"name": "__kafka_topic", "type": "String"},
+    {"name": "__kafka_partition", "type": "Int64"},
+    {"name": "__kafka_offset", "type": "Int64"},
+]
+
+
+def _write_topic(root: str, n_per_part: int = 20, parts: int = 2) -> None:
+    d = os.path.join(root, TOPIC)
+    os.makedirs(d, exist_ok=True)
+    for p in range(parts):
+        with open(os.path.join(d, f"partition-{p}.jsonl"), "w") as f:
+            for off in range(n_per_part):
+                msg = {
+                    "time": f"2024-03-01 10:00:{off % 60:02d}",
+                    "name": f"p{p}m{off}",
+                    "value": p * 1000 + off * 0.5,
+                }
+                f.write(
+                    json.dumps(
+                        {
+                            "key": f"k{p}-{off}",
+                            "value": json.dumps(msg),
+                            "ts": "2024-03-01T10:00:00",
+                        }
+                    )
+                    + "\n"
+                )
+
+
+def _cfg(**kw) -> TaskConfig:
+    base = dict(
+        name="kafkasim_task",
+        topic=TOPIC,
+        table="t",
+        dims=DIMS,
+        buffer_size=16,  # -> maxOffsetsPerTrigger=16
+    )
+    base.update(kw)
+    return TaskConfig(**base)
+
+
+def _drain(spark, cfg, root, ckpt, out_epochs):
+    """Run availableNow rounds until quiescent: with a rate-limited simple
+    stream reader each round consumes one capped batch, so looping both
+    drains the log and exercises the per-trigger cap round by round."""
+    src = build_kafka_source(spark, cfg, "none:9092", fmt="kafkasim")
+    typed = transform(src, cfg)
+
+    def sink(df, epoch_id):
+        out_epochs.append((epoch_id, df.collect()))
+
+    for _ in range(12):
+        before = sum(len(b) for _, b in out_epochs)
+        q = (
+            typed.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if sum(len(b) for _, b in out_epochs) == before:
+            break
+
+
+def test_kafkasim_schema_matches_kafka(spark, tmp_path):
+    root = str(tmp_path / "logs")
+    _write_topic(root)
+    register_all(spark)
+    cfg = _cfg(kafka_options={"path": root})
+    src = build_kafka_source(spark, cfg, "none:9092", fmt="kafkasim")
+    assert src.schema.simpleString() == (
+        "struct<key:binary,value:binary,topic:string,partition:int,"
+        "offset:bigint,timestamp:timestamp,timestampType:int>"
+    )
+    assert KAFKA_SCHEMA.startswith("key binary, value binary")
+
+
+def test_kafkasim_full_pipeline_virtual_columns_and_rate_limit(spark, tmp_path):
+    root = str(tmp_path / "logs")
+    _write_topic(root, n_per_part=20, parts=2)
+    register_all(spark)
+    cfg = _cfg(kafka_options={"path": root})
+    epochs: list = []
+    _drain(spark, cfg, root, str(tmp_path / "ckpt"), epochs)
+
+    rows = [r for _, batch in epochs for r in batch]
+    assert len(rows) == 40  # earliest -> everything
+    # maxOffsetsPerTrigger (=buffer_size 16) caps every micro-batch
+    assert all(len(batch) <= 16 for _, batch in epochs)
+    assert len(epochs) >= 3  # 40 rows at cap 16 needs >= 3 batches
+    # virtual __kafka* columns filled from message metadata
+    assert all(r["__kafka_topic"] == TOPIC for r in rows)
+    assert {r["__kafka_partition"] for r in rows} == {0, 1}
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["__kafka_partition"], []).append(r["__kafka_offset"])
+    # offsets are dense 0..19 per partition, exactly once
+    assert all(sorted(v) == list(range(20)) for v in by_part.values())
+    # typed payload columns parsed from the binary value
+    m = next(r for r in rows if r["__kafka_partition"] == 1 and r["__kafka_offset"] == 3)
+    assert m.name == "p1m3" and m.value == pytest.approx(1001.5)
+    assert str(m.time).startswith("2024-03-01 10:00:03")
+
+
+def test_kafkasim_starting_offsets_latest_and_json(spark, tmp_path):
+    root = str(tmp_path / "logs")
+    _write_topic(root, n_per_part=10, parts=2)
+    register_all(spark)
+
+    # latest: nothing already in the log is consumed
+    epochs: list = []
+    cfg = _cfg(earliest=False, kafka_options={"path": root})
+    _drain(spark, cfg, root, str(tmp_path / "ckpt_latest"), epochs)
+    assert sum(len(b) for _, b in epochs) == 0
+
+    # per-partition JSON start: partition 0 from offset 7, partition 1 from 0
+    epochs = []
+    cfg = _cfg(
+        kafka_options={
+            "path": root,
+            "startingOffsets": json.dumps({TOPIC: {"0": 7}}),
+        }
+    )
+    _drain(spark, cfg, root, str(tmp_path / "ckpt_json"), epochs)
+    rows = [r for _, b in epochs for r in b]
+    got = {(r["__kafka_partition"], r["__kafka_offset"]) for r in rows}
+    assert got == {(0, o) for o in range(7, 10)} | {(1, o) for o in range(10)}
+
+
+def test_kafkasim_restart_resumes_from_checkpoint(spark, tmp_path):
+    root = str(tmp_path / "logs")
+    _write_topic(root, n_per_part=5, parts=2)
+    register_all(spark)
+    cfg = _cfg(kafka_options={"path": root})
+    ckpt = str(tmp_path / "ckpt_resume")
+
+    epochs: list = []
+    _drain(spark, cfg, root, ckpt, epochs)
+    assert sum(len(b) for _, b in epochs) == 10
+
+    # append to the partition logs (a producer writing more messages)...
+    d = os.path.join(root, TOPIC)
+    for p in range(2):
+        with open(os.path.join(d, f"partition-{p}.jsonl"), "a") as f:
+            msg = {"time": "2024-03-02 00:00:00", "name": f"late{p}", "value": 9.0}
+            f.write(json.dumps({"key": None, "value": json.dumps(msg)}) + "\n")
+
+    # ...and restart on the SAME checkpoint: only the 2 new messages arrive
+    epochs2: list = []
+    _drain(spark, cfg, root, ckpt, epochs2)
+    rows2 = [r for _, b in epochs2 for r in b]
+    assert {(r["__kafka_partition"], r["__kafka_offset"]) for r in rows2} == {(0, 5), (1, 5)}
+    assert {r.name for r in rows2} == {"late0", "late1"}

@@ -267,6 +267,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding near-dup pairs blocked on the IVF cell id (bounded
         # blocks; the scale form of dedup_embedding_cosine)
         "dedup_embedding_cosine_cells": D.dedup_embedding_cosine_cells,
+        # IVF with hierarchical O(sqrt(K)) corpus cell assignment (the
+        # sf1 smoke's N*K flat-assignment fix)
+        "ann_ivf_hier_topk": S.ann_ivf_hier_topk,
     }
 
 
@@ -442,4 +445,5 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": A.EVENT_TRANSITIONS_SQL,
         "hard_negatives_ivfpq": S.HARD_NEGATIVES_IVFPQ_SQL,
         "dedup_embedding_cosine_cells": D._dedup_cells_sql(),
+        "ann_ivf_hier_topk": S.ANN_IVF_HIER_SQL,
     }

@@ -414,6 +414,211 @@ ORDER BY query_id, rank
 """
 
 
+def _hier_groups(cents: list[tuple[int, list[float]]]):
+    """Two-level index structure over the centroid list: the first
+    K1=ceil(√K) centroids serve as COARSE representatives, and every fine
+    centroid joins the group of its nearest representative (max cos, ties
+    to the larger g — the exact ordering the SQL oracle replays).
+
+    Driver-side cost is K·K1 cosines over K small vectors — trivial next
+    to the corpus scan it saves.  All arithmetic is the engines' exact
+    shape (index-order float64 folds, IEEE sqrt) so group membership is
+    bit-reproducible in DuckDB.
+    """
+    import math
+
+    mat = [vec for _, vec in cents]
+    k = len(mat)
+    k1 = math.ceil(math.sqrt(k))
+
+    def _dot(a, b):
+        acc = 0.0
+        for xa, xb in zip(a, b):
+            acc += xa * xb
+        return acc
+
+    norms = [math.sqrt(_dot(v, v)) for v in mat]
+    groups: list[list[int]] = [[] for _ in range(k1)]
+    for cid, vec in enumerate(mat):
+        best_g, best_cos = 0, None
+        for g in range(k1):
+            c = _dot(vec, mat[g]) / (norms[cid] * norms[g])
+            if best_cos is None or c >= best_cos:  # >= : larger g wins ties
+                best_cos, best_g = c, g
+        groups[best_g].append(cid)
+    return k1, groups
+
+
+def _hier_cell_expr(cents: list[tuple[int, list[float]]], col: str):
+    """Two-level (nearest-coarse → fine) cell assignment: O(√K) cosines
+    per row instead of the flat argmax's O(K).
+
+    Why this exists: ``ivf_k`` grows K linearly with the corpus (constant
+    cell width keeps within-cell work linear), which makes FLAT assignment
+    cost N·K = N²/128 — the quadratic term the sf1 smoke surfaced, and at
+    100 TB (K≈10⁶) the dominant cost of index build.  The standard fix is
+    a hierarchical coarse quantizer (FAISS: an IVF over the centroids
+    themselves, or HNSW); here the deterministic, oracle-replayable form:
+    the first √K centroids act as coarse representatives, each fine
+    centroid belongs to its NEAREST representative's group
+    (:func:`_hier_groups` — geometry-aware, unlike naive contiguous
+    chunking), and a row argmaxes over representatives then over the
+    winning group.  ~2√K cosines per row — 14× fewer at sf1's K=782,
+    ~500× at K=10⁶.  Approximation: the true nearest centroid can live in
+    a losing group — the recall/cost dial every hierarchical ANN index
+    exposes (measured hier-vs-flat cell agreement is pinned in pytest).
+    """
+    import math
+
+    from ..functions import dot, norm
+
+    x = F.col(col) if isinstance(col, str) else col
+    mat = [vec for _, vec in cents]
+    k1, groups = _hier_groups(cents)
+
+    def _norms(vecs):
+        out = []
+        for vec in vecs:
+            acc = 0.0
+            for v in vec:
+                acc += v * v
+            out.append(math.sqrt(acc))
+        return out
+
+    reps = mat[:k1]
+    coarse_arr, coarse_norm = lit_doubles(reps), lit_doubles(_norms(reps))
+    group_vecs = [[mat[cid] for cid in g] for g in groups]
+    chunks_arr = lit_doubles(group_vecs)
+    chunk_norms = lit_doubles([_norms(gv) for gv in group_vecs])
+    cids_arr = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(str(cid) for cid in g) + ")" for g in groups
+        ) + ")"
+    )
+    # outer transform binds the row norm once (same discipline as
+    # _cell_scores); g/j are 0-based lambda indexes
+    return F.transform(
+        F.array(norm(x)),
+        lambda nx: F.transform(
+            F.array(
+                F.array_max(
+                    F.transform(
+                        coarse_arr,
+                        lambda c, g: F.struct(
+                            (dot(x, c) / (nx * F.element_at(coarse_norm, g + F.lit(1))))
+                            .alias("cos"),
+                            g.cast("int").alias("g"),
+                        ),
+                    )
+                ).getField("g")
+            ),
+            lambda g: F.array_max(
+                F.transform(
+                    F.element_at(chunks_arr, g + F.lit(1)),
+                    lambda c, j: F.struct(
+                        (
+                            dot(x, c)
+                            / (
+                                nx
+                                * F.element_at(
+                                    F.element_at(chunk_norms, g + F.lit(1)),
+                                    j + F.lit(1),
+                                )
+                            )
+                        ).alias("cos"),
+                        F.element_at(
+                            F.element_at(cids_arr, g + F.lit(1)), j + F.lit(1)
+                        ).cast("int").alias("cid"),
+                    ),
+                )
+            ).getField("cid"),
+        ),
+    ).getItem(0).getItem(0)
+
+
+def ann_ivf_hier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ann_ivf_topk` with HIERARCHICAL corpus cell assignment
+    (:func:`_hier_cell_expr`): the O(N·K) flat argmax — quadratic in the
+    corpus once ``ivf_k`` scales K with N — becomes O(N·√K).  Queries
+    still probe flat (|queries| ≪ N, so their K cosines are immaterial);
+    the probe/re-rank tail is the audited IVF tail unchanged.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _hier_cell_expr(cents, "embedding").alias("cid"),
+    )
+    return _rank_probed(corpus, _probed_queries(emb, cents))
+
+
+# K1 (rep count) = ceil(sqrt(K)); IEEE sqrt of a BIGINT is identical in
+# both engines, so the derived coarse level matches the Python side exactly
+_HIER_K1_SQL = "SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS k1 FROM kk"
+_COS_CGT = _cos_pair("c.embedding", "t.embedding")
+_COS_FT = _cos_pair("f.embedding", "t.embedding")
+
+ANN_IVF_HIER_SQL = f"""
+WITH kk AS ({_IVF_K_SQL}),
+kp AS ({_HIER_K1_SQL}),
+cent AS (
+    SELECT vec_id - {N_QUERIES} AS cid, embedding FROM embeddings, kk
+    WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES} + kk.k
+),
+coarse AS (
+    SELECT cid AS g, embedding FROM cent, kp WHERE cid < kp.k1
+),
+grp AS (
+    SELECT cid, g FROM (
+        SELECT f.cid, t.g,
+               ROW_NUMBER() OVER (PARTITION BY f.cid
+                    ORDER BY {_COS_FT} DESC, t.g DESC) AS rn
+        FROM cent f, coarse t
+    ) WHERE rn = 1
+),
+pickg AS (
+    SELECT vec_id, g FROM (
+        SELECT c.vec_id, t.g,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                    ORDER BY {_COS_CGT} DESC, t.g DESC) AS rn
+        FROM embeddings c, coarse t
+        WHERE c.vec_id >= {N_QUERIES}
+    ) WHERE rn = 1
+),
+corpus AS (
+    SELECT neighbor_id, embedding, cid FROM (
+        SELECT c.vec_id AS neighbor_id, c.embedding, t.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                    ORDER BY {_COS_CT} DESC, t.cid DESC) AS rn
+        FROM embeddings c
+        JOIN pickg p ON p.vec_id = c.vec_id
+        JOIN grp ON grp.g = p.g
+        JOIN cent t ON t.cid = grp.cid
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT query_id, qe, cid FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qe, t.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                    ORDER BY {_COS_QT} DESC, t.cid DESC) AS rn
+        FROM embeddings q, cent t
+        WHERE q.vec_id < {N_QUERIES}
+    ) WHERE rn <= {NPROBE}
+)
+SELECT query_id, rank, neighbor_id, cid, cos_sim
+FROM (
+    SELECT p.query_id, c.neighbor_id, c.cid,
+           {_COS_PC} AS cos_sim,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+                ORDER BY {_COS_PC} DESC, c.neighbor_id) AS rank
+    FROM probes p JOIN corpus c ON p.cid = c.cid
+)
+WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 # --------------------------------------------------------------------------
 # IVF index persistence: the inverted file as a saved, partition-pruned table
 # --------------------------------------------------------------------------

@@ -2129,6 +2129,12 @@ def test_kmv_set_ops_estimates_near_exact(spark):
         2 * tol * max(r.exact_union, 1), 5
     )
     assert 0.0 <= r.est_jaccard <= 1.0
+    # under-filled regime: fewer than K distinct hashes means the sketch
+    # IS the exact set, so the estimator must return it exactly (the
+    # (K-1)/u formula would systematically overestimate here)
+    if r.exact_union < A._KMV_K:
+        assert r.est_union == float(r.exact_union)
+        assert r.est_intersection == float(r.exact_intersection)
 
 
 def test_interval_overlap_grid_matches_naive_theta_join(spark):
@@ -2380,6 +2386,39 @@ def test_hard_negatives_ivfpq_contract_and_recall(spark):
     brute = {(r.query_id, r.neg_id) for r in S.hard_negatives(spark, SF_DIR).collect()}
     got = {(r.query_id, r.neg_id) for r in rows}
     assert len(brute & got) / len(brute) >= 0.15
+
+
+def test_hier_ivf_assignment_structure_and_agreement(spark):
+    """The hierarchical assignment must (a) group every fine centroid
+    under its own nearest representative — each rep g contains itself, no
+    centroid is lost; (b) agree with flat assignment whenever the flat
+    winner lives in the winning coarse group (the only case hierarchy
+    can guarantee); (c) agree with flat on a reasonable fraction even on
+    this near-random corpus (real clustered embeddings agree far more)."""
+    from pyspark.sql import functions as F
+
+    import clickhouse_sinker_nali_spark.operators.similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = S._centroids(emb)
+    k1, groups = S._hier_groups(cents)
+    assert sum(len(g) for g in groups) == len(cents)  # partition, nothing lost
+    for g, members in enumerate(groups):
+        assert g in members  # each rep belongs to its own group
+    both = emb.filter(F.col("vec_id") >= S.N_QUERIES).select(
+        "vec_id",
+        F.array_max(S._cell_scores(cents, "embedding")).getField("cid").alias("flat"),
+        S._hier_cell_expr(cents, "embedding").alias("hier"),
+    ).collect()
+    cid_to_group = {cid: g for g, ms in enumerate(groups) for cid in ms}
+    same = sum(1 for r in both if r.flat == r.hier)
+    # whenever they agree the cid is identical; whenever they disagree the
+    # flat winner must be OUTSIDE the hier-chosen coarse group (i.e. the
+    # disagreement is exactly the documented coarse-level approximation)
+    for r in both:
+        if r.flat != r.hier:
+            assert cid_to_group[r.flat] != cid_to_group[r.hier]
+    assert same / len(both) >= 0.3
 
 
 def test_dedup_cell_blocking_keeps_blocks_bounded(spark):

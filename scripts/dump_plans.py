@@ -147,6 +147,26 @@ COMMENTARY = {
         "per-term fan-out), dot products accumulated in decimal — never a "
         "dense |docs|^2 comparison."
     ),
+    "hard_negatives_ivfpq": (
+        "Hard-negative mining on the IVF-PQ path: map-side cell + PQ code "
+        "assignment against literals (zero shuffle), broadcast probes with "
+        "the label-inequality predicate applied BEFORE the ADC rank, then "
+        "an exact re-rank over only the shortlist — two broadcasts, two "
+        "rank-window shuffles, cost independent of corpus size."
+    ),
+    "dedup_embedding_cosine_cells": (
+        "Embedding near-dup pairs blocked on the IVF cell id: cell count "
+        "grows as N/128 so blocks stay ~128 vectors and the within-block "
+        "pairwise verify is linear in the corpus; one equi-join on the "
+        "cell key is the only join."
+    ),
+    "ann_ivf_hier_topk": (
+        "IVF with two-level corpus cell assignment: argmax over sqrt(K) "
+        "coarse representatives then over the winning group — O(sqrt(K)) "
+        "cosines per row where the flat argmax is O(K) (quadratic in the "
+        "corpus once ivf_k scales K with N).  Probe/re-rank tail identical "
+        "to ann_ivf_topk."
+    ),
 }
 
 
@@ -186,6 +206,10 @@ def main() -> None:
         "asof_join_variants": R.asof_join_variants,
         "interval_overlap_join": WH.interval_overlap_join,
         "dedup_tfidf_cosine": D.dedup_tfidf_cosine,
+        # round 4: scale paths
+        "hard_negatives_ivfpq": S.hard_negatives_ivfpq,
+        "dedup_embedding_cosine_cells": D.dedup_embedding_cosine_cells,
+        "ann_ivf_hier_topk": S.ann_ivf_hier_topk,
     }
 
     spark = get_spark("plans", shuffle_partitions=8)

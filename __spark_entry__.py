@@ -270,6 +270,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # IVF with hierarchical O(sqrt(K)) corpus cell assignment (the
         # sf1 smoke's N*K flat-assignment fix)
         "ann_ivf_hier_topk": S.ann_ivf_hier_topk,
+        # Arrow/NumPy-vectorized exact scoring (the interpreted-fold
+        # constant's throughput fix; same oracle as the fold form)
+        "ann_bruteforce_arrow": S.ann_bruteforce_arrow,
     }
 
 
@@ -446,4 +449,5 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives_ivfpq": S.HARD_NEGATIVES_IVFPQ_SQL,
         "dedup_embedding_cosine_cells": D._dedup_cells_sql(),
         "ann_ivf_hier_topk": S.ANN_IVF_HIER_SQL,
+        "ann_bruteforce_arrow": S.ANN_BRUTEFORCE_SQL,
     }

@@ -100,6 +100,81 @@ ORDER BY query_id, rank
 """
 
 
+def ann_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ann_bruteforce_topk` with the scoring loop vectorized through
+    Arrow → NumPy (``mapInPandas``): one BLAS matmul per batch instead of
+    per-row interpreted higher-order-function folds.
+
+    Why: the HOF ``aggregate`` fold evaluates interpreted, ~µs per cosine —
+    the dominant constant in every exact-scoring path at sf1 (the smoke's
+    ann_pq 28×/10× ratio is this constant, not a plan defect).  Arrow moves
+    each partition as a columnar batch; the d=64 float32 block is cast to
+    float64 once, cosines for all queries come from ``E @ Q.T`` (SIMD,
+    ~ns per cosine), and only (query_id, neighbor_id, cos) rows return.
+    The rank tail is unchanged — still the only shuffle.
+
+    Numeric note: BLAS pairwise summation differs from the index-order
+    fold by ≤ a few ulp; the oracle compares at 6-dp canonicalization, so
+    parity holds (and is swept at every SF).  When BIT-exact cross-engine
+    scores matter, use :func:`ann_bruteforce_topk`; this is the throughput
+    form.
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: int(r.vec_id),
+    )
+    qids = [int(r.vec_id) for r in qrows]
+    qmat = [[float(x) for x in r.embedding] for r in qrows]
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.asarray(qmat, dtype=np.float64)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        ids = np.asarray(qids, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            en = np.sqrt((E * E).sum(axis=1))
+            cos = (E @ Q.T) / np.outer(en, qn)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids.reshape(1, -1), n, axis=0).ravel(),
+                    "neighbor_id": np.repeat(
+                        pdf["neighbor_id"].to_numpy(np.int64), len(ids)
+                    ),
+                    "label": np.repeat(pdf["label"].to_numpy(np.int32), len(ids)),
+                    "cos_sim": cos.ravel(),
+                }
+            )
+
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "label"
+    )
+    scored = corpus.mapInPandas(
+        score, "query_id bigint, neighbor_id bigint, label int, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "label", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
 def _bucket_expr(emb_col: str):
     """Sign-bit LSH bucket id from the deterministic hyperplanes.
 

@@ -18,21 +18,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..schema import TableSchema
 
-CATALOG_QUERY = (
-    "SELECT name, type, default_kind FROM system.columns "
-    "WHERE database = '{db}' AND table = '{table}'"
-)
-
-
 def fetch_catalog_jdbc(
     spark: SparkSession, url: str, db: str, table: str, properties: dict | None = None
 ) -> list[tuple[str, str, str]]:
     """Read (name, type, default_kind) rows for a table over JDBC.
 
-    Wrapped in a ``(query) AS sub`` pushdown so only the one table's catalog
-    rows ever leave ClickHouse.
+    The probe string is the golden-tested reference dialect
+    (``streaming.chdialect.select_columns_sql``), wrapped in a
+    ``(query) AS sub`` pushdown so only the one table's catalog rows ever
+    leave ClickHouse.
     """
-    q = CATALOG_QUERY.format(db=db, table=table)
+    from ..streaming.chdialect import select_columns_sql
+
+    q = select_columns_sql(db, table)
     df = spark.read.jdbc(url, f"({q}) AS cols", properties=properties or {})
     return [(r[0], r[1], r[2]) for r in df.collect()]
 

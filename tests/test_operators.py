@@ -2388,6 +2388,21 @@ def test_hard_negatives_ivfpq_contract_and_recall(spark):
     assert len(brute & got) / len(brute) >= 0.15
 
 
+def test_ann_bruteforce_arrow_matches_fold(spark):
+    """The Arrow/NumPy scoring path must return the same ranked result set
+    as the interpreted-fold path — identical membership and ranks, cosines
+    within BLAS-vs-fold ulp noise."""
+    import clickhouse_sinker_nali_spark.operators.similarity as S
+
+    fold = S.ann_bruteforce_topk(spark, SF_DIR).collect()
+    arrow = S.ann_bruteforce_arrow(spark, SF_DIR).collect()
+    assert [(r.query_id, r.rank, r.neighbor_id, r.label) for r in fold] == [
+        (r.query_id, r.rank, r.neighbor_id, r.label) for r in arrow
+    ]
+    for a, b in zip(fold, arrow):
+        assert abs(a.cos_sim - b.cos_sim) < 1e-12
+
+
 def test_hier_ivf_assignment_structure_and_agreement(spark):
     """The hierarchical assignment must (a) group every fine centroid
     under its own nearest representative — each rep g contains itself, no

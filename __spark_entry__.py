@@ -273,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Arrow/NumPy-vectorized exact scoring (the interpreted-fold
         # constant's throughput fix; same oracle as the fold form)
         "ann_bruteforce_arrow": S.ann_bruteforce_arrow,
+        "ann_pq_arrow": S.ann_pq_arrow,
     }
 
 
@@ -450,4 +451,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine_cells": D._dedup_cells_sql(),
         "ann_ivf_hier_topk": S.ANN_IVF_HIER_SQL,
         "ann_bruteforce_arrow": S.ANN_BRUTEFORCE_SQL,
+        "ann_pq_arrow": S.ANN_PQ_SQL,
     }

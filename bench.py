@@ -92,6 +92,13 @@ HEADLINE = {
     "dedup_tfidf_cosine": D.dedup_tfidf_cosine,
     "mlm_masking": C.mlm_masking,
     "interval_overlap_join": W.interval_overlap_join,
+    # round 4: scale paths (hier assignment, Arrow-vectorized scoring,
+    # IVF-PQ hard negatives, cell-blocked embedding dedup)
+    "ann_ivf_hier_topk": S.ann_ivf_hier_topk,
+    "ann_bruteforce_arrow": S.ann_bruteforce_arrow,
+    "ann_pq_arrow": S.ann_pq_arrow,
+    "hard_negatives_ivfpq": S.hard_negatives_ivfpq,
+    "dedup_embedding_cosine_cells": D.dedup_embedding_cosine_cells,
 }
 
 

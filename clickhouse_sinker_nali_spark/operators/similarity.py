@@ -1500,6 +1500,84 @@ ORDER BY query_id, rank
 """
 
 
+def ann_pq_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ann_pq_topk` with encode + ADC vectorized through Arrow →
+    NumPy (``mapInPandas``) — the PQ family's throughput form.
+
+    The interpreted-HOF constant dominates the fold-based PQ path (M·KSUB
+    subspace distances + reconstruction + per-query ADC cosine per row,
+    all as interpreted lambdas — the sf1 smoke's 65 s).  Here each Arrow
+    batch computes codes via one ``einsum`` (distances to every codebook
+    entry), reconstructs via fancy indexing, and ADCs all queries with one
+    matmul.  Same argmin rule (d = ‖c‖² − 2·x·c, ties to the SMALLER code
+    — NumPy argmin's first-occurrence rule) and the same oracle; BLAS
+    summation differs from the fold by ulp, absorbed by the oracle's 6-dp
+    canonicalization and essentially never able to flip an argmin (code
+    distances on distinct entries differ at ~1e-2).
+    """
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = _pq_codebooks(emb)
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < N_QUERIES).select("vec_id", "embedding").collect(),
+        key=lambda r: int(r.vec_id),
+    )
+    qids = [int(r.vec_id) for r in qrows]
+    qmat = [[float(x) for x in r.embedding] for r in qrows]
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        CB = np.asarray(cbs, dtype=np.float64)          # M × KSUB × SD
+        cc = (CB * CB).sum(axis=-1)                      # M × KSUB
+        Q = np.asarray(qmat, dtype=np.float64)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        ids = np.asarray(qids, dtype=np.int64)
+        m = CB.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            n = len(pdf)
+            X = E.reshape(n, m, -1)                      # n × M × SD
+            dots = np.einsum("nms,mks->nmk", X, CB)      # n × M × KSUB
+            codes = (cc[None, :, :] - 2.0 * dots).argmin(axis=-1)  # n × M
+            recon = CB[np.arange(m)[None, :], codes].reshape(n, -1)
+            rn = np.sqrt((recon * recon).sum(axis=1))
+            adc = (recon @ Q.T) / np.outer(rn, qn)       # n × |Q|
+            pq_code = np.array(["-".join(map(str, row)) for row in codes])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids.reshape(1, -1), n, axis=0).ravel(),
+                    "neighbor_id": np.repeat(
+                        pdf["neighbor_id"].to_numpy(np.int64), len(ids)
+                    ),
+                    "pq_code": np.repeat(pq_code, len(ids)),
+                    "adc_cos": adc.ravel(),
+                }
+            )
+
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+    scored = corpus.mapInPandas(
+        score, "query_id bigint, neighbor_id bigint, pq_code string, adc_cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "pq_code", "adc_cos")
+        .orderBy("query_id", "rank")
+    )
+
+
 # --------------------------------------------------------------------------
 # IVF-PQ: cell-pruned candidate generation + PQ-compressed ADC re-rank
 # --------------------------------------------------------------------------

@@ -2403,6 +2403,20 @@ def test_ann_bruteforce_arrow_matches_fold(spark):
         assert abs(a.cos_sim - b.cos_sim) < 1e-12
 
 
+def test_ann_pq_arrow_matches_fold(spark):
+    """Vectorized PQ must produce the same codes, membership, and ranks as
+    the fold form (argmin tie rule included)."""
+    import clickhouse_sinker_nali_spark.operators.similarity as S
+
+    fold = S.ann_pq_topk(spark, SF_DIR).collect()
+    arrow = S.ann_pq_arrow(spark, SF_DIR).collect()
+    assert [(r.query_id, r.rank, r.neighbor_id, r.pq_code) for r in fold] == [
+        (r.query_id, r.rank, r.neighbor_id, r.pq_code) for r in arrow
+    ]
+    for a, b in zip(fold, arrow):
+        assert abs(a.adc_cos - b.adc_cos) < 1e-12
+
+
 def test_hier_ivf_assignment_structure_and_agreement(spark):
     """The hierarchical assignment must (a) group every fine centroid
     under its own nearest representative — each rep g contains itself, no

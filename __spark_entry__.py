@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # constant's throughput fix; same oracle as the fold form)
         "ann_bruteforce_arrow": S.ann_bruteforce_arrow,
         "ann_pq_arrow": S.ann_pq_arrow,
+        "ann_ivf_arrow": S.ann_ivf_arrow,
     }
 
 
@@ -452,4 +453,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_hier_topk": S.ANN_IVF_HIER_SQL,
         "ann_bruteforce_arrow": S.ANN_BRUTEFORCE_SQL,
         "ann_pq_arrow": S.ANN_PQ_SQL,
+        "ann_ivf_arrow": S.ANN_IVF_SQL,
     }

@@ -97,6 +97,7 @@ HEADLINE = {
     "ann_ivf_hier_topk": S.ann_ivf_hier_topk,
     "ann_bruteforce_arrow": S.ann_bruteforce_arrow,
     "ann_pq_arrow": S.ann_pq_arrow,
+    "ann_ivf_arrow": S.ann_ivf_arrow,
     "hard_negatives_ivfpq": S.hard_negatives_ivfpq,
     "dedup_embedding_cosine_cells": D.dedup_embedding_cosine_cells,
 }

@@ -489,6 +489,55 @@ ORDER BY query_id, rank
 """
 
 
+def ann_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ann_ivf_topk` with FLAT cell assignment vectorized through
+    Arrow → NumPy: one matmul of each batch against the full centroid
+    matrix, argmax with the same tie rule (max cos, then max cid — taken
+    as the LAST argmax over the score row).
+
+    Complements :func:`ann_ivf_hier_topk` on the other axis: hier cuts the
+    per-row cosine COUNT to O(√K) (the asymptotic win, K=10⁶ at 100 TB);
+    this cuts the per-cosine COST from interpreted-fold µs to BLAS ns
+    while keeping flat assignment's exactness.  At sf1 (K=782) the matmul
+    form is the faster of the two; at web scale you want both — hier
+    grouping with vectorized scoring inside each level.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+    cmat = [vec for _, vec in cents]
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cmat, dtype=np.float64)
+        cn = np.sqrt((C * C).sum(axis=1))
+        k = C.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            en = np.sqrt((E * E).sum(axis=1))
+            cos = (E @ C.T) / np.outer(en, cn)
+            # ties to the LARGER cid (struct-max rule): last argmax
+            cid = k - 1 - np.argmax(cos[:, ::-1], axis=1)
+            out = pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                    "cid": cid.astype(np.int32),
+                }
+            )
+            out["ce"] = pdf["embedding"]
+            yield out[["neighbor_id", "ce", "cid"]]
+
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    ).mapInPandas(assign, "neighbor_id bigint, ce array<float>, cid int")
+    return _rank_probed(corpus, _probed_queries(emb, cents))
+
+
 def _hier_groups(cents: list[tuple[int, list[float]]]):
     """Two-level index structure over the centroid list: the first
     K1=ceil(√K) centroids serve as COARSE representatives, and every fine

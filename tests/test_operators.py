@@ -2403,6 +2403,18 @@ def test_ann_bruteforce_arrow_matches_fold(spark):
         assert abs(a.cos_sim - b.cos_sim) < 1e-12
 
 
+def test_ann_ivf_arrow_matches_fold(spark):
+    """Vectorized flat IVF assignment (last-argmax tie rule) must return
+    the fold form's exact result set."""
+    import clickhouse_sinker_nali_spark.operators.similarity as S
+
+    fold = S.ann_ivf_topk(spark, SF_DIR).collect()
+    arrow = S.ann_ivf_arrow(spark, SF_DIR).collect()
+    assert [(r.query_id, r.rank, r.neighbor_id, r.cid) for r in fold] == [
+        (r.query_id, r.rank, r.neighbor_id, r.cid) for r in arrow
+    ]
+
+
 def test_ann_pq_arrow_matches_fold(spark):
     """Vectorized PQ must produce the same codes, membership, and ranks as
     the fold form (argmin tie rule included)."""

@@ -581,13 +581,9 @@ ORDER BY vec_a, vec_b
 def _dedup_cells_sql() -> str:
     """Oracle for the IVF-cell-blocked variant — built lazily so dedup.py
     does not import similarity's SQL fragments at module load."""
-    from .similarity import _COS_CT, _COS_QT, _IVF_K_SQL, N_QUERIES  # noqa: F401
+    from .similarity import _COS_CT, _IVF_K_SQL, N_QUERIES, _cos_pair
 
-    cos_ab = (
-        "(list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])"
-        " / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))"
-        " * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[]))))"
-    )
+    cos_ab = _cos_pair("ea.embedding", "eb.embedding")
     return f"""
 WITH kk AS ({_IVF_K_SQL}),
 cent AS (

@@ -378,11 +378,17 @@ def _cell_scores(cents: list[tuple[int, list[float]]], col: str):
     ).getItem(0)
 
 
-def _probed_queries(emb: DataFrame, cents) -> DataFrame:
-    """Query vectors exploded to their NPROBE nearest cells."""
+def _probed_queries(emb: DataFrame, cents, extra_cols: list = ()) -> DataFrame:
+    """Query vectors exploded to their NPROBE nearest cells.
+
+    ``extra_cols``: additional Column expressions to carry through (e.g.
+    the query's label for hard-negative mining) — keeps the probe
+    selection/tie-break logic in exactly one place.
+    """
     return emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
+        *extra_cols,
         F.explode(
             F.transform(
                 F.slice(
@@ -498,9 +504,18 @@ def ann_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements :func:`ann_ivf_hier_topk` on the other axis: hier cuts the
     per-row cosine COUNT to O(√K) (the asymptotic win, K=10⁶ at 100 TB);
     this cuts the per-cosine COST from interpreted-fold µs to BLAS ns
-    while keeping flat assignment's exactness.  At sf1 (K=782) the matmul
-    form is the faster of the two; at web scale you want both — hier
-    grouping with vectorized scoring inside each level.
+    while keeping flat assignment's candidate-pruning SEMANTICS (every
+    centroid considered).  At sf1 (K=782) the matmul form is the faster of
+    the two; at web scale you want both — hier grouping with vectorized
+    scoring inside each level.
+
+    Numeric note: BLAS pairwise summation differs from the fold by ulp,
+    and unlike the rounded cosine outputs the argmax is DISCRETE — a
+    sub-ulp tie between two centroids could assign a different cell than
+    the fold/oracle.  Distinct-centroid score gaps on real data are ~1e-2
+    (flip probability ~1e-12/row), so parity is empirical, not bit-exact;
+    the fold form remains the cross-engine reference (pinned by the
+    membership-parity pytest and the oracle sweep at every SF).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _centroids(emb)
@@ -2008,20 +2023,8 @@ def hard_negatives_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     recon = corpus.select(
         "neg_id", "n_label", "cid", _pq_recon_expr(cbs).alias("recon")
     )
-    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("label").alias("q_label"),
-        F.explode(
-            F.transform(
-                F.slice(
-                    F.reverse(F.array_sort(_cell_scores(cents, "embedding"))),
-                    1,
-                    NPROBE,
-                ),
-                lambda s: s.getField("cid"),
-            )
-        ).alias("cid"),
+    probes = _probed_queries(
+        emb, cents, extra_cols=[F.col("label").alias("q_label")]
     )
     shortlisted = (
         recon.join(broadcast(probes), "cid")

@@ -309,7 +309,7 @@ class KafkaSimStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def _read_slice(self, part: int, lo: int, hi: int):
-        from datetime import datetime, timezone
+        from datetime import datetime, timedelta
 
         rows = []
         with open(_os.path.join(self.dir, f"partition-{part}.jsonl")) as f:
@@ -321,10 +321,16 @@ class KafkaSimStreamReader(SimpleDataSourceStreamReader):
                 d = _json.loads(line)
                 key = d.get("key")
                 ts = d.get("ts")
+                # ts default must be DETERMINISTIC in (partition, offset):
+                # Spark replays a committed offset range through
+                # readBetweenOffsets after failure recovery, and a
+                # wall-clock stamp would make the replayed batch differ
+                # from the original (breaking exactly-once for the
+                # timestamp column and anything windowed on it)
                 ts_val = (
                     datetime.fromisoformat(ts).replace(tzinfo=None)
                     if ts
-                    else datetime.now(timezone.utc).replace(tzinfo=None)
+                    else datetime(2024, 1, 1) + timedelta(seconds=off, milliseconds=part)
                 )
                 rows.append(
                     (
@@ -377,7 +383,13 @@ class KafkaSimStreamReader(SimpleDataSourceStreamReader):
         return capped
 
     def read(self, start: dict):
+        # never move an offset BACKWARD: a startingOffsets value beyond the
+        # current partition end (or a shrunk log) must not regress the
+        # checkpoint, or rows the user configured to skip would re-emit
+        # once the producer catches up (Kafka treats out-of-range starts
+        # as data loss, never as a rewind)
         end = self._apportion(start, self._end_offsets())
+        end = {p: max(hi, start.get(p, 0)) for p, hi in end.items()}
         rows = []
         for p_str, hi in sorted(end.items(), key=lambda kv: int(kv[0])):
             lo = start.get(p_str, 0)

@@ -196,7 +196,10 @@ def alter_sql(
 
     - ``maxDims`` quota: only ``max_dims - n_current_dims`` keys are
       admitted when a positive cap is configured; the rest are dropped
-      (reference logs and stops iterating).
+      (reference logs and stops iterating).  Faithful quirk: the quota is
+      consumed per ITERATED key, before the Prometheus String filter
+      (``i++`` precedes the type switch, output/clickhouse.go:389-392) —
+      so in Prometheus mode a skipped non-String key still burns a slot.
     - Prometheus schema: ONLY String keys alter, and they target the
       ``_series`` table (labels live there; numeric dims never change).
     - Statements are sorted (``sort.Strings``) so replayed ALTERs apply in

@@ -213,10 +213,23 @@ def streaming_lsh_index_maintenance(
         # ≤ N_KEY_BUCKETS scalars — bounded collect, prunes the store scan
         kbs = [r.kb for r in banded_delta.select("kb").distinct().collect()]
         try:
-            old_bands = probe_band_store(spark, band_store, kbs)
-            old_bands.schema  # force resolution so a missing store raises here
-            old_sh = spark.read.parquet(shingle_store)
+            raw_store = spark.read.parquet(band_store)
         except Exception:
+            raw_store = None  # first batch: store not created yet
+        if raw_store is not None and "kb" not in raw_store.columns:
+            # an existing store with a different partition layout must NOT
+            # be treated as absent (silently dropping every old×new pair)
+            # nor appended to (two partition schemes in one directory)
+            raise ValueError(
+                f"band store at {band_store} lacks the 'kb' partition "
+                "column (pre-kb layout); rebuild it — e.g. read it, add "
+                "kb via streaming.dedup._key_bucket(key), and rewrite "
+                "partitionBy('kb') — before resuming the stream"
+            )
+        if raw_store is not None:
+            old_bands = probe_band_store(spark, band_store, kbs)
+            old_sh = spark.read.parquet(shingle_store)
+        else:
             old_bands, old_sh = None, None
         all_bands = (
             banded_delta if old_bands is None

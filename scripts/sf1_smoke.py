@@ -32,14 +32,27 @@ SRC = "/root/testdata/sf0.1"
 DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data", "sf1")
 REPLICAS = 10
 
-# (table, [key columns to offset by replica * span])
+# (table, {key column: key DOMAIN}) — spans are computed once per DOMAIN
+# from its owning table, NOT per (table, column): o_custkey's maximum can be
+# lower than c_custkey's (TPC-H has order-less customers), and per-column
+# spans would then shift the two sides differently, silently breaking
+# cross-replica referential integrity.
 SCALED = {
-    "lineitem": ["l_orderkey"],
-    "orders": ["o_orderkey", "o_custkey"],
-    "customer": ["c_custkey"],
-    "events": ["event_id", "user_id"],
-    "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    "lineitem": {"l_orderkey": "orderkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "customer": {"c_custkey": "custkey"},
+    "events": {"event_id": "eventid", "user_id": "userid"},
+    "documents": {"doc_id": "docid"},
+    "embeddings": {"vec_id": "vecid"},
+}
+# domain -> (owning table, column) for span derivation
+DOMAIN_OWNER = {
+    "orderkey": ("orders", "o_orderkey"),
+    "custkey": ("customer", "c_custkey"),
+    "eventid": ("events", "event_id"),
+    "userid": ("events", "user_id"),
+    "docid": ("documents", "doc_id"),
+    "vecid": ("embeddings", "vec_id"),
 }
 COPIED = ["part", "supplier", "nation", "region"]
 
@@ -47,14 +60,18 @@ COPIED = ["part", "supplier", "nation", "region"]
 def generate(spark) -> None:
     os.makedirs(DST, exist_ok=True)
     reps = spark.range(REPLICAS).withColumnRenamed("id", "__rep")
+    domain_span = {
+        dom: int(
+            spark.read.parquet(f"{SRC}/{tbl}.parquet").agg(F.max(col)).collect()[0][0]
+        )
+        + 1
+        for dom, (tbl, col) in DOMAIN_OWNER.items()
+    }
     for table, keys in SCALED.items():
         df = spark.read.parquet(f"{SRC}/{table}.parquet")
-        spans = {
-            k: int(df.agg(F.max(k)).collect()[0][0]) + 1 for k in keys
-        }
         out = df.crossJoin(F.broadcast(reps))
-        for k, span in spans.items():
-            out = out.withColumn(k, F.col(k) + F.col("__rep") * F.lit(span))
+        for k, dom in keys.items():
+            out = out.withColumn(k, F.col(k) + F.col("__rep") * F.lit(domain_span[dom]))
         if table == "documents":
             out = out.withColumn(
                 "text", F.concat(F.lit("r"), F.col("__rep"), F.lit(" "), F.col("text"))

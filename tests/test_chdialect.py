@@ -137,6 +137,18 @@ def test_alter_sql_prometheus_strings_only_target_series():
     ]
 
 
+def test_alter_sql_prometheus_quota_burns_on_skipped_keys():
+    # faithful reference quirk: i++ precedes the String filter
+    # (output/clickhouse.go:389-405), so a non-String key consumes quota
+    # even though it can never emit an ALTER in prometheus mode
+    stmts = alter_sql(
+        "d", "t",
+        {"val2": InternalType.FLOAT, "job": InternalType.STRING},
+        prometheus_schema=True, max_dims=11, n_current_dims=10,
+    )
+    assert stmts == []  # FLOAT burned the only slot; reference does the same
+
+
 def test_alter_sql_maxdims_quota():
     # maxDims caps admitted keys at max_dims - current (task quota check,
     # output/clickhouse.go:377-392)

@@ -552,16 +552,44 @@ def dedup_embedding_cosine_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The tradeoff (shared with SemDeDup): near-dup pairs straddling a cell
     boundary are missed; recall comes from probing multiple cells or a
-    second rotated clustering.  Cell assignment is the audited map-side
-    argmax against the centroid literal — zero shuffle before the block
-    equi-join.
+    second rotated clustering.  Cell assignment is Arrow-vectorized (one
+    matmul per batch against the centroid matrix, last-argmax tie rule —
+    the ``ann_ivf_arrow`` assigner): zero shuffle before the block
+    equi-join, BLAS-speed instead of interpreted folds.
     """
-    from .similarity import _cell_scores, _centroids
+    from .similarity import N_QUERIES as _NQ  # noqa: F401 (cited below)
+    from .similarity import _centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _centroids(emb)
-    cell = F.array_max(_cell_scores(cents, "embedding")).getField("cid")
-    return embedding_block_pairs(emb, cell.cast("bigint"), block_name="cell")
+    cmat = [vec for _, vec in cents]
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cmat, dtype=np.float64)
+        cn = np.sqrt((C * C).sum(axis=1))
+        k = C.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            en = np.sqrt((E * E).sum(axis=1))
+            cos = (E @ C.T) / np.outer(en, cn)
+            cell = (k - 1 - np.argmax(cos[:, ::-1], axis=1)).astype(np.int64)
+            out = pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(np.int64), "cell": cell}
+            )
+            out["embedding"] = pdf["embedding"]
+            yield out[["vec_id", "embedding", "cell"]]
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        assign, "vec_id bigint, embedding array<float>, cell bigint"
+    )
+    return embedding_block_pairs(assigned, F.col("cell"), block_name="cell")
 
 
 DEDUP_EMBEDDING_SQL = f"""

@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_arrow": S.ann_bruteforce_arrow,
         "ann_pq_arrow": S.ann_pq_arrow,
         "ann_ivf_arrow": S.ann_ivf_arrow,
+        "ann_ivfpq_arrow": S.ann_ivfpq_arrow,
     }
 
 
@@ -454,4 +455,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_arrow": S.ANN_BRUTEFORCE_SQL,
         "ann_pq_arrow": S.ANN_PQ_SQL,
         "ann_ivf_arrow": S.ANN_IVF_SQL,
+        "ann_ivfpq_arrow": S.ANN_IVFPQ_SQL,
     }

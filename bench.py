@@ -98,6 +98,7 @@ HEADLINE = {
     "ann_bruteforce_arrow": S.ann_bruteforce_arrow,
     "ann_pq_arrow": S.ann_pq_arrow,
     "ann_ivf_arrow": S.ann_ivf_arrow,
+    "ann_ivfpq_arrow": S.ann_ivfpq_arrow,
     "hard_negatives_ivfpq": S.hard_negatives_ivfpq,
     "dedup_embedding_cosine_cells": D.dedup_embedding_cosine_cells,
 }

@@ -1701,6 +1701,101 @@ def _pq_recon_expr(cbs) -> "F.Column":
     )
 
 
+def _pq_corpus_arrow(
+    emb: DataFrame, cents, cbs, extra_cols: dict | None = None
+) -> DataFrame:
+    """Arrow-vectorized IVF-PQ corpus stage: per batch, one matmul for
+    cell assignment (last-argmax tie rule), one einsum for PQ codes
+    (first-argmin tie rule), reconstruction by fancy indexing — the
+    combined form of the ``ann_ivf_arrow`` and ``ann_pq_arrow`` encoders
+    used by the composed IVF-PQ queries.  ``recon`` values are codebook
+    rows COPIED (no arithmetic), so downstream ADC folds see bit-identical
+    inputs to the literal-expression path; only the discrete argmax/argmin
+    carry the empirical-ulp caveat documented on the single-stage forms.
+
+    ``extra_cols``: {source_col: output_name} passthrough (e.g. label).
+    """
+    extra = dict(extra_cols or {})
+    cmat = [vec for _, vec in cents]
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(cmat, dtype=np.float64)
+        cn = np.sqrt((C * C).sum(axis=1))
+        k = C.shape[0]
+        CB = np.asarray(cbs, dtype=np.float64)
+        cc = (CB * CB).sum(axis=-1)
+        m = CB.shape[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            n = len(pdf)
+            en = np.sqrt((E * E).sum(axis=1))
+            cos = (E @ C.T) / np.outer(en, cn)
+            cid = (k - 1 - np.argmax(cos[:, ::-1], axis=1)).astype(np.int32)
+            X = E.reshape(n, m, -1)
+            dots = np.einsum("nms,mks->nmk", X, CB)
+            codes = (cc[None, :, :] - 2.0 * dots).argmin(axis=-1)
+            recon = CB[np.arange(m)[None, :], codes].reshape(n, -1)
+            out = pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                    "cid": cid,
+                    "pq_code": ["-".join(map(str, row)) for row in codes],
+                }
+            )
+            out["recon"] = list(recon)
+            for name in extra.values():
+                out[name] = pdf[name]
+            yield out[["neighbor_id", "cid", "pq_code", "recon", *extra.values()]]
+
+    extra_schema = "".join(f", {v} int" for v in extra.values())
+    src = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "embedding",
+        *[F.col(s).alias(d) for s, d in extra.items()],
+    )
+    return src.mapInPandas(
+        encode,
+        "neighbor_id bigint, cid int, pq_code string, recon array<double>"
+        + extra_schema,
+    )
+
+
+def ann_ivfpq_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ann_ivfpq_topk` with the corpus stage vectorized via
+    :func:`_pq_corpus_arrow` — the throughput form of the production
+    IVF-PQ composition (same oracle; probe + ADC-rank tail unchanged,
+    and the ADC fold reads bit-identical recon values)."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+    cbs = _pq_codebooks(emb)
+    recon = _pq_corpus_arrow(emb, cents, cbs)
+    scored = recon.join(broadcast(_probed_queries(emb, cents)), "cid").select(
+        "query_id",
+        "neighbor_id",
+        "cid",
+        "pq_code",
+        cosine("qe", "recon").alias("adc_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "neighbor_id", "cid", "pq_code", "adc_cos")
+        .orderBy("query_id", "rank")
+    )
+
+
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ: the production ANN shape — IVF cells prune candidates
     (read |corpus|·nprobe/K instead of everything), PQ codes compress what
@@ -2013,16 +2108,9 @@ def hard_negatives_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _centroids(emb)
     cbs = _pq_codebooks(emb)
-    cc = _pq_cc(cbs)
-    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neg_id"),
-        F.col("label").alias("n_label"),
-        F.array_max(_cell_scores(cents, "embedding")).getField("cid").alias("cid"),
-        _pq_codes_expr(cbs, cc).alias("codes"),
-    )
-    recon = corpus.select(
-        "neg_id", "n_label", "cid", _pq_recon_expr(cbs).alias("recon")
-    )
+    recon = _pq_corpus_arrow(
+        emb, cents, cbs, extra_cols={"label": "n_label"}
+    ).withColumnRenamed("neighbor_id", "neg_id")
     probes = _probed_queries(
         emb, cents, extra_cols=[F.col("label").alias("q_label")]
     )

@@ -2403,6 +2403,20 @@ def test_ann_bruteforce_arrow_matches_fold(spark):
         assert abs(a.cos_sim - b.cos_sim) < 1e-12
 
 
+def test_ann_ivfpq_arrow_matches_fold(spark):
+    """Vectorized IVF-PQ corpus stage must return the fold form's exact
+    result set (cells, codes, membership, ranks)."""
+    import clickhouse_sinker_nali_spark.operators.similarity as S
+
+    fold = S.ann_ivfpq_topk(spark, SF_DIR).collect()
+    arrow = S.ann_ivfpq_arrow(spark, SF_DIR).collect()
+    assert [(r.query_id, r.rank, r.neighbor_id, r.cid, r.pq_code) for r in fold] == [
+        (r.query_id, r.rank, r.neighbor_id, r.cid, r.pq_code) for r in arrow
+    ]
+    for a, b in zip(fold, arrow):
+        assert abs(a.adc_cos - b.adc_cos) < 1e-12
+
+
 def test_ann_ivf_arrow_matches_fold(spark):
     """Vectorized flat IVF assignment (last-argmax tie rule) must return
     the fold form's exact result set."""

@@ -519,6 +519,22 @@ def ann_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _centroids(emb)
+    corpus = assign_cells_arrow(
+        emb.filter(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        ),
+        cents,
+    )
+    return _rank_probed(corpus, _probed_queries(emb, cents))
+
+
+def assign_cells_arrow(
+    df: DataFrame, cents, id_col: str = "neighbor_id", emb_out: str = "ce"
+) -> DataFrame:
+    """Arrow/NumPy flat cell assignment over a (id, embedding) DataFrame:
+    one matmul per batch against the centroid matrix, ties to the LARGER
+    cid (struct-max rule, taken as the last argmax).  Shared by the batch
+    ANN path and the streaming index-maintenance twin."""
     cmat = [vec for _, vec in cents]
 
     def assign(batches):
@@ -536,21 +552,19 @@ def ann_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             en = np.sqrt((E * E).sum(axis=1))
             cos = (E @ C.T) / np.outer(en, cn)
-            # ties to the LARGER cid (struct-max rule): last argmax
             cid = k - 1 - np.argmax(cos[:, ::-1], axis=1)
             out = pd.DataFrame(
                 {
-                    "neighbor_id": pdf["neighbor_id"].to_numpy(np.int64),
+                    id_col: pdf[id_col].to_numpy(np.int64),
                     "cid": cid.astype(np.int32),
                 }
             )
-            out["ce"] = pdf["embedding"]
-            yield out[["neighbor_id", "ce", "cid"]]
+            out[emb_out] = pdf["embedding"]
+            yield out[[id_col, emb_out, "cid"]]
 
-    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), "embedding"
-    ).mapInPandas(assign, "neighbor_id bigint, ce array<float>, cid int")
-    return _rank_probed(corpus, _probed_queries(emb, cents))
+    return df.mapInPandas(
+        assign, f"{id_col} bigint, {emb_out} array<float>, cid int"
+    )
 
 
 def _hier_groups(cents: list[tuple[int, list[float]]]):

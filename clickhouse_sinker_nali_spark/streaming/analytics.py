@@ -499,3 +499,59 @@ def streaming_scd2_maintenance(orders_stream: DataFrame, store_dir: str):
         batch_df.unpersist()
 
     return orders_stream.writeStream.outputMode("append").foreachBatch(sink)
+
+
+# --------------------------------------------------------------------------
+# Streaming IVF index maintenance (the ann_ivf_persisted incremental twin)
+# --------------------------------------------------------------------------
+
+
+def streaming_ivf_index_maintenance(
+    emb_stream: DataFrame, index_path: str, cents: list
+):
+    """Maintain the persisted IVF index continuously: each micro-batch
+    assigns ONLY its new vectors to cells (the Arrow matmul assigner
+    against a FIXED centroid snapshot, ``similarity.assign_cells_arrow``)
+    and appends them to the cell-partitioned corpus store — the
+    incremental twin of ``operators.similarity.build_ivf_index``, for the
+    continuously-ingested embedding corpus every production vector index
+    serves.
+
+    Scale shape: per-batch cost is |batch| matmul rows + one append of
+    |batch| rows into the touched cell partitions — independent of index
+    size; queries keep using ``ann_ivf_query``'s partition-pruned probe
+    against the same directory layout (nprobe/K of the data read,
+    regardless of how many batches built it).  ``cents`` is the training
+    snapshot (centroids must be FROZEN while the store grows, or cell
+    membership would drift between batches — re-clustering is a rebuild,
+    exactly as in FAISS).  The centroid table is written once so
+    ``ann_ivf_query`` can reload the identical snapshot.
+
+    Exactly-once: appends are keyed by the checkpointed epoch; a replayed
+    epoch re-appends the same rows, so a downstream reader should dedup on
+    ``neighbor_id`` if the sink is not idempotent (same caveat as every
+    append-mode parquet sink).
+    """
+    import os as _os
+
+    from ..operators.similarity import assign_cells_arrow
+
+    cent_path = _os.path.join(index_path, "centroids")
+    corpus_path = _os.path.join(index_path, "corpus")
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not _os.path.exists(cent_path):
+            spark.createDataFrame(
+                [(cid, vec) for cid, vec in cents],
+                "cid int, embedding array<double>",
+            ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+        assigned = assign_cells_arrow(
+            batch_df.select(
+                F.col("vec_id").alias("neighbor_id"), "embedding"
+            ),
+            cents,
+        )
+        assigned.write.mode("append").partitionBy("cid").parquet(corpus_path)
+
+    return emb_stream.writeStream.outputMode("append").foreachBatch(sink)

@@ -544,6 +544,72 @@ def test_streaming_lsh_index_matches_batch_lsh(spark, tmp_path):
     assert any(a < cut <= b for a, b, _ in got), "no new-old pair exercised"
 
 
+def test_streaming_ivf_index_matches_batch_build_and_query(spark, tmp_path):
+    """Two micro-batches of embeddings must grow the cell-partitioned
+    store to exactly the batch build's content (same assignments under the
+    frozen centroid snapshot), and ann_ivf_query over the streamed index
+    must equal the in-memory ann_ivf_topk results."""
+    import clickhouse_sinker_nali_spark.operators.similarity as S
+    from clickhouse_sinker_nali_spark.streaming.analytics import (
+        streaming_ivf_index_maintenance,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = S._centroids(emb)
+    corpus_rows = sorted(
+        emb.filter(F.col("vec_id") >= S.N_QUERIES).collect(),
+        key=lambda r: r.vec_id,
+    )
+    cut = corpus_rows[len(corpus_rows) // 2].vec_id
+    src = str(tmp_path / "emb_src")
+    os.makedirs(src)
+    for fname, pred in [("a.jsonl", lambda v: v < cut), ("b.jsonl", lambda v: v >= cut)]:
+        with open(os.path.join(src, fname), "w") as f:
+            for r in corpus_rows:
+                if pred(r.vec_id):
+                    f.write(json.dumps(
+                        {"vec_id": r.vec_id,
+                         "embedding": [float(x) for x in r.embedding]}) + "\n")
+
+    stream = _stream_json(spark, src, "vec_id bigint, embedding array<float>")
+    index = str(tmp_path / "ivf_index")
+    q = (
+        streaming_ivf_index_maintenance(stream, index, cents)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivf"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # store content == batch assignment over the full corpus
+    got = {
+        (r.neighbor_id, r.cid)
+        for r in spark.read.parquet(f"{index}/corpus").collect()
+    }
+    expect = {
+        (r.neighbor_id, r.cid)
+        for r in S.assign_cells_arrow(
+            emb.filter(F.col("vec_id") >= S.N_QUERIES).select(
+                F.col("vec_id").alias("neighbor_id"), "embedding"
+            ),
+            cents,
+        ).collect()
+    }
+    assert got == expect
+    assert len(got) == len(corpus_rows)  # appended exactly once
+    # query over the streamed index == the in-memory IVF query
+    streamed = [
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in S.ann_ivf_query(spark, sf_dir, index).collect()
+    ]
+    in_mem = [
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in S.ann_ivf_topk(spark, sf_dir).collect()
+    ]
+    assert streamed == in_mem
+
+
 def test_lsh_band_store_probe_is_partition_pruned(spark, tmp_path):
     """The property that keeps the per-batch probe cost proportional to
     the BATCH at 100 TB index size: the band store is partitioned on the

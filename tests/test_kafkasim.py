@@ -162,6 +162,74 @@ def test_kafkasim_starting_offsets_latest_and_json(spark, tmp_path):
     assert got == {(0, o) for o in range(7, 10)} | {(1, o) for o in range(10)}
 
 
+def test_kafkasim_prometheus_fanout_end_to_end(spark, tmp_path):
+    """The reference's flagship composition over the Kafka contract:
+    Kafka-shaped source → build_kafka_source → TaskConfig parse/coerce →
+    series-id tagging → Prometheus two-table fan-out.  Series repeat
+    across partitions and across rate-limited micro-batches, so the
+    exactly-once series insert is exercised by the same offset machinery
+    a real broker would drive."""
+    from clickhouse_sinker_nali_spark.functions import portable_hash64
+    from clickhouse_sinker_nali_spark.streaming.sinks import (
+        prometheus_fanout_sink,
+    )
+
+    root = str(tmp_path / "logs")
+    d = os.path.join(root, TOPIC)
+    os.makedirs(d)
+    # 2 partitions × 24 messages over 6 series (each series in both parts)
+    for p in range(2):
+        with open(os.path.join(d, f"partition-{p}.jsonl"), "w") as f:
+            for off in range(24):
+                msg = {
+                    "time": f"2024-03-01 10:00:{off % 60:02d}",
+                    "name": f"series{off % 6}",
+                    "value": p * 100 + off * 0.5,
+                }
+                f.write(json.dumps({"key": None, "value": json.dumps(msg)}) + "\n")
+
+    register_all(spark)
+    cfg = _cfg(kafka_options={"path": root}, buffer_size=16)
+    src = build_kafka_source(spark, cfg, "none:9092", fmt="kafkasim")
+    typed = transform(src, cfg)
+    tagged = typed.select(
+        portable_hash64(F.concat(F.lit("###name###"), F.col("name"))).alias(
+            "series_id"
+        ),
+        "time",
+        "name",
+        "value",
+        F.col("__kafka_partition").alias("part"),
+        F.col("__kafka_offset").alias("off"),
+    )
+    metric_path = str(tmp_path / "metrics")
+    series_path = str(tmp_path / "series")
+    sink = prometheus_fanout_sink(metric_path, series_path, ["name"])
+    ckpt = str(tmp_path / "ckpt_prom")
+    for _ in range(8):  # rate-limited drains until quiescent
+        q = (
+            tagged.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        try:
+            if spark.read.parquet(metric_path).count() == 48:
+                break
+        except Exception:
+            pass
+
+    metrics = spark.read.parquet(metric_path)
+    series = spark.read.parquet(series_path)
+    assert metrics.count() == 48  # every message landed exactly once
+    assert series.count() == 6  # one row per series across partitions+batches
+    assert metrics.join(series, "series_id", "left_anti").count() == 0
+    # offsets survived the full path: dense per partition
+    offs = {(r.part, r.off) for r in metrics.select("part", "off").collect()}
+    assert offs == {(p, o) for p in range(2) for o in range(24)}
+
+
 def test_kafkasim_restart_resumes_from_checkpoint(spark, tmp_path):
     root = str(tmp_path / "logs")
     _write_topic(root, n_per_part=5, parts=2)

@@ -68,6 +68,24 @@ ORDER BY okey
 # --------------------------------------------------------------------------
 
 
+def _series_label() -> "F.Column":
+    """The Prometheus series label string (sorted name###value pairs over
+    the string dims — reference model/message.go:174-209).  ONE definition
+    shared by every operator that derives a series_id, with
+    :func:`_series_label_sql` as its byte-identical SQL twin — the pair
+    must never drift apart or series ids diverge between operators."""
+    return F.concat(
+        F.lit("###event_type###"),
+        F.col("event_type"),
+        F.lit("###user_id###"),
+        F.col("user_id").cast("string"),
+    )
+
+
+def _series_label_sql() -> str:
+    return "'###event_type###' || event_type || '###user_id###' || user_id::VARCHAR"
+
+
 def series_antijoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Insert-only-new-series semantics (reference output/clickhouse.go:110-130):
     the reference preloads existing ``__series_id``s into a roaring bitmap
@@ -79,14 +97,10 @@ def series_antijoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only distinct series ids — tiny relative to the metric stream.
     """
     ev = load_table(spark, sf_dir, "events")
-    label_str = F.concat(
-        F.lit("###event_type###"),
-        F.col("event_type"),
-        F.lit("###user_id###"),
-        F.col("user_id").cast("string"),
-    )
     tagged = ev.select(
-        portable_hash64(label_str).alias("series_id"), "event_type", "user_id"
+        portable_hash64(_series_label()).alias("series_id"),
+        "event_type",
+        "user_id",
     )
     batch_series = tagged.distinct()
     existing = tagged.filter(F.col("user_id") < 10).select("series_id").distinct()
@@ -96,9 +110,7 @@ def series_antijoin_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SERIES_HASH = portable_hash64_sql(
-    "'###event_type###' || event_type || '###user_id###' || user_id::VARCHAR"
-)
+_SERIES_HASH = portable_hash64_sql(_series_label_sql())
 
 SERIES_ANTIJOIN_SQL = f"""
 WITH tagged AS (
@@ -280,14 +292,8 @@ def prometheus_metric_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Compact summary per series so the oracle is stable at any SF.
     """
     ev = load_table(spark, sf_dir, "events")
-    label_str = F.concat(
-        F.lit("###event_type###"),
-        F.col("event_type"),
-        F.lit("###user_id###"),
-        F.col("user_id").cast("string"),
-    )
     metric = ev.select(
-        portable_hash64(label_str).alias("series_id"),
+        portable_hash64(_series_label()).alias("series_id"),
         F.unix_timestamp("ts").alias("ts_epoch"),
         F.col("value").cast(DEC).alias("v"),
     )
@@ -304,7 +310,7 @@ def prometheus_metric_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PROMETHEUS_METRIC_SQL = f"""
-SELECT {portable_hash64_sql("'###event_type###' || event_type || '###user_id###' || user_id::VARCHAR")}
+SELECT {portable_hash64_sql(_series_label_sql())}
            AS series_id,
        COUNT(*) AS n_points,
        MIN(floor(epoch(ts))::BIGINT) AS first_ts,
@@ -849,13 +855,13 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "exact_ndv",
             "kth_hash",
+            # RAW double: the division chain is IEEE-identical across
+            # engines, and engine ROUND() is not (DuckDB rounds the
+            # shortest decimal repr) — the checker canonicalizes at 6dp
             F.when(
                 F.col("kth_hash").isNotNull(),
-                F.round(
-                    F.lit(float(_KMV_K - 1))
-                    / (F.col("kth_hash").cast("double") / F.lit(_KMV_SPACE)),
-                    4,
-                ),
+                F.lit(float(_KMV_K - 1))
+                / (F.col("kth_hash").cast("double") / F.lit(_KMV_SPACE)),
             )
             .otherwise(F.col("exact_ndv").cast("double"))
             .alias("est_ndv"),
@@ -876,7 +882,7 @@ WITH hashes AS (
 )
 SELECT event_type, exact_ndv, kth_hash,
        CASE WHEN kth_hash IS NOT NULL
-            THEN ROUND({_KMV_K - 1}.0 / (kth_hash::DOUBLE / {_KMV_SPACE!r}::DOUBLE), 4)
+            THEN {_KMV_K - 1}.0 / (kth_hash::DOUBLE / {_KMV_SPACE!r}::DOUBLE)
             ELSE exact_ndv::DOUBLE END AS est_ndv
 FROM (
     SELECT event_type, COUNT(*) AS exact_ndv,
@@ -918,18 +924,30 @@ def zscore_day_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n") * F.col("n")).alias("ss"),
     )
     mean = F.col("s").cast("double") / F.col("n_days")
-    var = F.col("ss").cast("double") / F.col("n_days") - mean * mean
-    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    # GREATEST(var, 0): the cancellation form ss/n - mean^2 can go a hair
+    # negative on near-constant large counts; unguarded, DuckDB's sqrt
+    # throws where Spark yields NaN.  sd > 0 excludes the degenerate
+    # all-identical case (z undefined) identically in both engines.
+    var = F.greatest(
+        F.col("ss").cast("double") / F.col("n_days") - mean * mean, F.lit(0.0)
+    )
+    sd = F.sqrt(var)
+    z = (F.col("n").cast("double") - mean) / sd
     return (
         daily.join(F.broadcast(stats), "event_type")
         .select(
             "event_type",
             "day",
             "n",
-            F.round(mean, 6).alias("mean_daily"),
-            F.round(z, 6).alias("zscore"),
+            # RAW doubles (exact-int sums + IEEE division/sqrt are
+            # bit-identical across engines; engine ROUND is not) — the
+            # checker canonicalizes at 6dp, and the filter reads the raw z
+            mean.alias("mean_daily"),
+            z.alias("zscore"),
+            sd.alias("__sd"),
         )
-        .filter(F.abs(F.col("zscore")) > _ZSCORE_CUT)
+        .filter((F.col("__sd") > 0) & (F.abs(F.col("zscore")) > _ZSCORE_CUT))
+        .drop("__sd")
         .orderBy("event_type", "day")
     )
 
@@ -945,14 +963,17 @@ WITH daily AS (
 SELECT event_type, day, n, mean_daily, zscore
 FROM (
     SELECT d.event_type, d.day, d.n,
-           ROUND(t.s::DOUBLE / t.n_days, 6) AS mean_daily,
-           ROUND((d.n::DOUBLE - t.s::DOUBLE / t.n_days)
-                 / sqrt(t.ss::DOUBLE / t.n_days
-                        - (t.s::DOUBLE / t.n_days) * (t.s::DOUBLE / t.n_days)),
-                 6) AS zscore
+           t.s::DOUBLE / t.n_days AS mean_daily,
+           (d.n::DOUBLE - t.s::DOUBLE / t.n_days)
+               / sqrt(GREATEST(t.ss::DOUBLE / t.n_days
+                      - (t.s::DOUBLE / t.n_days) * (t.s::DOUBLE / t.n_days),
+                      0.0)) AS zscore,
+           sqrt(GREATEST(t.ss::DOUBLE / t.n_days
+                - (t.s::DOUBLE / t.n_days) * (t.s::DOUBLE / t.n_days),
+                0.0)) AS sd
     FROM daily d JOIN stats t ON d.event_type = t.event_type
 )
-WHERE abs(zscore) > {_ZSCORE_CUT}
+WHERE sd > 0 AND abs(zscore) > {_ZSCORE_CUT}
 ORDER BY event_type, day
 """
 
@@ -1003,11 +1024,10 @@ def weighted_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             # diagnostic: the (uncapped) inclusion probability; pure +,*,/
             # double arithmetic is IEEE-identical across engines
-            F.round(
+            (
                 F.lit(float(_PPS_TARGET))
                 * F.col("n_chars").cast("double")
-                / F.col("w_total").cast("double"),
-                6,
+                / F.col("w_total").cast("double")
             ).alias("incl_prob"),
         )
         .orderBy("doc_id")
@@ -1019,7 +1039,7 @@ _PPS_HASH = portable_hash64_sql("'pps:' || doc_id::VARCHAR")
 WEIGHTED_SAMPLE_SQL = f"""
 WITH tot AS (SELECT SUM(n_chars)::DECIMAL(38,0) AS w_total FROM documents)
 SELECT doc_id, lang, n_chars,
-       ROUND({_PPS_TARGET}.0 * n_chars::DOUBLE / w_total::DOUBLE, 6) AS incl_prob
+       {_PPS_TARGET}.0 * n_chars::DOUBLE / w_total::DOUBLE AS incl_prob
 FROM documents, tot
 WHERE {_PPS_HASH}::DECIMAL(38,0) * w_total
       < {_PPS_TARGET}::DECIMAL(38,0) * n_chars::DECIMAL(38,0)
@@ -1225,13 +1245,15 @@ def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted.groupBy("user_id", "day")
         .agg(
             F.count(F.lit(1)).alias("n_readings"),
-            F.round(
-                F.when(
-                    F.sum("wt") > 0, F.sum("wv") / F.sum("wt")
-                ).otherwise(F.min_by("value", "event_id")),
-                6,
-            ).alias("twa_value"),
-            F.round(F.avg("value"), 6).alias("plain_avg"),
+            # RAW doubles: float-sum order differs per engine only at ulp
+            # scale, which the checker's 6dp canonicalization absorbs —
+            # engine ROUND() would diverge on boundary representations
+            F.when(
+                F.sum("wt") > 0, F.sum("wv") / F.sum("wt")
+            )
+            .otherwise(F.min_by("value", "event_id"))
+            .alias("twa_value"),
+            F.avg("value").alias("plain_avg"),
         )
         .orderBy("user_id", "day")
     )
@@ -1253,9 +1275,9 @@ WITH weighted AS (
 )
 SELECT user_id, day,
        COUNT(*) AS n_readings,
-       ROUND(CASE WHEN SUM(wt) > 0 THEN SUM(wv) / SUM(wt)
-                  ELSE MIN_BY(value, event_id) END, 6) AS twa_value,
-       ROUND(AVG(value), 6) AS plain_avg
+       CASE WHEN SUM(wt) > 0 THEN SUM(wv) / SUM(wt)
+            ELSE MIN_BY(value, event_id) END AS twa_value,
+       AVG(value) AS plain_avg
 FROM weighted
 GROUP BY user_id, day
 ORDER BY user_id, day
@@ -1311,8 +1333,10 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "user_id",
         "n",
-        F.round(slope * 86400.0, 6).alias("slope_per_day"),
-        F.round(r2, 6).alias("r2"),
+        # RAW doubles: exact-sum inputs make these bit-identical across
+        # engines; the checker canonicalizes at 6dp
+        (slope * 86400.0).alias("slope_per_day"),
+        r2.alias("r2"),
     ).orderBy("user_id")
 
 
@@ -1331,25 +1355,25 @@ WITH agg AS (
     GROUP BY user_id
 )
 SELECT user_id, n,
-       ROUND(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
-             THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END
+            * 86400.0 AS slope_per_day,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+              AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END
-             * 86400.0, 6) AS slope_per_day,
-       ROUND(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
-                   AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
-             THEN ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                   * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
-                  / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END, 6) AS r2
+                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS r2
 FROM agg
 ORDER BY user_id
 """
@@ -1405,7 +1429,14 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "num_present"
         ),
     )
-    exact = ev.select("user_id", "event_type").distinct().count()
+    # exact cardinality computed IN-PLAN (one-row aggregate cross-joined
+    # in), not as an eager .count() action at DataFrame construction —
+    # building the plan must not scan the corpus
+    exact_df = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
     zeros = F.lit(_HLL_M) - F.col("n_present")
     total_num = F.col("num_present") + zeros * F.lit(1 << (_HLL_REM_BITS + 1))
     raw = (
@@ -1416,14 +1447,15 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (raw <= 2.5 * _HLL_M) & (zeros > 0),
         F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros.cast("double")),
     ).otherwise(raw)
-    return summed.select(
+    exact_d = F.col("exact_distinct").cast("double")
+    return summed.crossJoin(F.broadcast(exact_df)).select(
         F.lit(_HLL_M).alias("m"),
         zeros.cast("bigint").alias("n_zero_buckets"),
+        # ROUND stays here: the small-range branch uses ln(), whose 1-ulp
+        # cross-engine wobble the raw-emission rule exempts
         F.round(est, 3).alias("estimate"),
-        F.lit(exact).alias("exact_distinct"),
-        F.round(F.abs(est - F.lit(float(exact))) / F.lit(float(exact)), 4).alias(
-            "rel_error"
-        ),
+        "exact_distinct",
+        F.round(F.abs(est - exact_d) / exact_d, 4).alias("rel_error"),
     )
 
 
@@ -1552,14 +1584,13 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Under-filled sketch (fewer than K distinct hashes exist): the sketch
     # IS the exact set, so return k_used rather than the (K-1)/u estimator,
     # which would systematically overestimate small inputs.
+    # RAW doubles throughout (pure division chains are IEEE-identical;
+    # engine ROUND is not — checker canonicalizes at 6dp)
     est_union = F.when(
         F.col("k_used") < _KMV_K, F.col("k_used").cast("double")
     ).otherwise(
-        F.round(
-            F.lit(float(_KMV_K - 1))
-            / (F.col("kth_hash").cast("double") / F.lit(_KMV_SPACE)),
-            4,
-        )
+        F.lit(float(_KMV_K - 1))
+        / (F.col("kth_hash").cast("double") / F.lit(_KMV_SPACE))
     )
     jac = F.col("n_both").cast("double") / F.col("k_used").cast("double")
     return (
@@ -1570,8 +1601,8 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_union",
             "exact_intersection",
             est_union.alias("est_union"),
-            F.round(jac, 6).alias("est_jaccard"),
-            F.round(jac * est_union, 4).alias("est_intersection"),
+            jac.alias("est_jaccard"),
+            (jac * est_union).alias("est_intersection"),
         )
     )
 
@@ -1622,16 +1653,16 @@ ex AS (
 SELECT '{_KMV_TYPE_A}' AS type_a, '{_KMV_TYPE_B}' AS type_b,
        ex.exact_union, ex.exact_intersection,
        CASE WHEN agg.k_used < {_KMV_K} THEN CAST(agg.k_used AS DOUBLE)
-            ELSE ROUND({float(_KMV_K - 1)!r}
-                       / (CAST(agg.kth_hash AS DOUBLE) / {_KMV_SPACE}), 4)
+            ELSE {float(_KMV_K - 1)!r}
+                 / (CAST(agg.kth_hash AS DOUBLE) / {_KMV_SPACE})
        END AS est_union,
-       ROUND(CAST(agg.n_both AS DOUBLE) / CAST(agg.k_used AS DOUBLE), 6)
+       CAST(agg.n_both AS DOUBLE) / CAST(agg.k_used AS DOUBLE)
            AS est_jaccard,
-       ROUND(CAST(agg.n_both AS DOUBLE) / CAST(agg.k_used AS DOUBLE)
-             * CASE WHEN agg.k_used < {_KMV_K} THEN CAST(agg.k_used AS DOUBLE)
-                    ELSE ROUND({float(_KMV_K - 1)!r}
-                               / (CAST(agg.kth_hash AS DOUBLE) / {_KMV_SPACE}), 4)
-               END, 4)
+       CAST(agg.n_both AS DOUBLE) / CAST(agg.k_used AS DOUBLE)
+           * CASE WHEN agg.k_used < {_KMV_K} THEN CAST(agg.k_used AS DOUBLE)
+                  ELSE {float(_KMV_K - 1)!r}
+                       / (CAST(agg.kth_hash AS DOUBLE) / {_KMV_SPACE})
+             END
            AS est_intersection
 FROM agg, ex
 """
@@ -1690,12 +1721,26 @@ def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined), then all statistics on the ≤|types|×|buckets| cell table.
     """
     ev = load_table(spark, sf_dir, "events")
-    cells = ev.groupBy(
+    sparse = ev.groupBy(
         "event_type", (F.col("user_id") % 10).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("o"))
+    # densify to the FULL observed-margin grid: a (type, bucket) pair with
+    # zero observations still contributes (0-E)^2/E = E to the statistic,
+    # and dof counts grid dimensions, not non-empty cells
+    types = sparse.select("event_type").distinct()
+    buckets = sparse.select("bucket").distinct()
+    cells = (
+        types.crossJoin(buckets)
+        .join(sparse, ["event_type", "bucket"], "left")
+        .select("event_type", "bucket", F.coalesce("o", F.lit(0)).alias("o"))
+    )
     rows = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
     cols = cells.groupBy("bucket").agg(F.sum("o").alias("c"))
-    tot = cells.agg(F.sum("o").alias("n"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.count_distinct("bucket").alias("n_buckets"),
+    )
     e = F.col("r").cast("double") * F.col("c").cast("double") / F.col("n").cast("double")
     contrib = (
         (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
@@ -1704,8 +1749,11 @@ def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.join(F.broadcast(rows), "event_type")
         .join(F.broadcast(cols), "bucket")
         .crossJoin(F.broadcast(tot))
-        .select(contrib.cast("decimal(38,18)").alias("contrib"), "n")
-        .groupBy("n")
+        .select(
+            contrib.cast("decimal(38,18)").alias("contrib"),
+            "n", "n_types", "n_buckets",
+        )
+        .groupBy("n", "n_types", "n_buckets")
         .agg(
             F.count(F.lit(1)).alias("n_cells"),
             F.sum("contrib").alias("chi2_dec"),
@@ -1715,22 +1763,39 @@ def chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         F.col("n").alias("n_events"),
         "n_cells",
-        F.round(chi2, 4).alias("chi2"),
-        ((F.col("n_cells") / F.lit(10) - 1) * (F.lit(10) - 1)).cast("bigint").alias("dof"),
+        # RAW double (decimal sum casts identically in both engines)
+        chi2.alias("chi2"),
+        # dof from the grid dimensions — exact integers in both engines
+        ((F.col("n_types") - 1) * (F.col("n_buckets") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        # the hardcoded critical value is for dof=36 (the 5x10 test grid);
+        # other grids need their own quantile
         (chi2 < F.lit(_CHISQ_CRIT_36)).alias("independent_at_05"),
     )
 
 
 CHISQ_SQL = f"""
-WITH cells AS (
+WITH sparse AS (
     SELECT event_type, user_id % 10 AS bucket, COUNT(*) AS o
     FROM events GROUP BY 1, 2
 ),
+cells AS (
+    SELECT g.event_type, g.bucket, COALESCE(s.o, 0) AS o
+    FROM (SELECT t.event_type, b.bucket
+          FROM (SELECT DISTINCT event_type FROM sparse) t
+          CROSS JOIN (SELECT DISTINCT bucket FROM sparse) b) g
+    LEFT JOIN sparse s
+      ON s.event_type = g.event_type AND s.bucket = g.bucket
+),
 r AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY event_type),
 c AS (SELECT bucket, SUM(o) AS c FROM cells GROUP BY bucket),
-t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+             COUNT(DISTINCT event_type) AS n_types,
+             COUNT(DISTINCT bucket) AS n_buckets
+      FROM cells),
 stats AS (
-    SELECT t.n, COUNT(*) AS n_cells,
+    SELECT t.n, t.n_types, t.n_buckets, COUNT(*) AS n_cells,
            SUM(CAST(
                (CAST(o AS DOUBLE)
                 - CAST(r.r AS DOUBLE) * CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
@@ -1740,11 +1805,11 @@ stats AS (
                AS DECIMAL(38,18))) AS chi2_dec
     FROM cells
     JOIN r USING (event_type) JOIN c USING (bucket) CROSS JOIN t
-    GROUP BY t.n
+    GROUP BY t.n, t.n_types, t.n_buckets
 )
 SELECT n AS n_events, n_cells,
-       ROUND(CAST(chi2_dec AS DOUBLE), 4) AS chi2,
-       CAST((n_cells / 10 - 1) * (10 - 1) AS BIGINT) AS dof,
+       CAST(chi2_dec AS DOUBLE) AS chi2,
+       CAST((n_types - 1) * (n_buckets - 1) AS BIGINT) AS dof,
        CAST(chi2_dec AS DOUBLE) < {_CHISQ_CRIT_36} AS independent_at_05
 FROM stats
 """
@@ -1869,12 +1934,17 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("n_clipped_hi"),
             F.min("lo").alias("p01"),
             F.min("hi").alias("p99"),
+            # cast the exact decimal SUM to double BEFORE dividing: DuckDB
+            # types SUM(decimal)/COUNT(*) as a double division, so the
+            # divide-then-cast order would differ by an ulp between engines
             (
-                F.sum(F.col("value").cast("decimal(38,18)")) / F.count(F.lit(1))
-            ).cast("double").alias("mean_raw"),
+                F.sum(F.col("value").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_raw"),
             (
-                F.sum(F.col("w").cast("decimal(38,18)")) / F.count(F.lit(1))
-            ).cast("double").alias("mean_winsorized"),
+                F.sum(F.col("w").cast("decimal(38,18)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_winsorized"),
         )
         .orderBy("event_type")
     )
@@ -1895,10 +1965,10 @@ SELECT e.event_type,
            AS n_clipped_hi,
        MIN(c.lo) AS p01,
        MIN(c.hi) AS p99,
-       CAST(SUM(CAST(e.value AS DECIMAL(38,18))) / COUNT(*) AS DOUBLE)
+       CAST(SUM(CAST(e.value AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
            AS mean_raw,
        CAST(SUM(CAST(LEAST(GREATEST(e.value, c.lo), c.hi) AS DECIMAL(38,18)))
-            / COUNT(*) AS DOUBLE) AS mean_winsorized
+            AS DOUBLE) / COUNT(*) AS mean_winsorized
 FROM events e JOIN caps c USING (event_type)
 GROUP BY e.event_type
 ORDER BY e.event_type

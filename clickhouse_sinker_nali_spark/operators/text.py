@@ -31,7 +31,9 @@ _MARKERS = {
 }
 
 # BPE-ish tokenizer regex: letter runs, digit runs, single non-space symbols.
-_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+# \s is ASCII-identical in Java and RE2 EXCEPT vertical tab (Java has it,
+# RE2 does not) — the explicit class means the same bytes in both engines
+_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]"
 
 _STOPWORDS = _MARKERS["en"]
 
@@ -45,20 +47,38 @@ def _hits(words, markers: list[str]):
     return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-marker language ID with strict-precedence argmax."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = _words()
-    hits = {lang: _hits(w, ms).alias(f"hits_{lang}") for lang, ms in _MARKERS.items()}
-    scored = docs.select("doc_id", "lang", *hits.values())
+def _pred_lang() -> "F.Column":
+    """Strict-precedence argmax over the per-language hit counts
+    (columns ``hits_en/hits_es/hits_de/hits_fr``) — ONE definition shared
+    by the document-level (:func:`lang_id`) and window-level
+    (:func:`lang_segments`) identifiers, with :func:`_pred_lang_sql` as
+    its byte-identical SQL twin; the pair must never drift or the two
+    granularities disagree on the same evidence."""
     he, hs, hd, hf = (F.col(f"hits_{x}") for x in ("en", "es", "de", "fr"))
-    pred = (
+    return (
         F.when((he >= hs) & (he >= hd) & (he >= hf) & (he > 0), "en")
         .when((hs >= hd) & (hs >= hf) & (hs > 0), "es")
         .when((hd >= hf) & (hd > 0), "de")
         .when(hf > 0, "fr")
         .otherwise("unknown")
     )
+
+
+_PRED_LANG_SQL = """CASE WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr
+                 AND hits_en > 0 THEN 'en'
+            WHEN hits_es >= hits_de AND hits_es >= hits_fr AND hits_es > 0 THEN 'es'
+            WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+            WHEN hits_fr > 0 THEN 'fr'
+            ELSE 'unknown' END"""
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID with strict-precedence argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    hits = {lang: _hits(w, ms).alias(f"hits_{lang}") for lang, ms in _MARKERS.items()}
+    scored = docs.select("doc_id", "lang", *hits.values())
+    pred = _pred_lang()
     return scored.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -70,7 +90,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hits_sql(markers: list[str]) -> str:
     inlist = ", ".join(f"'{m}'" for m in markers)
     return (
-        "len(list_filter(regexp_split_to_array(text, '\\s+'), "
+        "len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), "
         f"w -> w IN ({inlist})))"
     )
 
@@ -85,12 +105,7 @@ WITH scored AS (
     FROM documents
 )
 SELECT doc_id, labeled_lang,
-       CASE WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en >= hits_fr
-                 AND hits_en > 0 THEN 'en'
-            WHEN hits_es >= hits_de AND hits_es >= hits_fr AND hits_es > 0 THEN 'es'
-            WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
-            WHEN hits_fr > 0 THEN 'fr'
-            ELSE 'unknown' END AS pred_lang,
+       {_PRED_LANG_SQL} AS pred_lang,
        hits_en, hits_es, hits_de, hits_fr
 FROM scored
 ORDER BY doc_id
@@ -110,7 +125,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_STATS_SQL = f"""
 SELECT doc_id,
-       len(regexp_split_to_array(text, '\\s+')) AS n_ws_tokens,
+       len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS n_ws_tokens,
        len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_re_tokens,
        length(text) AS n_chars
 FROM documents
@@ -164,10 +179,10 @@ _STOP_LIST = ", ".join(f"'{m}'" for m in _STOPWORDS)
 QUALITY_SQL = f"""
 WITH base AS (
     SELECT doc_id,
-           len(regexp_split_to_array(text, '\\s+'))::DOUBLE AS n_words,
-           list_sum(list_transform(regexp_split_to_array(text, '\\s+'),
+           len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'))::DOUBLE AS n_words,
+           list_sum(list_transform(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
                                    w -> length(w)))::DOUBLE AS total_len,
-           len(list_filter(regexp_split_to_array(text, '\\s+'),
+           len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
                            w -> w IN ({_STOP_LIST})))::DOUBLE AS n_stop
     FROM documents
 )
@@ -243,12 +258,21 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PII_LONGNUM,
         "<NUM>",
     )
+    # audit counts track what each stage ACTUALLY replaced: ips are counted
+    # on the email-redacted text and longnums on the email+ip-redacted
+    # text, so a digit run inside an already-swallowed email local-part is
+    # not double-counted and the counts sum to the placeholders present in
+    # redacted_text
+    after_email = F.regexp_replace(t, _PII_EMAIL, "<EMAIL>")
+    after_ip = F.regexp_replace(after_email, _PII_IPV4, "<IP>")
     return docs.select(
         "doc_id",
         redacted.alias("redacted_text"),
         F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), 0)).alias("n_emails"),
-        F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), 0)).alias("n_ips"),
-        F.size(F.regexp_extract_all("text", F.lit(_PII_LONGNUM), 0)).alias("n_longnums"),
+        F.size(F.regexp_extract_all(after_email, F.lit(_PII_IPV4), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all(after_ip, F.lit(_PII_LONGNUM), 0)).alias(
+            "n_longnums"
+        ),
     ).orderBy("doc_id")
 
 
@@ -259,8 +283,13 @@ SELECT doc_id,
            '{_PII_IPV4}', '<IP>', 'g'),
            '{_PII_LONGNUM}', '<NUM>', 'g') AS redacted_text,
        len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
-       len(regexp_extract_all(text, '{_PII_IPV4}')) AS n_ips,
-       len(regexp_extract_all(text, '{_PII_LONGNUM}')) AS n_longnums
+       len(regexp_extract_all(
+           regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4}')) AS n_ips,
+       len(regexp_extract_all(
+           regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_IPV4}', '<IP>', 'g'),
+           '{_PII_LONGNUM}')) AS n_longnums
 FROM documents
 ORDER BY doc_id
 """
@@ -302,7 +331,7 @@ SELECT rank, word, n_occurrences, n_docs
 FROM (
     SELECT word, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs,
            ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rank
-    FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+    FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word
           FROM documents)
     GROUP BY word
 )
@@ -345,7 +374,7 @@ WITH g AS (
                 THEN list_transform(range(0, len(w) - 2),
                                     i -> array_to_string(w[i + 1 : i + 3], ' '))
                 ELSE [array_to_string(w, ' ')] END AS grams
-    FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents)
+    FROM (SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS w FROM documents)
 )
 SELECT doc_id,
        len(grams) AS n_grams_total,
@@ -462,7 +491,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TFIDF_SQL = """
 WITH terms AS (
-    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    SELECT doc_id, unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS term
     FROM documents
 ), terms_f AS (
     SELECT doc_id, term FROM terms WHERE term <> ''
@@ -515,8 +544,8 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 LENGTH_HISTOGRAM_SQL = f"""
 SELECT bucket_lo, COUNT(*) AS n_docs
 FROM (
-    SELECT len(string_split_regex(text, '\\s+'))
-           - (len(string_split_regex(text, '\\s+')) % {_HIST_BUCKET_TOKENS}) AS bucket_lo
+    SELECT len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+'))
+           - (len(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) % {_HIST_BUCKET_TOKENS}) AS bucket_lo
     FROM documents
 )
 GROUP BY bucket_lo
@@ -546,17 +575,24 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     words = F.split(F.col("text"), r"\s+")
-    pairs = docs.select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.size(words) - 2),
-                lambda i: F.struct(
-                    F.element_at(words, i + 1).alias("w1"),
-                    F.element_at(words, i + 2).alias("w2"),
-                ),
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
+    # single-token docs MUST be excluded before the sequence: with n=1,
+    # sequence(0, -1) steps backward to [0, -1] and element_at(words, 0)
+    # throws INVALID_INDEX_OF_ZERO, killing the whole job
+    pairs = (
+        docs.filter(F.size(words) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - 2),
+                    lambda i: F.struct(
+                        F.element_at(words, i + 1).alias("w1"),
+                        F.element_at(words, i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
     c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     c2 = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
@@ -580,13 +616,14 @@ def pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PMI_BIGRAMS_SQL = f"""
-WITH pairs AS (
-    SELECT string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2
-    FROM (
-        SELECT unnest(list_transform(range(1, len(ws)),
-                                     i -> ws[i] || ' ' || ws[i+1])) AS bigram
-        FROM (SELECT string_split(text, ' ') AS ws FROM documents)
-    )
+WITH toks AS (
+    SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS ws
+          FROM documents)
+), pairs AS (
+    SELECT a.w AS w1, b.w AS w2
+    FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 ), c12 AS (
     SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2
 ), c1 AS (
@@ -662,7 +699,7 @@ FROM (
     SELECT word, COUNT(*) AS df,
            list_slice(list_sort(array_agg(doc_id)), 1, {_INVIDX_POSTING_CAP}) AS postings,
            ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS rank
-    FROM (SELECT DISTINCT unnest(regexp_split_to_array(text, '\\s+')) AS word, doc_id
+    FROM (SELECT DISTINCT unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word, doc_id
           FROM documents)
     GROUP BY word
 )
@@ -714,7 +751,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UNIGRAM_LOGPROB_SQL = """
 WITH words AS (
-    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+    SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word
     FROM documents
 ), tot AS (SELECT COUNT(*)::DOUBLE AS n FROM words),
 probs AS (
@@ -795,7 +832,7 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 GOPHER_FILTER_SQL = f"""
 WITH base AS (
     SELECT doc_id,
-           list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+           list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '') AS ws
     FROM documents
 ), m AS (
     SELECT doc_id,
@@ -963,7 +1000,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 DSIR_IMPORTANCE_SQL = f"""
 WITH words AS (
     SELECT doc_id, lang,
-           unnest(regexp_split_to_array(text, '\\s+')) AS word
+           unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word
     FROM documents
 ), w AS (SELECT * FROM words WHERE word <> ''),
 counts AS (
@@ -1027,9 +1064,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # dl is CORPUS-sized (one row per document) — never broadcast it; the
+    # small side is tf (only docs containing the <=3 query terms), so that
+    # side ships and dl stays a shuffle/stream side.  df_t/stats are tiny.
     scored = (
-        tf.join(F.broadcast(df_t), "word")
-        .join(F.broadcast(dl), "doc_id")
+        F.broadcast(tf.join(F.broadcast(df_t), "word"))
+        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
     )
     avgdl = F.col("total_tokens").cast("double") / F.col("n_docs")
@@ -1065,14 +1105,14 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
 BM25_SQL = f"""
 WITH toks AS (
-    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word
+    SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word
     FROM documents
 ), dl AS (
-    SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS dl
+    SELECT doc_id, CAST(len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS dl
     FROM documents
 ), stats AS (
     SELECT COUNT(*) AS n_docs,
-           CAST(SUM(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+           CAST(SUM(len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'))) AS BIGINT)
                AS total_tokens
     FROM documents
 ), tf AS (
@@ -1165,13 +1205,13 @@ PPL_BUCKETS_SQL = PPL_BUCKETS_SQL.format(unigram=UNIGRAM_LOGPROB_SQL)
 # C0 controls, DEL, and C1 controls — the bytes a crawl dump leaks into text
 # fields; tab/newline land in the \s collapse anyway but are included here so
 # a single pass removes every control.
-_CONTROL_RE = "[\\x00-\\x1f\\x7f\\u0080-\\u009f]"
+_CONTROL_RE = "[\\x00-\\x1f\\x7f\\x{0080}-\\x{009f}]"
 
 # Unicode-aware whitespace: \s in both Java regex and RE2 is ASCII-only, so
 # NBSP / ogham / en-quads / line+paragraph separators / BOM would survive an
 # \s+ collapse (found by the hypothesis idempotence property).  \p{Zs} is
 # the Unicode space-separator category in both engines.
-_WS_RE = "[\\s\\p{Zs}\\u2028\\u2029\\ufeff]+"
+_WS_RE = "[ \\t\\n\\x0b\\f\\r\\p{Zs}\\x{2028}\\x{2029}\\x{feff}]+"
 
 
 def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1393,8 +1433,8 @@ def bigram_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 BIGRAM_KN_SQL = f"""
 WITH toks AS (
     SELECT doc_id,
-           generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos,
-           unnest(regexp_split_to_array(text, '\\s+')) AS w1
+           generate_subscripts(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), 1) AS pos,
+           unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS w1
     FROM documents
 ),
 bigrams AS (
@@ -1463,15 +1503,7 @@ def lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             for lang in ("en", "es", "de", "fr")
         ]
     )
-    he, hs, hd, hf = (F.col(f"hits_{x}") for x in ("en", "es", "de", "fr"))
-    pred = (
-        F.when((he >= hs) & (he >= hd) & (he >= hf) & (he > 0), "en")
-        .when((hs >= hd) & (hs >= hf) & (hs > 0), "es")
-        .when((hd >= hf) & (hd > 0), "de")
-        .when(hf > 0, "fr")
-        .otherwise("unknown")
-    )
-    wins = hits.select("doc_id", "win", pred.alias("win_lang"))
+    wins = hits.select("doc_id", "win", _pred_lang().alias("win_lang"))
     w = Window.partitionBy("doc_id").orderBy("win")
     seg = wins.withColumn(
         "is_start",
@@ -1500,9 +1532,9 @@ def lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 LANG_SEGMENTS_SQL = f"""
 WITH toks AS (
     SELECT doc_id,
-           CAST((generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) - 1)
+           CAST((generate_subscripts(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), 1) - 1)
                 // {_SEG_WIN} AS INTEGER) AS win,
-           unnest(regexp_split_to_array(text, '\\s+')) AS tok
+           unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok
     FROM documents
 ),
 hits AS (
@@ -1519,13 +1551,7 @@ hits AS (
 ),
 wins AS (
     SELECT doc_id, win,
-           CASE WHEN hits_en >= hits_es AND hits_en >= hits_de
-                     AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
-                WHEN hits_es >= hits_de AND hits_es >= hits_fr
-                     AND hits_es > 0 THEN 'es'
-                WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
-                WHEN hits_fr > 0 THEN 'fr'
-                ELSE 'unknown' END AS win_lang
+           {_PRED_LANG_SQL} AS win_lang
     FROM hits
 ),
 seg AS (
@@ -1619,7 +1645,7 @@ _JSD_GATE = "(('0x' || substr(md5('jsd:' || doc_id::VARCHAR), 1, 15))::BIGINT % 
 VOCAB_JSD_SQL = f"""
 WITH words AS (
     SELECT {_JSD_GATE} AS half,
-           unnest(regexp_split_to_array(text, '\\s+')) AS word
+           unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word
     FROM documents
 ),
 counts AS (

@@ -157,7 +157,7 @@ def word_shingles_sql(doc_table: str, id_col: str, text_col: str, k: int = 3) ->
         SELECT DISTINCT {id_col} AS doc_id,
                array_to_string(w[i + 1 : i + {k}], ' ') AS shingle
         FROM (
-            SELECT {id_col}, regexp_split_to_array({text_col}, '\\s+') AS w
+            SELECT {id_col}, regexp_split_to_array({text_col}, '[ \\t\\n\\x0b\\f\\r]+') AS w
             FROM {doc_table}
         ), LATERAL (
             SELECT unnest(

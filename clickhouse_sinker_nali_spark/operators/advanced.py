@@ -1186,7 +1186,7 @@ _CMS_HASH = portable_hash64_sql("(r.r::VARCHAR || ':' || word)")
 
 CMS_HEAVY_HITTERS_SQL = f"""
 WITH words AS (
-    SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents
+    SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word FROM documents
 ), w AS (SELECT word FROM words WHERE word <> ''),
 rows_ AS (SELECT unnest(range(0, {_CMS_DEPTH})) AS r),
 cells AS (

@@ -94,7 +94,7 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_PAIR_COUNTS_SQL = f"""
 WITH vocab AS (
     SELECT word, COUNT(*) AS wc
-    FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word
+    FROM (SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word
           FROM documents)
     WHERE word <> '' AND length(word) >= 2
     GROUP BY word
@@ -323,7 +323,7 @@ BPE_LEARN_MERGES_SQL = (
     "WITH v0 AS MATERIALIZED (\n"
     "  SELECT trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym,\n"
     "         COUNT(*) AS wc\n"
-    "  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word\n"
+    "  FROM (SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word\n"
     "        FROM documents)\n"
     "  WHERE word <> '' GROUP BY 1),\n"
     + _learn_ctes(BPE_MERGES)
@@ -346,7 +346,7 @@ BPE_ENCODE_SQL = (
     "WITH v0 AS MATERIALIZED (\n"
     "  SELECT trim(regexp_replace(word, '(.)', '\\1  ', 'g')) AS sym,\n"
     "         COUNT(*) AS wc\n"
-    "  FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word\n"
+    "  FROM (SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word\n"
     "        FROM documents)\n"
     "  WHERE word <> '' GROUP BY 1),\n"
     + _learn_ctes(BPE_MERGES)
@@ -354,7 +354,7 @@ BPE_ENCODE_SQL = (
     f"map AS (SELECT replace(sym, '  ', '') AS word,\n"
     f"               len(string_split(sym, '  ')) AS nt FROM v{BPE_MERGES}),\n"
     "words AS (SELECT * FROM\n"
-    "  (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word\n"
+    "  (SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word\n"
     "   FROM documents)\n"
     "  WHERE word <> '')\n"
     "SELECT w.doc_id,\n"

@@ -242,8 +242,8 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CHUNK_SQL = f"""
 WITH base AS (
-    SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w,
-           len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+    SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS w,
+           len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens
     FROM documents
 ), idx AS (
     SELECT doc_id, w, n_tokens,
@@ -315,7 +315,7 @@ def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GDPR_CASCADE_SQL = f"""
 WITH base AS (
-    SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+    SELECT doc_id, len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS n_tokens
     FROM documents
 ), idx AS (
     SELECT doc_id,
@@ -1106,7 +1106,7 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 LENGTH_BUCKET_SQL = f"""
 WITH toks AS (
     SELECT doc_id,
-           CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_tokens,
            {portable_hash64_sql("'lb:' || doc_id::VARCHAR")} AS h
     FROM documents
 ),
@@ -1197,8 +1197,8 @@ _MLM_GATE = (
 MLM_MASKING_SQL = f"""
 WITH toks AS (
     SELECT doc_id,
-           generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) AS pos,
-           unnest(regexp_split_to_array(text, '\\s+')) AS tok
+           generate_subscripts(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), 1) AS pos,
+           unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok
     FROM documents
 ),
 gated AS (
@@ -1398,7 +1398,7 @@ qual AS (
     FROM ({{quality}}) q
 ),
 toks AS (
-    SELECT CAST(SUM(CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT))
+    SELECT CAST(SUM(CAST(len(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS BIGINT))
                 AS BIGINT) AS total_tokens
     FROM documents
 ),

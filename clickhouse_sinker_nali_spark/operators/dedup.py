@@ -409,7 +409,7 @@ SIMHASH_SIG_SQL = (
     "  SELECT doc_id, word, COUNT(*) AS cnt, "
     + portable_hash64_sql("word")
     + " AS wh\n"
-    "  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)\n"
+    "  FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word FROM documents)\n"
     "  GROUP BY doc_id, word\n"
     "),\n"
     "sums AS (SELECT doc_id, "
@@ -1135,7 +1135,7 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_TFIDF_COSINE_SQL = f"""
 WITH terms AS (
-    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+    SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS term
     FROM documents
 ),
 terms_f AS (SELECT * FROM terms WHERE term <> ''),

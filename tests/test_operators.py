@@ -2739,7 +2739,16 @@ def test_corpus_health_report_reconciles_with_components(spark):
     decon = T.decontaminate(spark, SF_DIR).collect()
     rate = sum(1 for x in decon if x.contaminated) / len(decon)
     assert abs(r.contamination_rate - rate) < 1e-12
-    assert r.total_tokens == sum(len(d.text.split()) for d in docs)
+    # reference tokenization mirrors the engines' exact semantics: the
+    # Java \s class [ \t\n\x0b\f\r], edge empty tokens KEPT (Spark's
+    # split uses limit=-1, like Python re.split).  Bare str.split() is a
+    # THIRD semantics (splits \x1c-\x1f/\x85/unicode spaces, drops edge
+    # empties) that only agrees on space-only fixture text.
+    import re as _re
+
+    assert r.total_tokens == sum(
+        len(_re.split(r"[ \t\n\x0b\f\r]+", d.text)) for d in docs
+    )
     from collections import Counter
 
     lc = Counter(d.lang for d in docs)

@@ -401,13 +401,17 @@ def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     single exchange in the plan.
     """
     orders = load_table(spark, sf_dir, "orders")
-    return scd2_intervals(orders)
+    # presentation sort here, NOT in the shared core: the streaming
+    # maintainer writes the core's output to parquet per micro-batch,
+    # where a global sort is a wasted range-partition exchange
+    return scd2_intervals(orders).orderBy("custkey", "valid_from")
 
 
 def scd2_intervals(orders: DataFrame) -> DataFrame:
     """SCD2 core over an arbitrary order change-log DataFrame (columns
     o_custkey, o_orderstatus, o_orderdate, o_orderkey) — shared by the
-    batch build above and the streaming incremental maintainer."""
+    batch build above and the streaming incremental maintainer.
+    Unordered output; callers needing presentation order sort."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
@@ -422,14 +426,11 @@ def scd2_intervals(orders: DataFrame) -> DataFrame:
         | (F.col("o_orderstatus") != F.col("prev_status"))
     )
     w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
-        log.select(
-            F.col("o_custkey").alias("custkey"),
-            F.col("o_orderstatus").alias("status"),
-            F.col("o_orderdate").alias("valid_from"),
-            F.lead("o_orderdate").over(w2).alias("valid_to"),
-        )
-        .orderBy("custkey", "valid_from")
+    return log.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w2).alias("valid_to"),
     )
 
 

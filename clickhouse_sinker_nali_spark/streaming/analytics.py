@@ -224,14 +224,13 @@ def streaming_running_topk(
     counts = events_stream.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from .store import read_versioned, versioned_swap_write
+
         w = Window.orderBy(F.col("n").desc(), F.col(key_col))
         # batch_df in update mode carries only CHANGED keys; merge with the
         # previous leaderboard so unchanged leaders are not forgotten
         spark = batch_df.sparkSession
-        try:
-            prev = spark.read.parquet(out_path)
-        except Exception:
-            prev = None
+        prev = read_versioned(spark, out_path)
         if prev is not None:
             prev = prev.drop("rank")
         merged = (
@@ -247,8 +246,9 @@ def streaming_running_topk(
             .filter(F.col("rank") <= k)
             .select("rank", key_col, "n")
         )
-        top.write.mode("overwrite").parquet(out_path + "_tmp")
-        spark.read.parquet(out_path + "_tmp").write.mode("overwrite").parquet(out_path)
+        # crash-safe swap: the CURRENT pointer flips only after v_<epoch>
+        # is fully written; a replayed epoch rewrites its own directory
+        versioned_swap_write(top, out_path, int(epoch_id))
 
     return counts.writeStream.outputMode("update").foreachBatch(sink)
 
@@ -426,20 +426,16 @@ def streaming_hll_registers(events_stream: DataFrame, store_path: str):
     )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        from .store import read_versioned, versioned_swap_write
+
         spark = batch_df.sparkSession
         delta = batch_df.groupBy("bucket").agg(F.max("rho").alias("mj"))
-        try:
-            prev = spark.read.parquet(store_path)
-        except Exception:
-            prev = None
+        prev = read_versioned(spark, store_path)
         merged = (
             delta if prev is None else prev.unionByName(delta)
             .groupBy("bucket").agg(F.max("mj").alias("mj"))
         )
-        merged.write.mode("overwrite").parquet(store_path + "_tmp")
-        spark.read.parquet(store_path + "_tmp").write.mode("overwrite").parquet(
-            store_path
-        )
+        versioned_swap_write(merged, store_path, int(epoch_id))
 
     return per_row.writeStream.outputMode("append").foreachBatch(sink)
 
@@ -449,14 +445,30 @@ def streaming_hll_registers(events_stream: DataFrame, store_path: str):
 # --------------------------------------------------------------------------
 
 
+SCD2_N_KB = 32  # key-bucket partition fanout for the log and dim stores
+
+
 def streaming_scd2_maintenance(orders_stream: DataFrame, store_dir: str):
     """Maintain the SCD2 customer-status dimension as the order change-log
-    streams in: each micro-batch appends to a per-key raw log store, then
-    rebuilds intervals ONLY for the customers the batch touched and
-    overwrites just their rows in the serving dimension — cost per epoch
-    ∝ affected keys' history, never the dimension size (the incremental
-    property that makes a billion-row SCD2 maintainable; a full rebuild
-    per batch is the naive O(dimension) trap).
+    streams in.  Both stores are parquet partitioned by a key bucket
+    ``kb = pmod(custkey, 32)`` and every write uses DYNAMIC partition
+    overwrite, which is what makes the maintainer production-shaped:
+
+    - **Idempotent log**: the batch lands in its own ``(kb, __epoch)``
+      partitions; a replayed epoch OVERWRITES them rather than appending
+      duplicates, so the system-of-record log never inflates under
+      foreachBatch's at-least-once replay.
+    - **Delta-scoped cost**: the rebuild reads only the touched key
+      buckets (static partition pruning on the log), recomputes intervals
+      for every customer in those buckets, and dynamic overwrite replaces
+      exactly those ``kb`` partitions of the dim — per-epoch IO scales
+      with touched buckets' history, never the dimension size, with no
+      read-merge of the previous dim at all (the old read-prev + anti-join
+      + full rewrite both cost O(dimension) per epoch and silently wiped
+      untouched keys if the read transiently failed).
+    - **Crash safety**: a crash mid-overwrite leaves some touched
+      partitions new and some old; the replayed epoch redoes the same
+      partitions from the same log state and converges.
 
     Correctness contract: after any prefix of the stream the serving
     table equals the one-shot batch ``scd2_intervals`` over the same
@@ -473,30 +485,36 @@ def streaming_scd2_maintenance(orders_stream: DataFrame, store_dir: str):
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch_df.persist()
-        batch_df.write.mode("append").parquet(log_store)
-        touched = batch_df.select("o_custkey").distinct()
-        full_log = spark.read.parquet(log_store)
-        affected_log = full_log.join(broadcast(touched), "o_custkey")
-        rebuilt = scd2_intervals(affected_log)
+        batch_df = batch_df.withColumn(
+            "kb", F.pmod(F.col("o_custkey"), F.lit(SCD2_N_KB)).cast("int")
+        ).persist()
         try:
-            prev = spark.read.parquet(dim_store)
-        except Exception:
-            prev = None
-        if prev is None:
-            merged = rebuilt
-        else:
-            keep = prev.join(
-                broadcast(touched.select(F.col("o_custkey").alias("custkey"))),
-                "custkey",
-                "left_anti",
+            (
+                batch_df.withColumn("__epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("kb", "__epoch")
+                .parquet(log_store)
             )
-            merged = keep.unionByName(rebuilt)
-        merged.write.mode("overwrite").parquet(dim_store + "_tmp")
-        spark.read.parquet(dim_store + "_tmp").write.mode("overwrite").parquet(
-            dim_store
-        )
-        batch_df.unpersist()
+            # ≤ SCD2_N_KB scalars — bounded collect, prunes the log scan
+            kbs = [r.kb for r in batch_df.select("kb").distinct().collect()]
+            affected_log = (
+                spark.read.parquet(log_store)
+                .filter(F.col("kb").isin(kbs))
+                .drop("__epoch")
+            )
+            rebuilt = scd2_intervals(affected_log.drop("kb"))
+            (
+                rebuilt.withColumn(
+                    "kb", F.pmod(F.col("custkey"), F.lit(SCD2_N_KB)).cast("int")
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("kb")
+                .parquet(dim_store)
+            )
+        finally:
+            batch_df.unpersist()
 
     return orders_stream.writeStream.outputMode("append").foreachBatch(sink)
 

@@ -212,10 +212,11 @@ def streaming_lsh_index_maintenance(
         )
         # ≤ N_KEY_BUCKETS scalars — bounded collect, prunes the store scan
         kbs = [r.kb for r in banded_delta.select("kb").distinct().collect()]
-        try:
-            raw_store = spark.read.parquet(band_store)
-        except Exception:
-            raw_store = None  # first batch: store not created yet
+        from .store import read_store_or_none
+
+        # path-missing -> first batch; any OTHER read failure propagates
+        # (treating it as "no store" would silently drop old-vs-new pairs)
+        raw_store = read_store_or_none(spark, band_store)
         if raw_store is not None and "kb" not in raw_store.columns:
             # an existing store with a different partition layout must NOT
             # be treated as absent (silently dropping every old×new pair)

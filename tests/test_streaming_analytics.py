@@ -217,7 +217,12 @@ def test_streaming_running_topk_matches_batch(spark, tmp_path):
     )
     q.awaitTermination(180)
 
-    got = [(r.rank, r.event_type, r.n) for r in spark.read.parquet(out).orderBy("rank").collect()]
+    from clickhouse_sinker_nali_spark.streaming.store import read_versioned
+
+    got = [
+        (r.rank, r.event_type, r.n)
+        for r in read_versioned(spark, out).orderBy("rank").collect()
+    ]
     batch = (
         spark.read.text(src)
         .select(F.from_json("value", schema).alias("m"))
@@ -692,7 +697,9 @@ def test_streaming_hll_registers_match_batch_sketch(spark, tmp_path):
     )
     q.awaitTermination(180)
 
-    got = {r.bucket: r.mj for r in spark.read.parquet(store).collect()}
+    from clickhouse_sinker_nali_spark.streaming.store import read_versioned
+
+    got = {r.bucket: r.mj for r in read_versioned(spark, store).collect()}
     from clickhouse_sinker_nali_spark.functions import portable_hash64
 
     batch = {

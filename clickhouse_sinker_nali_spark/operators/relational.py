@@ -5,7 +5,8 @@ joins, group-bys, windows, sorts, or set ops — it is a streaming ETL daemon).
 This module is the "free capabilities" analytics layer the Spark build adds:
 every operator is expressed declaratively on the DataFrame API so Catalyst
 does predicate pushdown / column pruning / join selection, and each comes
-with a DuckDB-oracle SQL twin in ``ORACLE_SQL``.
+with a per-query DuckDB-oracle SQL twin (wired in ``__spark_entry__.
+oracle_sql()``).
 
 Scale notes (100 TB, ~1000 executors):
 
@@ -139,7 +140,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(price * (F.lit(1).cast(DEC) - disc)).cast("double").alias("revenue"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("o_orderkey"))
         .limit(10)
     )
@@ -187,7 +188,7 @@ def q5_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(price * (F.lit(1).cast(DEC) - disc)).cast("double").alias("revenue"),
+            F.sum(_revenue()).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("r_name", "n_name")
@@ -395,8 +396,8 @@ def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     supp = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     both = cust.intersect(supp).withColumn("which", F.lit("both"))
-    cust_only = cust.distinct().exceptAll(supp.distinct()).withColumn("which", F.lit("customer_only"))
-    supp_only = supp.distinct().exceptAll(cust.distinct()).withColumn("which", F.lit("supplier_only"))
+    cust_only = cust.subtract(supp).withColumn("which", F.lit("customer_only"))
+    supp_only = supp.subtract(cust).withColumn("which", F.lit("supplier_only"))
     return both.unionByName(cust_only).unionByName(supp_only).orderBy("which", "nationkey")
 
 
@@ -624,7 +625,7 @@ def q7_volume_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.year("l_shipdate").alias("ship_year"), "cust_nation", "supp_nation"
         )
-        .agg(F.sum(price * (F.lit(1).cast(DEC) - disc)).cast("double").alias("volume"))
+        .agg(F.sum(_revenue()).cast("double").alias("volume"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .orderBy("ship_year", "cust_nation", "supp_nation")
     )
@@ -671,7 +672,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.sum(price * (F.lit(1).cast(DEC) - disc)).cast("double").alias("revenue"),
+            F.sum(_revenue()).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -707,6 +708,16 @@ LIMIT 20
 # upgrade a warehouse user expects.
 
 
+def _revenue():
+    """The decimal-exact discounted revenue expression shared by every
+    revenue query: DECIMAL(12,4) arithmetic end to end, so partition order
+    cannot perturb the sum — one definition, applied to l_extendedprice
+    and l_discount of the enclosing plan."""
+    return F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+
+
 def _sql_on_views(spark: SparkSession, sf_dir: str, tables: list[str], sql: str) -> DataFrame:
     for name in tables:
         _t(spark, sf_dir, name).createOrReplaceTempView(name)
@@ -733,8 +744,13 @@ def q4_exists_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # l_quantity is integer-valued, so SUM/AVG are exact in IEEE doubles
 # regardless of summation order — the correlated threshold is reproducible
 # bit-for-bit in both engines (the reason this predicate is safe to hash).
+# The revenue SUM, by contrast, is over arbitrary doubles, so it
+# accumulates in DECIMAL(12,4) like every other revenue query — a raw
+# double sum is partition-order dependent and only ROUND masked it.
 Q17_SCALAR_SQL = """
-SELECT round(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly, COUNT(*) AS n_lines
+SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / 7.0, 2)
+           AS avg_yearly,
+       COUNT(*) AS n_lines
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_brand = 'Brand#4'
   AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
@@ -857,10 +873,14 @@ def window_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             F.ntile(4).over(w).alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
-            F.round(F.lead("value", 1).over(w), 6).alias("next_value"),
-            F.round(F.nth_value("value", 2).over(wf), 6).alias("second_value"),
+            # RAW doubles: rank ratios are exact-int divisions (bit-identical
+            # across engines) and lead/nth pass stored values through — while
+            # engine ROUND diverges on boundary ratios (41/640 rounds to
+            # .064063 in Spark, .064062 in DuckDB); checker canonicalizes
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume_dist"),
+            F.lead("value", 1).over(w).alias("next_value"),
+            F.nth_value("value", 2).over(wf).alias("second_value"),
         )
         .orderBy("event_id")
     )
@@ -869,11 +889,11 @@ def window_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_FUNCS_EXT_SQL = """
 SELECT event_id, user_id,
        CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-       ROUND(percent_rank() OVER w, 6) AS pct_rank,
-       ROUND(cume_dist() OVER w, 6) AS cume_dist,
-       ROUND(lead(value, 1) OVER w, 6) AS next_value,
-       ROUND(nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6)
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume_dist,
+       lead(value, 1) OVER w AS next_value,
+       nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
            AS second_value
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

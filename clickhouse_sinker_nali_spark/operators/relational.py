@@ -719,9 +719,9 @@ def _revenue():
 
 
 def _sql_on_views(spark: SparkSession, sf_dir: str, tables: list[str], sql: str) -> DataFrame:
-    for name in tables:
-        _t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(sql)
+    from ..session import sql_on_views
+
+    return sql_on_views(spark, sf_dir, tables, sql)
 
 
 Q4_EXISTS_SQL = """

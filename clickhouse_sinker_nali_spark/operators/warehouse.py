@@ -39,9 +39,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _views(spark: SparkSession, sf_dir: str, tables: list[str], sql: str) -> DataFrame:
-    for name in tables:
-        _t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(sql)
+    from ..session import sql_on_views
+
+    return sql_on_views(spark, sf_dir, tables, sql)
 
 
 # --------------------------------------------------------------------------

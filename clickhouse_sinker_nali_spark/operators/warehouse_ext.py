@@ -61,9 +61,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _views(spark: SparkSession, sf_dir: str, tables: list[str], sql: str) -> DataFrame:
-    for name in tables:
-        _t(spark, sf_dir, name).createOrReplaceTempView(name)
-    return spark.sql(sql)
+    from ..session import sql_on_views
+
+    return sql_on_views(spark, sf_dir, tables, sql)
+
+
+def _revenue():
+    """The decimal-exact discounted revenue expression — one definition
+    (mirrors relational._revenue) so the precision discipline cannot
+    drift between copies."""
+    return F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
 
 
 # --------------------------------------------------------------------------
@@ -200,10 +209,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
-    revenue = (
-        F.col("l_extendedprice").cast(DEC)
-        * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
-    ).cast(DEC_WIDE)
+    revenue = _revenue().cast(DEC_WIDE)
     cost = (
         F.col("p_retailprice").cast(DEC)
         * F.lit(0.1).cast("decimal(2,1)")
@@ -271,14 +277,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_value = (
         li.join(broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast(DEC)
-                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
-            )
-            .cast(DEC_WIDE)
-            .alias("value")
-        )
+        .agg(F.sum(_revenue()).cast(DEC_WIDE).alias("value"))
+        # persisted because BOTH the threshold aggregate and the final
+        # filter re-read it; released after the session ages it out (the
+        # queries() contract returns an unexecuted plan, so there is no
+        # post-action hook to unpersist at — same policy as graph.py)
         .persist()
     )
     threshold = nat_value.agg(
@@ -338,15 +341,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01"))
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            F.sum(
-                F.col("l_extendedprice").cast(DEC)
-                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
-            )
-            .cast(DEC_WIDE)
-            .alias("total_revenue")
-        )
-        .persist()
+        .agg(F.sum(_revenue()).cast(DEC_WIDE).alias("total_revenue"))
+        .persist()  # reread by best-aggregate + final filter; see q11 note
     )
     best = revenue.agg(F.max("total_revenue").alias("best"))
     return (

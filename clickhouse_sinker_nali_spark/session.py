@@ -73,6 +73,15 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def sql_on_views(spark: SparkSession, sf_dir: str, tables: list, sql: str):
+    """Register the named driver tables as temp views and run a SQL string
+    — the shared SQL-surface entry used by the relational/warehouse query
+    families (one definition; the per-module copies kept drifting)."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(sql)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one of the driver's parquet tables.
 

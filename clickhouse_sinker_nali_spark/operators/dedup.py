@@ -40,12 +40,14 @@ from ..functions import (
 from ..session import load_table
 
 MINHASH_K = 16  # signature length
-# 2 bands × 8 rows: collision probability j^8 per band.  With 4-row bands
-# this corpus (tiny shared vocabulary → globally-minimal shingle hashes
-# recur across docs) produced near-quadratic candidate sets at sf0.1;
-# 8-row bands keep candidates ∝ true near-dups while still catching
-# everything with jaccard ≳ 0.7 w.h.p. — the right operating point when
-# the downstream verify is exact anyway.
+# 2 bands × 8 rows: candidate probability 1-(1-j^8)^2 — ~0.11 at j=0.7,
+# ~0.67 at j=0.9, near-certain only for j ≳ 0.97.  A deliberately PRECISE
+# operating point: with 4-row bands this corpus (tiny shared vocabulary →
+# globally-minimal shingle hashes recur across docs) produced
+# near-quadratic candidate sets at sf0.1; 8-row bands keep candidates ∝
+# true near-dups.  Production tuning for high recall at j≈0.7 would raise
+# the band count (more bands of fewer rows), trading candidate volume —
+# dedup_lsh_recall is the audit that drives that dial.
 MINHASH_BANDS = 2
 MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
 JACCARD_THRESHOLD = 0.1
@@ -166,7 +168,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DuckDB would raise on overflow; Spark would silently wrap —
     divergence either way).
     """
-    sh = _shingle_df(spark, sf_dir)
+    return _sig_df(_shingle_df(spark, sf_dir)).orderBy("doc_id")
+
+
+def _sig_df(sh: DataFrame) -> DataFrame:
+    """(doc_id, h0..h15) MinHash signatures from a shingle DataFrame —
+    the ONE definition of the affine hash family, shared by the plain
+    signature query and the LSH banding path."""
     ha = F.pmod(portable_hash64(F.concat(F.lit("a:"), F.col("shingle"))), F.lit(_MINHASH_MOD))
     hb = F.pmod(portable_hash64(F.concat(F.lit("b:"), F.col("shingle"))), F.lit(_MINHASH_MOD))
     based = sh.select("doc_id", ha.alias("ha"), hb.alias("hb"))
@@ -174,7 +182,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("ha") + F.lit(i) * F.col("hb")).alias(f"h{i}")
         for i in range(MINHASH_K)
     ]
-    return based.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return based.groupBy("doc_id").agg(*aggs)
 
 
 _HA_SQL = f"({portable_hash64_sql(chr(39) + 'a:' + chr(39) + ' || shingle')} % {_MINHASH_MOD})"
@@ -193,7 +201,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-banded MinHash near-dup: candidates from band buckets, then exact
     Jaccard verify on candidates only.
 
-    Bands: 4 bands × 4 signature rows; band key = md5 of the 4 values.
+    Bands: MINHASH_BANDS bands × MINHASH_ROWS signature rows (2 × 8 —
+    see the operating-point note on the constants); band key = md5 of
+    the band's row values.
     Docs landing in the same (band, key) bucket become candidates — an
     equi-join, never quadratic in corpus size.  This is THE 100 TB dedup
     path: signature generation is map-side, banding is an exact-key shuffle,
@@ -220,15 +230,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _banded_sigs(sh: DataFrame) -> DataFrame:
     """(doc_id, band, key) LSH bucket rows from a shingle DataFrame."""
-    ha = F.pmod(portable_hash64(F.concat(F.lit("a:"), F.col("shingle"))), F.lit(_MINHASH_MOD))
-    hb = F.pmod(portable_hash64(F.concat(F.lit("b:"), F.col("shingle"))), F.lit(_MINHASH_MOD))
-    based = sh.select("doc_id", ha.alias("ha"), hb.alias("hb"))
-    sigs = based.groupBy("doc_id").agg(
-        *[
-            F.min(F.col("ha") + F.lit(i) * F.col("hb")).alias(f"h{i}")
-            for i in range(MINHASH_K)
-        ]
-    )
+    sigs = _sig_df(sh)
     band_cols = []
     for b in range(MINHASH_BANDS):
         cols = [
@@ -557,39 +559,17 @@ def dedup_embedding_cosine_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ``ann_ivf_arrow`` assigner): zero shuffle before the block
     equi-join, BLAS-speed instead of interpreted folds.
     """
-    from .similarity import N_QUERIES as _NQ  # noqa: F401 (cited below)
-    from .similarity import _centroids
+    from .similarity import _centroids, assign_cells_arrow
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _centroids(emb)
-    cmat = [vec for _, vec in cents]
-
-    def assign(batches):
-        import numpy as np
-        import pandas as pd
-
-        C = np.asarray(cmat, dtype=np.float64)
-        cn = np.sqrt((C * C).sum(axis=1))
-        k = C.shape[0]
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            E = np.asarray(
-                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
-            )
-            en = np.sqrt((E * E).sum(axis=1))
-            cos = (E @ C.T) / np.outer(en, cn)
-            cell = (k - 1 - np.argmax(cos[:, ::-1], axis=1)).astype(np.int64)
-            out = pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(np.int64), "cell": cell}
-            )
-            out["embedding"] = pdf["embedding"]
-            yield out[["vec_id", "embedding", "cell"]]
-
-    assigned = emb.select("vec_id", "embedding").mapInPandas(
-        assign, "vec_id bigint, embedding array<float>, cell bigint"
+    assigned = assign_cells_arrow(
+        emb.select("vec_id", "embedding"), cents,
+        id_col="vec_id", emb_out="embedding",
     )
-    return embedding_block_pairs(assigned, F.col("cell"), block_name="cell")
+    return embedding_block_pairs(
+        assigned, F.col("cid").cast("bigint"), block_name="cell"
+    )
 
 
 DEDUP_EMBEDDING_SQL = f"""
@@ -675,6 +655,7 @@ def connected_components(
     labels = nodes.select(F.col("id"), F.col("id").alias("component"))
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    converged = False
     for _ in range(max_iterations):
         nbr = (
             sym.join(labels, sym.src == labels.id)
@@ -693,8 +674,18 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # silently returning split components would diverge from the
+        # exact recursive-CTE oracle with no signal; a chain longer than
+        # max_iterations (diameter > sweeps) must fail loudly
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "sweeps (component diameter exceeds the sweep budget); raise "
+            "max_iterations or switch to pointer-jumping for long chains"
+        )
     return labels
 
 
@@ -830,9 +821,9 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select(
         "n_exhaustive",
         "n_lsh",
-        F.round(
-            F.col("n_lsh").cast("double") / F.col("n_exhaustive"), 6
-        ).alias("recall"),
+        # RAW double: exact-int division is bit-identical across engines;
+        # engine ROUND is not (shortest-repr seam) — checker rounds at 6dp
+        (F.col("n_lsh").cast("double") / F.col("n_exhaustive")).alias("recall"),
     )
 
 
@@ -852,8 +843,8 @@ DEDUP_LSH_RECALL_SQL = (
     ")\n"
     "SELECT (SELECT COUNT(*) FROM exh_pairs) AS n_exhaustive,\n"
     "       (SELECT COUNT(*) FROM pairs) AS n_lsh,\n"
-    "       ROUND((SELECT COUNT(*) FROM pairs) * 1.0\n"
-    "             / (SELECT COUNT(*) FROM exh_pairs), 6) AS recall"
+    "       (SELECT COUNT(*) FROM pairs) * 1.0\n"
+    "             / (SELECT COUNT(*) FROM exh_pairs) AS recall"
 )
 
 

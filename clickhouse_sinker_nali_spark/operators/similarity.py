@@ -534,7 +534,16 @@ def assign_cells_arrow(
     """Arrow/NumPy flat cell assignment over a (id, embedding) DataFrame:
     one matmul per batch against the centroid matrix, ties to the LARGER
     cid (struct-max rule, taken as the last argmax).  Shared by the batch
-    ANN path and the streaming index-maintenance twin."""
+    ANN path, the cell-blocked dedup, and the streaming index twin."""
+    # positional matrix rows double as the cids, so the collected cids must
+    # be exactly 0..K-1 — a gap in the seed window would silently diverge
+    # from the oracle's (vec_id - N_QUERIES) cids (same guard as
+    # _cell_scores; fail loudly, not wrong)
+    if [cid for cid, _ in cents] != list(range(len(cents))):
+        raise ValueError(
+            f"non-consecutive centroid cids {[c for c, _ in cents]!r}: "
+            "positional cell ids require a dense seed window"
+        )
     cmat = [vec for _, vec in cents]
 
     def assign(batches):

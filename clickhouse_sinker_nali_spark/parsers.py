@@ -61,18 +61,29 @@ def _split_source_path(source: str) -> list[str]:
 
 def _raw_string_schema(specs: list[ColumnSpec]) -> T.StructType:
     """All-string extraction schema: arrays as array<string>, rest string."""
-    fields = []
-    seen: set[str] = set()
+    fields: dict[str, T.DataType] = {}
     for spec in specs:
+        # raw-path specs are single-part by construction (nested paths go
+        # through get_json_object instead)
         src = _split_source_path(spec.source_name)[0]
-        if src in seen:
-            continue
-        seen.add(src)
-        if spec.internal in _ARRAY_TYPES and "." not in spec.source_name.replace("\\.", ""):
-            fields.append(T.StructField(src, T.ArrayType(T.StringType()), True))
-        else:
-            fields.append(T.StructField(src, T.StringType(), True))
-    return T.StructType(fields)
+        want = (
+            T.ArrayType(T.StringType())
+            if spec.internal in _ARRAY_TYPES
+            else T.StringType()
+        )
+        prev = fields.get(src)
+        if prev is not None and prev != want:
+            # one source feeding both an array and a scalar target cannot
+            # share a single raw extraction field — first-spec-wins would
+            # silently mistype one of them; fail loudly instead
+            raise ValueError(
+                f"source {src!r} is consumed by both array and scalar raw "
+                "targets; give the targets distinct source fields"
+            )
+        fields[src] = want
+    return T.StructType(
+        [T.StructField(name, tp, True) for name, tp in fields.items()]
+    )
 
 
 def _raw_value_expr(parsed: Column, value_col: Column, spec: ColumnSpec) -> Column:
@@ -80,15 +91,22 @@ def _raw_value_expr(parsed: Column, value_col: Column, spec: ColumnSpec) -> Colu
     parts = _split_source_path(spec.source_name)
     if len(parts) == 1:
         return parsed.getField(parts[0])
-    # nested path: re-extract from the original message text (gjson path)
-    path = "$." + ".".join(f"['{p}']" if "." in p else p for p in parts)
+    # nested path: re-extract from the original message text (gjson path).
+    # Bracket segments must NOT be preceded by a dot — Spark's JsonPath
+    # parser rejects "$.['a.b'].c" (silently NULLing every row) but
+    # accepts "$['a.b'].c".
+    path = "$" + "".join(
+        f"['{p}']" if "." in p else f".{p}" for p in parts
+    )
     raw = F.get_json_object(value_col, path)
     if spec.internal in _ARRAY_TYPES:
         return F.from_json(raw, T.ArrayType(T.StringType()))
     return raw
 
 
-_IDENT_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+import re as _re
+
+_IDENT_RE = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 def parse_json(
@@ -247,9 +265,11 @@ def parse_json(
             )
     if keep_value:
         out_cols.append(value.alias("__raw_value"))
-    passthrough = [c for c in df.columns if c != value_col and not c.startswith("__")]
-    keep = [F.col(c) for c in passthrough if c in {"topic", "partition", "offset"}]
-    return staged.select(*keep, *out_cols) if keep else staged.select(*out_cols)
+    # output is exactly the dims (+ optional raw value): Kafka metadata
+    # reaches the table only through explicit __kafka* virtual dims — a
+    # silent topic/partition/offset passthrough broke JDBC inserts into
+    # tables without those columns and disagreed with parse_csv
+    return staged.select(*out_cols)
 
 
 def with_parse_errors(df: DataFrame, value_col: str = "value") -> DataFrame:
@@ -260,7 +280,14 @@ def with_parse_errors(df: DataFrame, value_col: str = "value") -> DataFrame:
     ``df.filter(~F.col('__parse_error'))`` and observe the error count.
     """
     probe = F.try_parse_json(F.col(value_col))
-    return df.withColumn("__parse_error", probe.isNull())
+    # a valid-JSON scalar/array ('7', '[1,2]') is NOT an object row: the
+    # reference's parser returns nil for it and the row is dropped-but-
+    # acked, same as invalid JSON (faithful.parse_message parity)
+    return df.withColumn(
+        "__parse_error",
+        probe.isNull()
+        | ~F.schema_of_variant(probe).startswith("OBJECT"),
+    )
 
 
 def parse_csv(

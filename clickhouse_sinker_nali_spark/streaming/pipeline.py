@@ -181,20 +181,23 @@ def start_pipeline(
     from ..parsers import with_parse_errors
     from .statistics import observed_metrics
 
+    # The error probe is parser-aware: the JSON probe (try_parse_json)
+    # would flag EVERY valid CSV row.
+    if cfg.parser == "csv":
+        source = source.withColumn("__parse_error", F.col("value").isNull())
+    else:
+        source = with_parse_errors(source)
     if observe:
         # observe on the RAW side so the counters see every consumed
         # message, including unparseable drop-but-ack rows; the
         # CollectMetrics node stays in the executed plan when transform
         # builds on top of it (the projection drops the helper column,
-        # not the observation).  The error probe is parser-aware: the
-        # JSON probe (try_parse_json) would flag EVERY valid CSV row.
-        if cfg.parser == "csv":
-            source = source.withColumn(
-                "__parse_error", F.col("value").isNull()
-            )
-        else:
-            source = with_parse_errors(source)
+        # not the observation).
         source = observed_metrics(source)
+    # PR4 drop-but-ack: unparseable messages are COUNTED above but
+    # EXCLUDED from the batch (reference task/task.go:280-287) — without
+    # this filter they would land in the sink as all-default rows
+    source = source.filter(~F.col("__parse_error"))
     typed = transform(source, cfg, enrich_fn)
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:

@@ -242,6 +242,58 @@ class TestNativeJsonParse:
         assert errs["{}"] is False
         assert errs[SAMPLE_JSON] is False
 
+    def test_parse_error_flags_non_object_json(self, spark):
+        # valid JSON that is not an OBJECT is still a parse error: the
+        # reference parser returns nil for scalars/arrays and the row is
+        # dropped-but-acked (faithful.parse_message parity)
+        df = spark.createDataFrame(
+            [("7",), ("[1,2,3]",), ('"str"',), ("{}",)], ["value"]
+        )
+        errs = {r.value: r["__parse_error"] for r in with_parse_errors(df).collect()}
+        assert errs["7"] is True
+        assert errs["[1,2,3]"] is True
+        assert errs['"str"'] is True
+        assert errs["{}"] is False
+
+    def test_escaped_dot_nested_path(self, spark):
+        # a nested path whose FIRST segment contains a literal dot must
+        # produce a bracket segment directly after $ — "$.['a.b'].c" is
+        # rejected by Spark's JsonPath parser and silently NULLs all rows
+        specs = [
+            ColumnSpec(
+                name="deep", ch_type="Int64", source_name="meta\\.x.y"
+            ),
+        ]
+        df = spark.createDataFrame(
+            [('{"meta.x": {"y": 42}}',)], ["value"]
+        )
+        schema = TableSchema(columns=specs)
+        row = parse_json(df, schema).collect()[0]
+        assert row.deep == 42
+
+    def test_no_metadata_passthrough(self, spark):
+        # Kafka metadata reaches the output ONLY via explicit __kafka*
+        # dims; silent topic/partition/offset passthrough broke JDBC
+        # inserts into tables without those columns
+        df = spark.createDataFrame(
+            [("t1", 3, 42, '{"v": 1}')], ["topic", "partition", "offset", "value"]
+        )
+        schema = TableSchema.from_dims([{"name": "v", "type": "Int64"}])
+        assert parse_json(df, schema).columns == ["v"]
+
+    def test_conflicting_raw_types_fail_loudly(self, spark):
+        # one source feeding both array and scalar raw-path targets would
+        # silently mistype one of them under first-spec-wins
+        specs = [
+            ColumnSpec(name="raw", ch_type="String", source_name="my-tags"),
+            ColumnSpec(
+                name="tags", ch_type="Array(String)", source_name="my-tags"
+            ),
+        ]
+        df = spark.createDataFrame([('{"my-tags": ["a"]}',)], ["value"])
+        with pytest.raises(ValueError, match="array and scalar"):
+            parse_json(df, TableSchema(columns=specs)).collect()
+
     def test_kafka_virtual_columns(self, spark):
         df = spark.createDataFrame(
             [("t1", 3, 42, '{"v": 1}')], ["topic", "partition", "offset", "value"]

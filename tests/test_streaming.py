@@ -275,6 +275,39 @@ def test_observed_metrics_count_parse_errors(spark, tmp_path):
     finally:
         spark.streams.removeListener(listener)
 
+    # PR4 drop-but-ack THROUGH the pipeline: the 7 unparseable messages
+    # are counted above but must NOT land in the sink as default rows
+    from clickhouse_sinker_nali_spark.streaming.pipeline import (
+        TaskConfig,
+        start_pipeline,
+    )
+    from clickhouse_sinker_nali_spark.streaming.sinks import ParquetSink
+
+    cfg = TaskConfig(
+        name="dropack",
+        topic="t",
+        table="t",
+        dims=[
+            {"name": "time", "type": "DateTime"},
+            {"name": "name", "type": "String"},
+            {"name": "value", "type": "Float64"},
+        ],
+    )
+    out = str(tmp_path / "out")
+    q = start_pipeline(
+        spark,
+        cfg,
+        build_file_source(spark, src),
+        ParquetSink(path=out),
+        str(tmp_path / "ckpt2"),
+        available_now=True,
+        observe=False,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 50  # bad rows excluded, not defaulted
+    assert got.filter(F.col("name") == "").count() == 0
+
 
 # -- dynamic schema evolution E2E (go.test.sh 5-regime shape) ---------------
 

@@ -608,6 +608,19 @@ def _hier_groups(cents: list[tuple[int, list[float]]]):
             if best_cos is None or c >= best_cos:  # >= : larger g wins ties
                 best_cos, best_g = c, g
         groups[best_g].append(cid)
+    # A rep's self-cosine is dot/(sqrt*sqrt) which can land an ulp below
+    # 1.0, letting a near-parallel LATER rep steal it and leave its group
+    # empty — downstream that renders an untyped array() literal and
+    # silently drops the stolen rows (NULL cid).  The oracle SQL replays
+    # the same fold arithmetic, so raising (not reassigning) keeps parity:
+    # fail loudly instead of diverging.
+    empty = [g for g, members in enumerate(groups) if not members]
+    if empty:
+        raise ValueError(
+            f"hier coarse groups {empty} are empty (rep stolen by a "
+            "near-parallel rep): this centroid set cannot be hier-grouped "
+            "deterministically — use the flat assigner for it"
+        )
     return k1, groups
 
 
@@ -840,6 +853,9 @@ def ann_ivf_query(
     corpus = (
         spark.read.parquet(os.path.join(index_path, "corpus"))
         .filter(F.col("cid").isin(probe_cids))
+        # the streaming maintainer keys its idempotent-replay partitions on
+        # (cid, __epoch); the batch build has no such column — no-op there
+        .drop("__epoch")
     )
     return _rank_probed(corpus, queries)
 

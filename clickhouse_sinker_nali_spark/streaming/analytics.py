@@ -545,11 +545,21 @@ def streaming_ivf_index_maintenance(
     exactly as in FAISS).  The centroid table is written once so
     ``ann_ivf_query`` can reload the identical snapshot.
 
-    Exactly-once: appends are keyed by the checkpointed epoch; a replayed
-    epoch re-appends the same rows, so a downstream reader should dedup on
-    ``neighbor_id`` if the sink is not idempotent (same caveat as every
-    append-mode parquet sink).
+    Exactly-once (idempotent replay): each epoch's rows land under
+    partitions ``(cid, __epoch)`` with dynamic partition overwrite, so a
+    replayed epoch REWRITES its own partitions instead of appending a
+    second copy — the same discipline as the SCD2 maintainer.  Readers
+    (``ann_ivf_query``) drop the bookkeeping ``__epoch`` column; partition
+    pruning on the leading ``cid`` key is unaffected.
     """
+    return emb_stream.writeStream.outputMode("append").foreachBatch(
+        _ivf_maintenance_sink(index_path, cents)
+    )
+
+
+def _ivf_maintenance_sink(index_path: str, cents: list):
+    """The foreachBatch body of :func:`streaming_ivf_index_maintenance`,
+    exposed so tests can drive a replayed epoch directly."""
     import os as _os
 
     from ..operators.similarity import assign_cells_arrow
@@ -570,6 +580,12 @@ def streaming_ivf_index_maintenance(
             ),
             cents,
         )
-        assigned.write.mode("append").partitionBy("cid").parquet(corpus_path)
+        (
+            assigned.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cid", "__epoch")
+            .parquet(corpus_path)
+        )
 
-    return emb_stream.writeStream.outputMode("append").foreachBatch(sink)
+    return sink

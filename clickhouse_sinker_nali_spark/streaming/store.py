@@ -57,8 +57,11 @@ def versioned_swap_write(df: DataFrame, store_path: str, version: int) -> str:
     Writes ``store_path/v_<version>`` (overwrite — a replayed epoch
     rewrites its own directory) then atomically replaces the CURRENT
     pointer file.  A crash before the pointer update leaves the previous
-    version intact and current; after, the new one.  Returns the data
-    directory written.
+    version intact and current; after, the new one.  Superseded version
+    directories are garbage-collected after the flip (keeping the
+    immediate predecessor for readers that resolved CURRENT just before
+    the swap) — without GC a long-running topk/HLL stream leaves one full
+    store copy on disk per epoch.  Returns the data directory written.
     """
     vdir = os.path.join(store_path, f"v_{version}")
     df.write.mode("overwrite").parquet(vdir)
@@ -67,7 +70,32 @@ def versioned_swap_write(df: DataFrame, store_path: str, version: int) -> str:
     with open(tmp, "w") as f:
         f.write(f"v_{version}\n")
     os.replace(tmp, os.path.join(store_path, "CURRENT"))
+    _gc_versions(store_path, version)
     return vdir
+
+
+def _gc_versions(store_path: str, current: int) -> None:
+    """Delete version dirs other than ``current`` and its immediate
+    predecessor (kept for in-flight readers that read CURRENT pre-flip).
+    Versions NEWER than current are stale leftovers from a crash between
+    data write and pointer flip on a later epoch that then got replayed —
+    CURRENT never pointed at them, so they are garbage too."""
+    import shutil
+
+    versions = []
+    for name in os.listdir(store_path):
+        if name.startswith("v_"):
+            try:
+                versions.append(int(name[2:]))
+            except ValueError:
+                continue
+    keep = {current}
+    older = [v for v in versions if v < current]
+    if older:
+        keep.add(max(older))
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(os.path.join(store_path, f"v_{v}"), ignore_errors=True)
 
 
 def read_versioned(spark: SparkSession, store_path: str) -> DataFrame | None:

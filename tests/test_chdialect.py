@@ -220,6 +220,13 @@ def test_replica_dsn_golden():
         (RuntimeError("SQLException: Code: 242. DB::Exception: Table is in readonly mode"), True),
         (RuntimeError("SQLException: Code: 60. DB::Exception: Table default.x does not exist"), False),
         (RuntimeError("Connection refused (Connection refused)"), True),
+        # a bare "Code: NNN" from a NON-ClickHouse layer (HTTP proxy text,
+        # nested driver codes) must not be mistaken for a server error —
+        # the connection is suspect, so rotate
+        (RuntimeError("HTTP 502 Bad Gateway: upstream Code: 60 from proxy"), True),
+        (RuntimeError("driver internal Code: 53 (handshake)"), True),
+        # anchored shape still matches when wrapped deeper in the message
+        (RuntimeError("py4j.protocol.Py4JJavaError: ... Code: 319. DB::Exception: Unknown status"), True),
     ],
 )
 def test_should_reconnect_table(err, expected):

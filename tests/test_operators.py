@@ -2476,6 +2476,27 @@ def test_hier_ivf_assignment_structure_and_agreement(spark):
     assert same / len(both) >= 0.3
 
 
+def test_hier_groups_raise_on_stolen_rep():
+    """A rep whose self-cosine ties with a duplicate LATER rep loses its
+    own membership (>= tie rule), leaving its group empty — downstream
+    that would render an untyped array() literal and silently NULL-drop
+    rows, so _hier_groups must refuse loudly instead."""
+    import pytest as _pytest
+
+    import clickhouse_sinker_nali_spark.operators.similarity as S
+
+    # k=4 -> k1=2 reps; reps 0 and 1 are identical, so cid 0 ties at
+    # cos=1.0 with both and the >= rule sends it to group 1: group 0 empty
+    cents = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [0.5, 0.5]),
+    ]
+    with _pytest.raises(ValueError, match="empty"):
+        S._hier_groups(cents)
+
+
 def test_dedup_cell_blocking_keeps_blocks_bounded(spark):
     """The scale property the cell-blocked variant exists for: keyed by
     IVF cell id, block sizes stay around IVF_CELL_TARGET regardless of

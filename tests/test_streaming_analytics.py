@@ -615,6 +615,74 @@ def test_streaming_ivf_index_matches_batch_build_and_query(spark, tmp_path):
     assert streamed == in_mem
 
 
+def test_streaming_ivf_index_replayed_epoch_is_idempotent(spark, tmp_path):
+    """foreachBatch replays an epoch after a crash-before-commit; the IVF
+    maintainer keys its partitions on (cid, __epoch) with dynamic
+    overwrite, so driving the SAME batch at the SAME epoch twice must not
+    duplicate vectors in the serving index."""
+    import clickhouse_sinker_nali_spark.operators.similarity as S
+    from clickhouse_sinker_nali_spark.streaming.analytics import (
+        _ivf_maintenance_sink,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = S._centroids(emb)
+    corpus = emb.filter(F.col("vec_id") >= S.N_QUERIES)
+    ids = sorted(r.vec_id for r in corpus.select("vec_id").collect())
+    cut = ids[len(ids) // 2]
+    b0 = corpus.filter(F.col("vec_id") < cut)
+    b1 = corpus.filter(F.col("vec_id") >= cut)
+
+    index = str(tmp_path / "ivf_replay")
+    sink = _ivf_maintenance_sink(index, cents)
+    sink(b0, 0)
+    sink(b1, 1)
+    once = sorted(
+        (r.neighbor_id, r.cid)
+        for r in spark.read.parquet(f"{index}/corpus").collect()
+    )
+    assert len(once) == len(ids)
+    sink(b1, 1)  # replay of epoch 1 (crash between write and commit)
+    replayed = sorted(
+        (r.neighbor_id, r.cid)
+        for r in spark.read.parquet(f"{index}/corpus").collect()
+    )
+    assert replayed == once, "replayed epoch duplicated vectors in the index"
+    # and the query path is oblivious to the __epoch bookkeeping column
+    got = [
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in S.ann_ivf_query(spark, sf_dir, index).collect()
+    ]
+    want = [
+        (r.query_id, r.rank, r.neighbor_id)
+        for r in S.ann_ivf_topk(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_versioned_swap_write_gcs_superseded_versions(spark, tmp_path):
+    """Each swap must leave only the current version and its immediate
+    predecessor on disk — a long-running stream must not accumulate one
+    full store copy per epoch."""
+    from clickhouse_sinker_nali_spark.streaming.store import (
+        read_versioned,
+        versioned_swap_write,
+    )
+
+    store = str(tmp_path / "vstore")
+    for epoch in range(5):
+        df = spark.range(epoch + 1).withColumnRenamed("id", "v")
+        versioned_swap_write(df, store, epoch)
+    dirs = sorted(d for d in os.listdir(store) if d.startswith("v_"))
+    assert dirs == ["v_3", "v_4"], dirs
+    assert read_versioned(spark, store).count() == 5
+    # a replayed epoch rewrites its own dir and GC stays consistent
+    versioned_swap_write(spark.range(5).withColumnRenamed("id", "v"), store, 4)
+    dirs = sorted(d for d in os.listdir(store) if d.startswith("v_"))
+    assert dirs == ["v_3", "v_4"], dirs
+
+
 def test_lsh_band_store_probe_is_partition_pruned(spark, tmp_path):
     """The property that keeps the per-batch probe cost proportional to
     the BATCH at 100 TB index size: the band store is partitioned on the

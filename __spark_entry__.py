@@ -276,6 +276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_arrow": S.ann_pq_arrow,
         "ann_ivf_arrow": S.ann_ivf_arrow,
         "ann_ivfpq_arrow": S.ann_ivfpq_arrow,
+        # composed hier×Arrow IVF assignment with broadcast-variable
+        # centroid distribution (the K≈10⁵⁺ web-scale index-build shape)
+        "ann_ivf_hier_arrow": S.ann_ivf_hier_arrow,
     }
 
 
@@ -456,4 +459,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_arrow": S.ANN_PQ_SQL,
         "ann_ivf_arrow": S.ANN_IVF_SQL,
         "ann_ivfpq_arrow": S.ANN_IVFPQ_SQL,
+        "ann_ivf_hier_arrow": S.ANN_IVF_HIER_SQL,
     }

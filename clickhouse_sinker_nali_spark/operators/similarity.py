@@ -528,13 +528,7 @@ def ann_ivf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rank_probed(corpus, _probed_queries(emb, cents))
 
 
-def assign_cells_arrow(
-    df: DataFrame, cents, id_col: str = "neighbor_id", emb_out: str = "ce"
-) -> DataFrame:
-    """Arrow/NumPy flat cell assignment over a (id, embedding) DataFrame:
-    one matmul per batch against the centroid matrix, ties to the LARGER
-    cid (struct-max rule, taken as the last argmax).  Shared by the batch
-    ANN path, the cell-blocked dedup, and the streaming index twin."""
+def _require_dense_cids(cents) -> None:
     # positional matrix rows double as the cids, so the collected cids must
     # be exactly 0..K-1 — a gap in the seed window would silently diverge
     # from the oracle's (vec_id - N_QUERIES) cids (same guard as
@@ -544,13 +538,36 @@ def assign_cells_arrow(
             f"non-consecutive centroid cids {[c for c, _ in cents]!r}: "
             "positional cell ids require a dense seed window"
         )
-    cmat = [vec for _, vec in cents]
+
+
+def _broadcast_centroids(df: DataFrame, cents):
+    """Ship the K×d centroid matrix to executors as a SparkContext
+    broadcast variable (torrent-distributed, one copy per executor).
+
+    This — not a plan literal and not a task-closure capture — is the
+    distribution mechanism with no K ceiling: a literal bloats plan
+    compile/analysis and a closure is re-pickled into EVERY task, so both
+    break around K≈10⁵ (a ~0.5 GB payload at d=64), exactly the regime a
+    real 100 TB IVF needs (FAISS-style coarse quantizer over 10⁵–10⁶
+    cells).  Broadcast cost is one-time per executor and independent of
+    task count."""
+    import numpy as np
+
+    return df.sparkSession.sparkContext.broadcast(
+        np.asarray([vec for _, vec in cents], dtype=np.float64)
+    )
+
+
+def _flat_assign_fn(bc, id_col: str, emb_out: str):
+    """mapInPandas body for flat Arrow assignment.  Its only centroid
+    state is the Broadcast handle ``bc`` (pinned by pytest): the matrix
+    itself never rides the task closure."""
 
     def assign(batches):
         import numpy as np
         import pandas as pd
 
-        C = np.asarray(cmat, dtype=np.float64)
+        C = bc.value
         cn = np.sqrt((C * C).sum(axis=1))
         k = C.shape[0]
         for pdf in batches:
@@ -571,9 +588,114 @@ def assign_cells_arrow(
             out[emb_out] = pdf["embedding"]
             yield out[[id_col, emb_out, "cid"]]
 
+    return assign
+
+
+def assign_cells_arrow(
+    df: DataFrame, cents, id_col: str = "neighbor_id", emb_out: str = "ce"
+) -> DataFrame:
+    """Arrow/NumPy flat cell assignment over a (id, embedding) DataFrame:
+    one matmul per batch against the broadcast centroid matrix, ties to
+    the LARGER cid (struct-max rule, taken as the last argmax).  Shared by
+    the batch ANN path, the cell-blocked dedup, and the streaming index
+    twin.  Centroids travel via :func:`_broadcast_centroids`."""
+    _require_dense_cids(cents)
+    bc = _broadcast_centroids(df, cents)
     return df.mapInPandas(
-        assign, f"{id_col} bigint, {emb_out} array<float>, cid int"
+        _flat_assign_fn(bc, id_col, emb_out),
+        f"{id_col} bigint, {emb_out} array<float>, cid int",
     )
+
+
+def _hier_assign_fn(bc, groups_idx, id_col: str, emb_out: str):
+    """mapInPandas body for the composed hier×Arrow assignment: the
+    two-level argmax (coarse representatives → winning group's fine
+    centroids) runs INSIDE the NumPy stage, so each row costs O(√K)
+    vectorized cosines instead of flat's O(K) — and the K×d matrix rides
+    a Broadcast handle, not the closure (only the tiny group index list
+    does: K int64s ≈ 8K bytes, plan-safe at any realistic K)."""
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = bc.value
+        cn = np.sqrt((C * C).sum(axis=1))
+        k1 = len(groups_idx)
+        R, rn = C[:k1], cn[:k1]
+        groups = [np.asarray(g, dtype=np.int64) for g in groups_idx]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            en = np.sqrt((E * E).sum(axis=1))
+            cosr = (E @ R.T) / np.outer(en, rn)
+            # ties to the larger g (the fold/SQL rule): last argmax
+            win_g = k1 - 1 - np.argmax(cosr[:, ::-1], axis=1)
+            cid = np.empty(len(pdf), dtype=np.int64)
+            for g in np.unique(win_g):
+                rows = np.flatnonzero(win_g == g)
+                gi = groups[g]
+                cos = (E[rows] @ C[gi].T) / np.outer(en[rows], cn[gi])
+                # gi is ascending, so last argmax == ties to the larger cid
+                j = len(gi) - 1 - np.argmax(cos[:, ::-1], axis=1)
+                cid[rows] = gi[j]
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(np.int64),
+                    "cid": cid.astype(np.int32),
+                }
+            )
+            out[emb_out] = pdf["embedding"]
+            yield out[[id_col, emb_out, "cid"]]
+
+    return assign
+
+
+def assign_cells_hier_arrow(
+    df: DataFrame, cents, id_col: str = "neighbor_id", emb_out: str = "ce"
+) -> DataFrame:
+    """Hierarchical Arrow/NumPy cell assignment: :func:`_hier_groups`'
+    coarse structure with :func:`assign_cells_arrow`'s vectorized scoring
+    — O(√K) BLAS cosines per row, broadcast-distributed centroids.
+
+    This is the composition COVERAGE.md names as the asymptotic winner
+    for web-scale index build (K≈10⁵–10⁶ at 100 TB, FAISS coarse-quantizer
+    frame): hier removes the O(N·K) flat-assignment quadratic, Arrow
+    removes the interpreted-fold constant, broadcast removes the
+    plan-literal/closure K ceiling.  Tie rules replay the fold/SQL form
+    exactly (max cos then larger g, then max cos then larger cid), so the
+    same ``ANN_IVF_HIER_SQL`` oracle checks it; BLAS-vs-fold ulp caveat as
+    in :func:`ann_ivf_arrow` (discrete argmax, empirical parity)."""
+    _require_dense_cids(cents)
+    _, groups = _hier_groups(cents)
+    bc = _broadcast_centroids(df, cents)
+    return df.mapInPandas(
+        _hier_assign_fn(bc, groups, id_col, emb_out),
+        f"{id_col} bigint, {emb_out} array<float>, cid int",
+    )
+
+
+def ann_ivf_hier_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`ann_ivf_topk` with the composed hier×Arrow corpus assignment
+    (:func:`assign_cells_hier_arrow`) — the 100 TB index-build shape on
+    BOTH axes at once: O(N·√K) cosine count (vs flat's N·K quadratic once
+    ``ivf_k`` scales K with N) AND BLAS-vectorized per-cosine cost, with
+    centroids distributed as a broadcast variable rather than plan
+    literals.  Queries still probe flat (|queries| ≪ N); the probe/re-rank
+    tail is the audited IVF tail unchanged.  Oracle: ``ANN_IVF_HIER_SQL``
+    (same assignment semantics as the fold form)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+    corpus = assign_cells_hier_arrow(
+        emb.filter(F.col("vec_id") >= N_QUERIES).select(
+            F.col("vec_id").alias("neighbor_id"), "embedding"
+        ),
+        cents,
+    )
+    return _rank_probed(corpus, _probed_queries(emb, cents))
 
 
 def _hier_groups(cents: list[tuple[int, list[float]]]):

@@ -2443,6 +2443,76 @@ def test_ann_pq_arrow_matches_fold(spark):
         assert abs(a.adc_cos - b.adc_cos) < 1e-12
 
 
+def test_arrow_assigners_distribute_centroids_by_broadcast(spark, monkeypatch):
+    """The 100 TB seam this pins: the K×d centroid matrix must reach
+    executors as a SparkContext broadcast variable — NOT a plan literal
+    and NOT a task-closure capture, both of which break around K≈10⁵.
+    (a) both assigners call sc.broadcast with the matrix; (b) the
+    mapInPandas bodies' closures hold only the Broadcast handle (plus the
+    tiny group index for hier), never the matrix itself."""
+    import numpy as np
+    from pyspark import SparkContext
+    from pyspark.broadcast import Broadcast
+
+    import clickhouse_sinker_nali_spark.operators.similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = S._centroids(emb)
+    corpus = emb.filter(F.col("vec_id") >= S.N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+
+    sent = []
+    orig = SparkContext.broadcast
+
+    def spy(self, value):
+        sent.append(value)
+        return orig(self, value)
+
+    monkeypatch.setattr(SparkContext, "broadcast", spy)
+    for assigner in (S.assign_cells_arrow, S.assign_cells_hier_arrow):
+        sent.clear()
+        assert assigner(corpus, cents).count() > 0
+        mats = [v for v in sent if isinstance(v, np.ndarray)]
+        assert mats and mats[0].shape == (len(cents), S.DIM), (
+            f"{assigner.__name__} did not broadcast the centroid matrix"
+        )
+
+    # closure discipline: only the handle (and hier's group index) is captured
+    bc = spark.sparkContext.broadcast(
+        np.asarray([v for _, v in cents], dtype=np.float64)
+    )
+    _, groups = S._hier_groups(cents)
+    for fn in (
+        S._flat_assign_fn(bc, "neighbor_id", "ce"),
+        S._hier_assign_fn(bc, groups, "neighbor_id", "ce"),
+    ):
+        captured = [c.cell_contents for c in (fn.__closure__ or ())]
+        assert any(isinstance(c, Broadcast) for c in captured)
+        assert not any(isinstance(c, np.ndarray) for c in captured), (
+            "centroid matrix rides the task closure"
+        )
+        for c in captured:
+            if isinstance(c, list):  # hier's group index: K ints, not K×d floats
+                assert all(isinstance(g, (list, np.ndarray)) for g in c)
+                assert sum(len(g) for g in c) == len(cents)
+
+
+def test_ann_ivf_hier_arrow_matches_fold(spark):
+    """The composed hier×Arrow assigner must reproduce the hier fold
+    form's cell membership and ranks exactly (coarse ties→larger g, fine
+    ties→larger cid) — the same discipline as the flat Arrow parity test."""
+    import clickhouse_sinker_nali_spark.operators.similarity as S
+
+    fold = S.ann_ivf_hier_topk(spark, SF_DIR).collect()
+    arrow = S.ann_ivf_hier_arrow(spark, SF_DIR).collect()
+    assert [(r.query_id, r.rank, r.neighbor_id, r.cid) for r in fold] == [
+        (r.query_id, r.rank, r.neighbor_id, r.cid) for r in arrow
+    ]
+    for a, b in zip(fold, arrow):
+        assert abs(a.cos_sim - b.cos_sim) < 1e-12
+
+
 def test_hier_ivf_assignment_structure_and_agreement(spark):
     """The hierarchical assignment must (a) group every fine centroid
     under its own nearest representative — each rep g contains itself, no

@@ -2187,12 +2187,18 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     gradient).  ``contrastive_pairs`` (curation) builds the positives;
     this is the negatives side.
 
+    SCALE REDIRECT: this brute form scores the FULL corpus per query —
+    it exists as the oracle-parity reference.  At scale use
+    :func:`hard_negatives_ivfpq` (probe → PQ-ADC shortlist with the label
+    predicate applied before ranking → exact re-rank of a fixed
+    shortlist), whose per-query cost is independent of corpus size —
+    exactly as ``dedup_embedding_cosine`` redirects to its cells form.
+
     Same plan shape as brute-force ANN (broadcast queries, map-side
     cosine, per-query rank) plus one label-inequality predicate pushed
     into the join — the label filter prunes BEFORE the rank, so k hard
     negatives survive per query no matter how label-skewed the
-    neighborhood.  Swap the brute-force scorer for the IVF probe at scale;
-    the predicate composes unchanged.
+    neighborhood.
     """
     from pyspark.sql.window import Window
 

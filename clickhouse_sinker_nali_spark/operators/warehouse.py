@@ -400,11 +400,32 @@ def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the dimension key and every window reuses that partitioning — a
     single exchange in the plan.
     """
-    orders = load_table(spark, sf_dir, "orders")
     # presentation sort here, NOT in the shared core: the streaming
     # maintainer writes the core's output to parquet per micro-batch,
     # where a global sort is a wasted range-partition exchange
-    return scd2_intervals(orders).orderBy("custkey", "valid_from")
+    return _scd2_intervals_cached(spark, sf_dir).orderBy("custkey", "valid_from")
+
+
+# materialized-dimension cache: (applicationId, sf_dir) → persisted SCD2
+# intervals.  Session-lifetime state with no unpersist BY DESIGN — the dim
+# is tiny (one row per status change) and shared by every consumer, exactly
+# like a warehouse's materialized dimension table; rebuilding the window
+# pipeline per consumer is the cost that dominates at 100× scale.
+_SCD2_DIM_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _scd2_intervals_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 customer-status dimension, built once per (session,
+    sf_dir) and ``persist()``-ed; ``scd2_customer_status`` and
+    ``interval_overlap_join`` both consume it."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, _os.path.normpath(sf_dir))
+    df = _SCD2_DIM_CACHE.get(key)
+    if df is None:
+        df = scd2_intervals(load_table(spark, sf_dir, "orders")).persist()
+        _SCD2_DIM_CACHE[key] = df
+    return df
 
 
 def scd2_intervals(orders: DataFrame) -> DataFrame:
@@ -876,7 +897,7 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     against bucket collisions.  The oracle runs the naive theta join —
     value parity of the rewrite is the contract.
     """
-    intervals = scd2_customer_status(spark, sf_dir).select(
+    intervals = _scd2_intervals_cached(spark, sf_dir).select(
         "custkey",
         "status",
         F.col("valid_from").alias("vf"),

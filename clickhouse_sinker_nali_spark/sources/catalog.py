@@ -45,15 +45,23 @@ def schema_from_catalog(
 def fetch_series_ids_jdbc(
     spark: SparkSession,
     url: str,
-    series_table: str,
+    db: str,
+    table: str,
+    dist_table: str | None = None,
     properties: dict | None = None,
 ) -> DataFrame:
     """Existing ``__series_id`` values as a DataFrame for the anti-join.
+
+    The probe string is the golden-tested reference dialect
+    (``streaming.chdialect.series_preload_sql``): local ``<table>_series``
+    single-node, the Distributed wrapper (``dist_table``) in cluster mode.
 
     Returned as a DataFrame (not a collected set): at scale the series
     table can be millions of rows — the anti-join broadcasts or shuffles it
     as stats dictate, never materializing on the driver (the reference's
     roaring-bitmap preload is a single-process luxury).
     """
-    q = f"(SELECT __series_id FROM {series_table}) AS s"
+    from ..streaming.chdialect import series_preload_sql
+
+    q = f"({series_preload_sql(db, table, dist_table)}) AS s"
     return spark.read.jdbc(url, q, properties=properties or {})

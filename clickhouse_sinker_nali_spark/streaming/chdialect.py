@@ -164,9 +164,15 @@ def select_columns_sql(db: str, table: str) -> str:
     )
 
 
-def series_preload_sql(db: str, table: str) -> str:
-    """Seed query for the series dedup bitmap (output/clickhouse.go:201)."""
-    return f"SELECT __series_id FROM {db}.{table}_series"
+def series_preload_sql(db: str, table: str, dist_table: str | None = None) -> str:
+    """Seed query for the series dedup bitmap.
+
+    Cluster mode reads through the FIRST Distributed wrapper of the series
+    table so the preload sees every shard's series
+    (output/clickhouse.go:199); single-node reads the local
+    ``<table>_series`` (output/clickhouse.go:201)."""
+    tbl = dist_table if dist_table else f"{table}_series"
+    return f"SELECT __series_id FROM {db}.{tbl}"
 
 
 def dist_tables_sql(db: str, cluster: str, table: str) -> str:

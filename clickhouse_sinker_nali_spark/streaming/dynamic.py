@@ -108,28 +108,25 @@ def alter_statements(
     ``dialect="ansi"`` emits unquoted single-table ANSI DDL (no backticks,
     no IF NOT EXISTS, ANSI type names) so the same orchestration can be
     driven end-to-end against any plain JDBC database.
+
+    ``dialect="clickhouse"`` delegates to the byte-golden wire dialect
+    (``chdialect.alter_sql`` / ``chdialect.recreate_dist_sql``) — the sink
+    path must emit NO hand-rolled CH SQL of its own (guarded by
+    ``tests/test_sql_dialect_guard.py``).  Distributed wrappers are only
+    recreated in cluster mode, as in the reference
+    (output/clickhouse.go:436-456 runs under ``chCfg.Cluster != ""``).
     """
-    cluster = f" ON CLUSTER {on_cluster}" if on_cluster else ""
-    stmts = []
     if dialect == "ansi":
-        for key in sorted(new_keys):
-            stmts.append(
-                f"ALTER TABLE {table} ADD COLUMN {key} "
-                f"{_DYNAMIC_NEWKEY_ANSI_TYPE[new_keys[key]]}"
-            )
-        return stmts
-    for key in sorted(new_keys):
-        ch_type = DYNAMIC_NEWKEY_CH_TYPE[new_keys[key]]
-        stmts.append(
-            f"ALTER TABLE `{db}`.`{table}`{cluster} "
-            f"ADD COLUMN IF NOT EXISTS `{key}` {ch_type}"
-        )
-    for dist in dist_tables or []:
-        stmts.append(f"DROP TABLE IF EXISTS `{db}`.`{dist}`{cluster}")
-        stmts.append(
-            f"CREATE TABLE `{db}`.`{dist}`{cluster} "
-            f"AS `{db}`.`{table}` ENGINE = Distributed(`{on_cluster or 'default'}`, `{db}`, `{table}`)"
-        )
+        return [
+            f"ALTER TABLE {table} ADD COLUMN {key} "
+            f"{_DYNAMIC_NEWKEY_ANSI_TYPE[new_keys[key]]}"
+            for key in sorted(new_keys)
+        ]
+    from .chdialect import alter_sql, recreate_dist_sql
+
+    stmts = alter_sql(db, table, new_keys, cluster=on_cluster)
+    if on_cluster and dist_tables:
+        stmts += recreate_dist_sql(on_cluster, db, table, dist_tables)
     return stmts
 
 

@@ -70,6 +70,15 @@ def test_series_preload_sql_golden():
     )
 
 
+def test_series_preload_sql_dist_golden():
+    # cluster mode reads through the first Distributed wrapper,
+    # output/clickhouse.go:199
+    assert (
+        series_preload_sql("default", "prom_metric", dist_table="dist_prom_metric_series")
+        == "SELECT __series_id FROM default.dist_prom_metric_series"
+    )
+
+
 def test_dist_tables_sql_golden():
     # output/clickhouse.go:470-471: raw Go literal keeps the backslashes,
     # so the server receives \( \' ... literally

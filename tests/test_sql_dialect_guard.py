@@ -77,3 +77,36 @@ def test_ws_class_literals_are_identical():
             if not m.group(0).startswith(canon):
                 bad.append(f"{path}: {m.group(0)!r}")
     assert not bad, "non-canonical whitespace class literals:\n" + "\n".join(bad)
+
+
+def test_ch_wire_sql_emitted_only_by_chdialect():
+    """Every ClickHouse-dialect SQL string in the sink/ingest path must
+    come from the byte-golden ``streaming/chdialect.py`` — a hand-rolled
+    copy elsewhere WILL drift from the reference's emitted quirks (the
+    r5 example: dynamic.py's own ALTER used backticked `db`.`tbl` where
+    the reference emits bare db.tbl with a double space).  Markers chosen
+    to be CH-wire-specific so ANSI/Derby DDL and Spark SQL stay free."""
+    markers = [
+        "ADD COLUMN IF NOT EXISTS `",   # CH ALTER column quoting
+        "ENGINE = Distributed(",        # Distributed wrapper DDL
+        "system.columns",               # catalog probe
+        "__series_id FROM",             # series preload probe
+        "block_size=",                  # DSN batching param
+    ]
+    offenders = []
+    for path in _py_files():
+        if path.endswith(os.path.join("streaming", "chdialect.py")):
+            continue
+        src = open(path).read()
+        for i, line in enumerate(src.splitlines(), 1):
+            stripped = line.strip()
+            if stripped.startswith("#"):
+                continue
+            if any(m in line for m in markers) and (
+                'f"' in line or "f'" in line or '"' in line and "INSERT" in line
+            ):
+                offenders.append(f"{path}:{i}: {stripped[:100]}")
+    assert not offenders, (
+        "CH wire SQL must be emitted via streaming/chdialect.py only:\n"
+        + "\n".join(offenders)
+    )

@@ -157,9 +157,11 @@ def test_newkey_detection_and_ddl(spark):
         "newkey08": InternalType.STRING_ARRAY,
     }
     stmts = alter_statements("db", "tbl", found)
-    # go.test.sh asserts this exact dynamic-schema outcome shape
+    # go.test.sh asserts this exact dynamic-schema outcome shape; the
+    # statement text is the byte-golden chdialect form (double space = the
+    # reference's empty ON CLUSTER %s, output/clickhouse.go:425)
     assert stmts[0] == (
-        "ALTER TABLE `db`.`tbl` ADD COLUMN IF NOT EXISTS `newkey01` Nullable(Int64)"
+        "ALTER TABLE db.tbl  ADD COLUMN IF NOT EXISTS `newkey01` Nullable(Int64)"
     )
     assert any("`newkey08` Array(String)" in s for s in stmts)
 

@@ -181,6 +181,10 @@ def start_pipeline(
     from ..parsers import with_parse_errors
     from .statistics import observed_metrics
 
+    # Kafka's contract delivers value as BINARY; the error probe and the
+    # parsers want text.  Cast once here (transform() would also cast, but
+    # the probe runs first) — UTF-8, as the reference assumes throughout.
+    source = source.withColumn("value", F.col("value").cast("string"))
     # The error probe is parser-aware: the JSON probe (try_parse_json)
     # would flag EVERY valid CSV row.
     if cfg.parser == "csv":

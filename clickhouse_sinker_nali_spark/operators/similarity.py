@@ -678,15 +678,71 @@ def assign_cells_hier_arrow(
     )
 
 
+def _probe_assign_fn(bc, nprobe: int):
+    """mapInPandas body for the query-side NPROBE probe: per query, the
+    NPROBE best cells by (cos desc, cid desc) — the exact tie order of
+    ``_probed_queries``' reverse(array_sort) and the oracle's ``ORDER BY
+    cos DESC, cid DESC``.  Like the corpus assigners, its only centroid
+    state is the Broadcast handle."""
+
+    def assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        C = bc.value
+        cn = np.sqrt((C * C).sum(axis=1))
+        k = C.shape[0]
+        neg_cid = -np.arange(k)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.asarray(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            en = np.sqrt((E * E).sum(axis=1))
+            cos = (E @ C.T) / np.outer(en, cn)
+            ids, embs, cids = [], [], []
+            n = min(nprobe, k)
+            for r in range(len(pdf)):
+                # lexsort: primary -cos (desc), secondary -cid (desc ties)
+                order = np.lexsort((neg_cid, -cos[r]))[:n]
+                ids.extend([int(pdf["query_id"].iloc[r])] * n)
+                embs.extend([pdf["embedding"].iloc[r]] * n)
+                cids.extend(int(c) for c in order)
+            yield pd.DataFrame(
+                {"query_id": ids, "qe": embs, "cid": np.asarray(cids, np.int32)}
+            )
+
+    return assign
+
+
+def probed_queries_arrow(emb: DataFrame, cents) -> DataFrame:
+    """:func:`_probed_queries` with broadcast-distributed centroids and
+    NumPy scoring — the query-side companion of the Arrow corpus
+    assigners, removing the LAST plan-literal centroid site from the
+    composed IVF path (``_cell_scores`` bakes K×d doubles into the plan;
+    fine at K≈10³, plan-compile poison at K≈10⁵⁺)."""
+    _require_dense_cids(cents)
+    bc = _broadcast_centroids(emb, cents)
+    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).mapInPandas(
+        _probe_assign_fn(bc, NPROBE),
+        "query_id bigint, qe array<float>, cid int",
+    )
+
+
 def ann_ivf_hier_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """:func:`ann_ivf_topk` with the composed hier×Arrow corpus assignment
     (:func:`assign_cells_hier_arrow`) — the 100 TB index-build shape on
     BOTH axes at once: O(N·√K) cosine count (vs flat's N·K quadratic once
     ``ivf_k`` scales K with N) AND BLAS-vectorized per-cosine cost, with
     centroids distributed as a broadcast variable rather than plan
-    literals.  Queries still probe flat (|queries| ≪ N); the probe/re-rank
-    tail is the audited IVF tail unchanged.  Oracle: ``ANN_IVF_HIER_SQL``
-    (same assignment semantics as the fold form)."""
+    literals.  The query probe (:func:`probed_queries_arrow`) is also
+    broadcast+NumPy, so NO stage of this path carries a K-sized plan
+    literal or closure; the re-rank tail is the audited IVF tail
+    unchanged.  Oracle: ``ANN_IVF_HIER_SQL`` (same assignment semantics
+    as the fold form)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _centroids(emb)
     corpus = assign_cells_hier_arrow(
@@ -695,7 +751,7 @@ def ann_ivf_hier_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         cents,
     )
-    return _rank_probed(corpus, _probed_queries(emb, cents))
+    return _rank_probed(corpus, probed_queries_arrow(emb, cents))
 
 
 def _hier_groups(cents: list[tuple[int, list[float]]]):

@@ -2486,6 +2486,7 @@ def test_arrow_assigners_distribute_centroids_by_broadcast(spark, monkeypatch):
     for fn in (
         S._flat_assign_fn(bc, "neighbor_id", "ce"),
         S._hier_assign_fn(bc, groups, "neighbor_id", "ce"),
+        S._probe_assign_fn(bc, S.NPROBE),
     ):
         captured = [c.cell_contents for c in (fn.__closure__ or ())]
         assert any(isinstance(c, Broadcast) for c in captured)

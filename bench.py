@@ -101,6 +101,9 @@ HEADLINE = {
     "ann_ivfpq_arrow": S.ann_ivfpq_arrow,
     "hard_negatives_ivfpq": S.hard_negatives_ivfpq,
     "dedup_embedding_cosine_cells": D.dedup_embedding_cosine_cells,
+    # round 5: composed hier×Arrow IVF with broadcast centroids (the
+    # literal-free web-scale index-build shape)
+    "ann_ivf_hier_arrow": S.ann_ivf_hier_arrow,
 }
 
 

@@ -592,15 +592,20 @@ def _flat_assign_fn(bc, id_col: str, emb_out: str):
 
 
 def assign_cells_arrow(
-    df: DataFrame, cents, id_col: str = "neighbor_id", emb_out: str = "ce"
+    df: DataFrame, cents, id_col: str = "neighbor_id", emb_out: str = "ce",
+    bc=None,
 ) -> DataFrame:
     """Arrow/NumPy flat cell assignment over a (id, embedding) DataFrame:
     one matmul per batch against the broadcast centroid matrix, ties to
     the LARGER cid (struct-max rule, taken as the last argmax).  Shared by
     the batch ANN path, the cell-blocked dedup, and the streaming index
-    twin.  Centroids travel via :func:`_broadcast_centroids`."""
+    twin.  Centroids travel via :func:`_broadcast_centroids`; a caller
+    that assigns repeatedly against a FROZEN snapshot (the streaming
+    index maintainer) passes its own ``bc`` so the matrix is broadcast
+    once per stream, not once per epoch."""
     _require_dense_cids(cents)
-    bc = _broadcast_centroids(df, cents)
+    if bc is None:
+        bc = _broadcast_centroids(df, cents)
     return df.mapInPandas(
         _flat_assign_fn(bc, id_col, emb_out),
         f"{id_col} bigint, {emb_out} array<float>, cid int",

@@ -562,10 +562,15 @@ def _ivf_maintenance_sink(index_path: str, cents: list):
     exposed so tests can drive a replayed epoch directly."""
     import os as _os
 
-    from ..operators.similarity import assign_cells_arrow
+    from ..operators.similarity import _broadcast_centroids, assign_cells_arrow
 
     cent_path = _os.path.join(index_path, "centroids")
     corpus_path = _os.path.join(index_path, "corpus")
+    # the snapshot is FROZEN for the stream's lifetime, so broadcast it
+    # once (first batch) and reuse across epochs — re-broadcasting per
+    # epoch would leak one executor-resident copy per micro-batch until
+    # the driver GCs the old handles
+    bc_holder: list = []
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -574,11 +579,14 @@ def _ivf_maintenance_sink(index_path: str, cents: list):
                 [(cid, vec) for cid, vec in cents],
                 "cid int, embedding array<double>",
             ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+        if not bc_holder:
+            bc_holder.append(_broadcast_centroids(batch_df, cents))
         assigned = assign_cells_arrow(
             batch_df.select(
                 F.col("vec_id").alias("neighbor_id"), "embedding"
             ),
             cents,
+            bc=bc_holder[0],
         )
         (
             assigned.withColumn("__epoch", F.lit(int(epoch_id)))

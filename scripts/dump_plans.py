@@ -167,6 +167,16 @@ COMMENTARY = {
         "corpus once ivf_k scales K with N).  Probe/re-rank tail identical "
         "to ann_ivf_topk."
     ),
+    "ann_ivf_hier_arrow": (
+        "The composed web-scale index-build shape: hier two-level argmax "
+        "INSIDE an Arrow/NumPy mapInPandas stage (O(sqrt(K)) BLAS cosines "
+        "per row) with the centroid matrix distributed as a SparkContext "
+        "broadcast — the plan carries mapInPandas nodes and NO K-sized "
+        "literal on either the corpus or the probe side, so plan "
+        "compile/serialize cost is independent of K (the K~1e5 regime a "
+        "real 100 TB IVF needs).  Ladder: sf10 (K=1.6K) flat-Arrow 29.1s, "
+        "hier-fold 182.4s, this form 12.85s."
+    ),
 }
 
 
@@ -210,6 +220,8 @@ def main() -> None:
         "hard_negatives_ivfpq": S.hard_negatives_ivfpq,
         "dedup_embedding_cosine_cells": D.dedup_embedding_cosine_cells,
         "ann_ivf_hier_topk": S.ann_ivf_hier_topk,
+        # round 5: literal-free composed assignment
+        "ann_ivf_hier_arrow": S.ann_ivf_hier_arrow,
     }
 
     spark = get_spark("plans", shuffle_partitions=8)

@@ -659,23 +659,63 @@ def _hier_assign_fn(bc, groups_idx, id_col: str, emb_out: str):
     return assign
 
 
+def _hier_groups_np(cents):
+    """NumPy twin of :func:`_hier_groups` for the Arrow path — same
+    structure and tie rules (each fine centroid joins its nearest of the
+    first ceil(√K) representatives, ties to the larger g) via one K×K1
+    matmul.
+
+    Why it exists: the fold form runs O(K^1.5 · d) scalar Python on the
+    DRIVER — measured 0.15 s at K=1.6 K (sf10), extrapolating to
+    minutes of serialized driver time at the K≈10⁵ a real 100 TB index
+    needs (vs. 7 ms / one matmul here; group sets verified identical at
+    K=8/157/1563).  The fold form remains
+    the oracle-replayable reference (DuckDB reproduces its arithmetic
+    bit-for-bit); BLAS group membership can differ from it only on an
+    ulp-level cosine tie between distinct reps — the same
+    empirical-parity caveat as every Arrow scoring stage, pinned by the
+    oracle sweep.  Same loud empty-group guard as the fold form."""
+    import math
+
+    import numpy as np
+
+    C = np.asarray([vec for _, vec in cents], dtype=np.float64)
+    k = C.shape[0]
+    k1 = math.ceil(math.sqrt(k))
+    cn = np.sqrt((C * C).sum(axis=1))
+    cos = (C @ C[:k1].T) / np.outer(cn, cn[:k1])
+    g = k1 - 1 - np.argmax(cos[:, ::-1], axis=1)  # ties → larger g
+    groups = [[int(c) for c in np.flatnonzero(g == gi)] for gi in range(k1)]
+    empty = [gi for gi, members in enumerate(groups) if not members]
+    if empty:
+        raise ValueError(
+            f"hier coarse groups {empty} are empty (rep stolen by a "
+            "near-parallel rep): this centroid set cannot be hier-grouped "
+            "deterministically — use the flat assigner for it"
+        )
+    return k1, groups
+
+
 def assign_cells_hier_arrow(
     df: DataFrame, cents, id_col: str = "neighbor_id", emb_out: str = "ce"
 ) -> DataFrame:
-    """Hierarchical Arrow/NumPy cell assignment: :func:`_hier_groups`'
-    coarse structure with :func:`assign_cells_arrow`'s vectorized scoring
+    """Hierarchical Arrow/NumPy cell assignment: the two-level coarse
+    structure with :func:`assign_cells_arrow`'s vectorized scoring
     — O(√K) BLAS cosines per row, broadcast-distributed centroids.
 
     This is the composition COVERAGE.md names as the asymptotic winner
     for web-scale index build (K≈10⁵–10⁶ at 100 TB, FAISS coarse-quantizer
     frame): hier removes the O(N·K) flat-assignment quadratic, Arrow
     removes the interpreted-fold constant, broadcast removes the
-    plan-literal/closure K ceiling.  Tie rules replay the fold/SQL form
-    exactly (max cos then larger g, then max cos then larger cid), so the
-    same ``ANN_IVF_HIER_SQL`` oracle checks it; BLAS-vs-fold ulp caveat as
-    in :func:`ann_ivf_arrow` (discrete argmax, empirical parity)."""
+    plan-literal/closure K ceiling, and the group structure itself comes
+    from :func:`_hier_groups_np` (one matmul; the fold ``_hier_groups``
+    is O(K^1.5·d) serialized driver Python — minutes at K≈10⁵).  Tie rules replay
+    the fold/SQL form exactly (max cos then larger g, then max cos then
+    larger cid), so the same ``ANN_IVF_HIER_SQL`` oracle checks it;
+    BLAS-vs-fold ulp caveat as in :func:`ann_ivf_arrow` (discrete argmax,
+    empirical parity)."""
     _require_dense_cids(cents)
-    _, groups = _hier_groups(cents)
+    _, groups = _hier_groups_np(cents)
     bc = _broadcast_centroids(df, cents)
     return df.mapInPandas(
         _hier_assign_fn(bc, groups, id_col, emb_out),

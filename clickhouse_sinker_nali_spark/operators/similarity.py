@@ -1036,6 +1036,11 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, index_path: str) -> None:
     ~50 GB (2 probed cells) and scanning everything.  Cell files are
     written once and shared by every subsequent query — the index cost
     amortizes exactly like a FAISS IVF build.
+
+    Assignment here is the fold ``_cell_scores`` so the persisted index
+    is bit-identical to the DuckDB oracle's; at web scale build with the
+    broadcast hier×Arrow assigner instead (:func:`assign_cells_hier_arrow`
+    — the streaming maintainer already uses the Arrow form).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _centroids(emb)

@@ -175,7 +175,7 @@ COMMENTARY = {
         "literal on either the corpus or the probe side, so plan "
         "compile/serialize cost is independent of K (the K~1e5 regime a "
         "real 100 TB IVF needs).  Ladder: sf10 (K=1.6K) flat-Arrow 29.1s, "
-        "hier-fold 182.4s, this form 12.85s."
+        "hier-fold 182.4s, this form 3.7s."
     ),
 }
 

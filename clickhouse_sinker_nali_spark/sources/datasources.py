@@ -101,6 +101,7 @@ import json as _json
 import os as _os
 
 from pyspark.sql.datasource import (
+    DataSourceStreamReader,
     DataSourceWriter,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
@@ -259,6 +260,62 @@ KAFKA_SCHEMA = (
 )
 
 
+def _kafka_partitions(topic_dir: str) -> list[int]:
+    return sorted(
+        int(f[len("partition-"):-len(".jsonl")])
+        for f in _os.listdir(topic_dir)
+        if f.startswith("partition-") and f.endswith(".jsonl")
+    )
+
+
+def _kafka_end_offsets(topic_dir: str) -> dict[str, int]:
+    out = {}
+    for p in _kafka_partitions(topic_dir):
+        with open(_os.path.join(topic_dir, f"partition-{p}.jsonl")) as f:
+            out[str(p)] = sum(1 for _ in f)
+    return out
+
+
+def _kafka_read_slice(topic_dir: str, topic: str, part: int, lo: int, hi: int):
+    """Decode rows [lo, hi) of one partition log — shared by the
+    driver-side simple reader and the executor-side parallel reader."""
+    from datetime import datetime, timedelta
+
+    rows = []
+    with open(_os.path.join(topic_dir, f"partition-{part}.jsonl")) as f:
+        for off, line in enumerate(f):
+            if off < lo:
+                continue
+            if off >= hi:
+                break
+            d = _json.loads(line)
+            key = d.get("key")
+            ts = d.get("ts")
+            # ts default must be DETERMINISTIC in (partition, offset):
+            # Spark replays a committed offset range through
+            # readBetweenOffsets after failure recovery, and a
+            # wall-clock stamp would make the replayed batch differ
+            # from the original (breaking exactly-once for the
+            # timestamp column and anything windowed on it)
+            ts_val = (
+                datetime.fromisoformat(ts).replace(tzinfo=None)
+                if ts
+                else datetime(2024, 1, 1) + timedelta(seconds=off, milliseconds=part)
+            )
+            rows.append(
+                (
+                    key.encode() if key is not None else None,
+                    d["value"].encode(),
+                    topic,
+                    part,
+                    off,
+                    ts_val,
+                    0,  # CreateTime, as the Kafka source reports
+                )
+            )
+    return rows
+
+
 class KafkaSimStreamReader(SimpleDataSourceStreamReader):
     """A broker-free source with Kafka's EXACT contract, so the full
     ``build_kafka_source`` option surface is exercisable end-to-end in
@@ -292,58 +349,17 @@ class KafkaSimStreamReader(SimpleDataSourceStreamReader):
         cap = options.get("maxoffsetspertrigger", options.get("maxOffsetsPerTrigger"))
         self.max_per_trigger = int(cap) if cap else None
 
-    # -- partition-log helpers ------------------------------------------
+    # -- partition-log helpers (module-level, shared with the parallel
+    # reader) --------------------------------------------------------------
 
     def _partitions(self) -> list[int]:
-        return sorted(
-            int(f[len("partition-"):-len(".jsonl")])
-            for f in _os.listdir(self.dir)
-            if f.startswith("partition-") and f.endswith(".jsonl")
-        )
+        return _kafka_partitions(self.dir)
 
     def _end_offsets(self) -> dict[str, int]:
-        out = {}
-        for p in self._partitions():
-            with open(_os.path.join(self.dir, f"partition-{p}.jsonl")) as f:
-                out[str(p)] = sum(1 for _ in f)
-        return out
+        return _kafka_end_offsets(self.dir)
 
     def _read_slice(self, part: int, lo: int, hi: int):
-        from datetime import datetime, timedelta
-
-        rows = []
-        with open(_os.path.join(self.dir, f"partition-{part}.jsonl")) as f:
-            for off, line in enumerate(f):
-                if off < lo:
-                    continue
-                if off >= hi:
-                    break
-                d = _json.loads(line)
-                key = d.get("key")
-                ts = d.get("ts")
-                # ts default must be DETERMINISTIC in (partition, offset):
-                # Spark replays a committed offset range through
-                # readBetweenOffsets after failure recovery, and a
-                # wall-clock stamp would make the replayed batch differ
-                # from the original (breaking exactly-once for the
-                # timestamp column and anything windowed on it)
-                ts_val = (
-                    datetime.fromisoformat(ts).replace(tzinfo=None)
-                    if ts
-                    else datetime(2024, 1, 1) + timedelta(seconds=off, milliseconds=part)
-                )
-                rows.append(
-                    (
-                        key.encode() if key is not None else None,
-                        d["value"].encode(),
-                        self.topic,
-                        part,
-                        off,
-                        ts_val,
-                        0,  # CreateTime, as the Kafka source reports
-                    )
-                )
-        return rows
+        return _kafka_read_slice(self.dir, self.topic, part, lo, hi)
 
     # -- stream-reader contract -----------------------------------------
 
@@ -409,6 +425,121 @@ class KafkaSimStreamReader(SimpleDataSourceStreamReader):
         pass  # the checkpoint owns offsets (reference K5: no hand-commit)
 
 
+class _KafkaSlice(InputPartition):
+    """One (partition, offset-range) read task, pickled to an executor."""
+
+    def __init__(self, topic_dir: str, topic: str, part: int, lo: int, hi: int):
+        self.topic_dir = topic_dir
+        self.topic = topic
+        self.part = part
+        self.lo = lo
+        self.hi = hi
+
+
+class KafkaSimParallelStreamReader(DataSourceStreamReader):
+    """Executor-parallel kafkasim reader (``parallel=true`` option).
+
+    Same topic-directory contract and offset semantics as
+    :class:`KafkaSimStreamReader`, but reads run as one task per Kafka
+    partition ON EXECUTORS (``partitions(start, end)`` → per-partition
+    ``_KafkaSlice``), exactly like the real JVM Kafka source — the driver
+    only lists end offsets.  This removes the simple reader's driver-side
+    decode ceiling (the sustained-load cap documented in COVERAGE.md);
+    the simple reader remains the default because availableNow-style
+    drain loops in the existing contract tests exercise its prefetch
+    path.
+
+    maxOffsetsPerTrigger is apportioned in ``latestOffset`` against the
+    last planned end; after a checkpoint restart the first batch
+    re-baselines from the checkpointed start seen in ``partitions``
+    (rate accuracy resumes one batch later — same behavior as Spark's
+    Kafka source under admission-control restart).
+    """
+
+    def __init__(self, options: dict) -> None:
+        root = options.get("path")
+        topic = options.get("subscribe")
+        if not root or not topic:
+            raise ValueError("kafkasim requires path and subscribe options")
+        self.topic = topic
+        self.dir = _os.path.join(root, topic)
+        self.starting = options.get(
+            "startingoffsets", options.get("startingOffsets", "earliest")
+        )
+        cap = options.get("maxoffsetspertrigger", options.get("maxOffsetsPerTrigger"))
+        self.max_per_trigger = int(cap) if cap else None
+        self._progress: dict | None = None
+
+    def initialOffset(self) -> dict:
+        if self.starting == "latest":
+            return _kafka_end_offsets(self.dir)
+        if isinstance(self.starting, str) and self.starting.strip().startswith("{"):
+            spec = _json.loads(self.starting)
+            per_part = spec.get(self.topic, {})
+            return {
+                str(p): int(per_part.get(str(p), 0))
+                for p in _kafka_partitions(self.dir)
+            }
+        return {str(p): 0 for p in _kafka_partitions(self.dir)}
+
+    def _apportion(self, start: dict, end: dict) -> dict:
+        if self.max_per_trigger is None:
+            return end
+        lags = {p: max(0, end.get(p, 0) - start.get(p, 0)) for p in end}
+        total = sum(lags.values())
+        if total <= self.max_per_trigger:
+            return end
+        capped, assigned = {}, 0
+        for p in sorted(lags, key=int):
+            share = int(self.max_per_trigger * lags[p] / total)
+            capped[p] = start.get(p, 0) + min(lags[p], share)
+            assigned += capped[p] - start.get(p, 0)
+        leftover = self.max_per_trigger - assigned
+        for p in sorted(lags, key=int):
+            if leftover <= 0:
+                break
+            room = (start.get(p, 0) + lags[p]) - capped[p]
+            take = min(room, leftover)
+            capped[p] += take
+            leftover -= take
+        return capped
+
+    def latestOffset(self) -> dict:
+        start = self._progress if self._progress is not None else self.initialOffset()
+        end = self._apportion(start, _kafka_end_offsets(self.dir))
+        # never move an offset backward (same contract as the simple reader)
+        end = {p: max(hi, start.get(p, 0)) for p, hi in end.items()}
+        self._progress = end
+        return end
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        # re-baseline rate limiting from the authoritative (checkpointed)
+        # start on the first batch after a restart
+        if self._progress is None or any(
+            self._progress.get(p, 0) < hi for p, hi in end.items()
+        ):
+            self._progress = dict(end)
+        return [
+            _KafkaSlice(self.dir, self.topic, int(p), start.get(p, 0), hi)
+            for p, hi in sorted(end.items(), key=lambda kv: int(kv[0]))
+            if hi > start.get(p, 0)
+        ]
+
+    def read(self, partition: _KafkaSlice):
+        return iter(
+            _kafka_read_slice(
+                partition.topic_dir,
+                partition.topic,
+                partition.part,
+                partition.lo,
+                partition.hi,
+            )
+        )
+
+    def commit(self, end) -> None:
+        pass  # the checkpoint owns offsets (reference K5: no hand-commit)
+
+
 class KafkaSimDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -416,6 +547,13 @@ class KafkaSimDataSource(DataSource):
 
     def schema(self):
         return KAFKA_SCHEMA
+
+    def streamReader(self, schema):
+        if str(self.options.get("parallel", "")).lower() in ("1", "true"):
+            return KafkaSimParallelStreamReader(self.options)
+        # raise PySparkNotImplementedError so the runner falls back to
+        # simpleStreamReader (pyspark.sql.datasource_internal._streamReader)
+        return super().streamReader(schema)
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return KafkaSimStreamReader(self.options)

@@ -254,3 +254,77 @@ def test_kafkasim_restart_resumes_from_checkpoint(spark, tmp_path):
     rows2 = [r for _, b in epochs2 for r in b]
     assert {(r["__kafka_partition"], r["__kafka_offset"]) for r in rows2} == {(0, 5), (1, 5)}
     assert {r.name for r in rows2} == {"late0", "late1"}
+
+
+def test_kafkasim_parallel_reader_matches_simple(spark, tmp_path):
+    """parallel=true swaps in the executor-parallel DataSourceStreamReader
+    (one read task per Kafka partition, decode off the driver).  Contract
+    parity: identical rows, virtual columns, and per-partition dense
+    offsets as the simple reader path; planning emits one slice per
+    partition with the right offset ranges."""
+    from clickhouse_sinker_nali_spark.sources.datasources import (
+        KafkaSimParallelStreamReader,
+    )
+
+    root = str(tmp_path / "logs")
+    _write_topic(root, n_per_part=20, parts=3)
+    register_all(spark)
+    cfg = _cfg(
+        buffer_size=64,  # no rate limiting: one batch drains everything
+        kafka_options={"path": root, "parallel": "true"},
+    )
+    epochs: list = []
+    _drain(spark, cfg, root, str(tmp_path / "ckpt_par"), epochs)
+    rows = [r for _, b in epochs for r in b]
+    assert len(rows) == 60
+    by_part = {}
+    for r in rows:
+        assert r["__kafka_topic"] == TOPIC
+        by_part.setdefault(r["__kafka_partition"], []).append(r["__kafka_offset"])
+    assert set(by_part) == {0, 1, 2}
+    assert all(sorted(v) == list(range(20)) for v in by_part.values())
+    m = next(r for r in rows if r["__kafka_partition"] == 2 and r["__kafka_offset"] == 5)
+    assert m.name == "p2m5" and m.value == 2002.5
+
+    # planning shape: one slice per partition, [start, end) ranges
+    reader = KafkaSimParallelStreamReader(
+        {"path": root, "subscribe": TOPIC, "maxOffsetsPerTrigger": "30"}
+    )
+    start = reader.initialOffset()
+    assert start == {"0": 0, "1": 0, "2": 0}
+    end = reader.latestOffset()
+    assert sum(end[p] - start[p] for p in end) == 30  # apportioned cap
+    slices = reader.partitions(start, end)
+    assert {(s.part, s.lo, s.hi) for s in slices} == {
+        (int(p), 0, end[p]) for p in end
+    }
+
+
+def test_kafkasim_parallel_rate_limit_and_resume(spark, tmp_path):
+    """The parallel reader under maxOffsetsPerTrigger: every micro-batch
+    stays within the cap, the log drains completely across availableNow
+    rounds, and a checkpoint restart resumes without loss or dups."""
+    root = str(tmp_path / "logs")
+    _write_topic(root, n_per_part=20, parts=2)
+    register_all(spark)
+    cfg = _cfg(kafka_options={"path": root, "parallel": "true"})  # cap 16
+    epochs: list = []
+    ckpt = str(tmp_path / "ckpt_par_rl")
+    _drain(spark, cfg, root, ckpt, epochs)
+    rows = [r for _, b in epochs for r in b]
+    assert len(rows) == 40
+    assert all(len(b) <= 16 for _, b in epochs)
+    assert len(epochs) >= 3
+    # append more and resume from the SAME checkpoint
+    d = os.path.join(root, TOPIC)
+    for p in range(2):
+        with open(os.path.join(d, f"partition-{p}.jsonl"), "a") as f:
+            for off in range(20, 25):
+                msg = {"time": "2024-03-01 10:00:59", "name": f"p{p}m{off}",
+                       "value": p * 1000 + off * 0.5}
+                f.write(json.dumps({"key": None, "value": json.dumps(msg)}) + "\n")
+    _drain(spark, cfg, root, ckpt, epochs)
+    rows = [r for _, b in epochs for r in b]
+    assert len(rows) == 50  # resumed exactly where it left off
+    got = {(r["__kafka_partition"], r["__kafka_offset"]) for r in rows}
+    assert got == {(p, o) for p in range(2) for o in range(25)}

@@ -20,12 +20,12 @@ properties that define "sustained":
 4. exactly-once: every produced (partition, offset) lands in the sink
    exactly once, including across the final drain.
 
-Honest scale note (recorded in COVERAGE.md): the kafkasim source reads
-and JSON-decodes the log on the DRIVER in Python (it is a test twin; the
-real Kafka source is a JVM executor-parallel scan), so the offered rate
-here exercises the pipeline's steady-state behavior, not its peak
-throughput — peak is the bench's JVM-side parse figure (~1 M rows/s
-parse, ~560 K rows/s parse→sink).
+The source runs with ``parallel=true`` — the executor-parallel kafkasim
+reader (one read task per Kafka partition, decode OFF the driver, the
+real Kafka source's execution shape).  Peak engine throughput is still
+the bench's JVM-side parse figure (~1 M rows/s parse, ~560 K rows/s
+parse→sink); this test is about holding a steady offered rate
+indefinitely, not peak.
 """
 
 from __future__ import annotations
@@ -49,7 +49,7 @@ from clickhouse_sinker_nali_spark.streaming.statistics import MetricsListener
 
 TOPIC = "sustained_topic"
 PARTS = 4
-RATE = 15_000  # rows/s offered, all partitions combined
+RATE = 40_000  # rows/s offered, all partitions combined
 TRIGGER_S = 3
 RUN_S = 90
 
@@ -134,9 +134,9 @@ def test_sustained_streaming_ingest_steady_state(spark, tmp_path):
         topic=TOPIC,
         table="t",
         dims=DIMS,
-        buffer_size=1 << 18,  # cap far above rate×trigger: no rate limiting
+        buffer_size=1 << 19,  # cap far above rate×trigger: no rate limiting
         flush_interval_s=TRIGGER_S,
-        kafka_options={"path": root},
+        kafka_options={"path": root, "parallel": "true"},
     )
     out = str(tmp_path / "sink")
     sink = ParquetSink(path=out, shards=4)

@@ -279,6 +279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composed hier×Arrow IVF assignment with broadcast-variable
         # centroid distribution (the K≈10⁵⁺ web-scale index-build shape)
         "ann_ivf_hier_arrow": S.ann_ivf_hier_arrow,
+        # cell-blocked embedding dedup with the same hier assignment (the
+        # dedup axis of the flat-assignment quadratic fix)
+        "dedup_embedding_cosine_cells_hier": D.dedup_embedding_cosine_cells_hier,
     }
 
 
@@ -460,4 +463,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_arrow": S.ANN_IVF_SQL,
         "ann_ivfpq_arrow": S.ANN_IVFPQ_SQL,
         "ann_ivf_hier_arrow": S.ANN_IVF_HIER_SQL,
+        "dedup_embedding_cosine_cells_hier": D._dedup_cells_hier_sql(),
     }

@@ -572,6 +572,31 @@ def dedup_embedding_cosine_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_cosine_cells_hier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """:func:`dedup_embedding_cosine_cells` with HIERARCHICAL cell
+    assignment (``similarity.assign_cells_hier_arrow``) — the composed
+    100 TB form on the dedup axis too: blocking keeps within-block work
+    at N·128 (cells grow with N), and the assignment itself costs O(√K)
+    broadcast-distributed BLAS cosines per row instead of flat's O(K)
+    (which is N²/128 once ``ivf_k`` ties K to N — the same quadratic the
+    IVF family closed with ``ann_ivf_hier_arrow``).  Recall tradeoff is
+    the hier approximation stacked on cell blocking, both audited in the
+    ANN family; the oracle replays the exact two-level tie rules."""
+    from .similarity import _centroids, assign_cells_hier_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+    assigned = assign_cells_hier_arrow(
+        emb.select("vec_id", "embedding"), cents,
+        id_col="vec_id", emb_out="embedding",
+    )
+    return embedding_block_pairs(
+        assigned, F.col("cid").cast("bigint"), block_name="cell"
+    )
+
+
 DEDUP_EMBEDDING_SQL = f"""
 SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
        (list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
@@ -604,6 +629,71 @@ cell AS (
                ROW_NUMBER() OVER (PARTITION BY c.vec_id
                     ORDER BY {_COS_CT} DESC, t.cid DESC) AS rn
         FROM embeddings c, cent t
+    ) WHERE rn = 1
+)
+SELECT CAST(ca.cid AS BIGINT) AS cell, ca.vec_id AS vec_a, cb.vec_id AS vec_b,
+       {cos_ab} AS cos_sim
+FROM cell ca
+JOIN cell cb ON ca.cid = cb.cid AND ca.vec_id < cb.vec_id
+JOIN embeddings ea ON ea.vec_id = ca.vec_id
+JOIN embeddings eb ON eb.vec_id = cb.vec_id
+WHERE {cos_ab} >= {COSINE_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+def _dedup_cells_hier_sql() -> str:
+    """Oracle for the hier-assigned cell-blocked variant: the two-level
+    assignment CTEs of ``ANN_IVF_HIER_SQL`` (coarse reps → nearest-rep
+    groups → within-group argmax, ties to the larger g/cid), applied to
+    ALL vectors (dedup blocks queries too), then the same pair join as
+    ``_dedup_cells_sql``."""
+    from .similarity import (
+        _COS_CT,
+        _HIER_K1_SQL,
+        _IVF_K_SQL,
+        N_QUERIES,
+        _cos_pair,
+    )
+
+    cos_ab = _cos_pair("ea.embedding", "eb.embedding")
+    cos_ft = _cos_pair("f.embedding", "t.embedding")
+    cos_cgt = _cos_pair("c.embedding", "t.embedding")
+    return f"""
+WITH kk AS ({_IVF_K_SQL}),
+kp AS ({_HIER_K1_SQL}),
+cent AS (
+    SELECT vec_id - {N_QUERIES} AS cid, embedding FROM embeddings, kk
+    WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES} + kk.k
+),
+coarse AS (
+    SELECT cid AS g, embedding FROM cent, kp WHERE cid < kp.k1
+),
+grp AS (
+    SELECT cid, g FROM (
+        SELECT f.cid, t.g,
+               ROW_NUMBER() OVER (PARTITION BY f.cid
+                    ORDER BY {cos_ft} DESC, t.g DESC) AS rn
+        FROM cent f, coarse t
+    ) WHERE rn = 1
+),
+pickg AS (
+    SELECT vec_id, g FROM (
+        SELECT c.vec_id, t.g,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                    ORDER BY {cos_cgt} DESC, t.g DESC) AS rn
+        FROM embeddings c, coarse t
+    ) WHERE rn = 1
+),
+cell AS (
+    SELECT vec_id, cid FROM (
+        SELECT c.vec_id, t.cid,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id
+                    ORDER BY {_COS_CT} DESC, t.cid DESC) AS rn
+        FROM embeddings c
+        JOIN pickg p ON p.vec_id = c.vec_id
+        JOIN grp ON grp.g = p.g
+        JOIN cent t ON t.cid = grp.cid
     ) WHERE rn = 1
 )
 SELECT CAST(ca.cid AS BIGINT) AS cell, ca.vec_id AS vec_a, cb.vec_id AS vec_b,

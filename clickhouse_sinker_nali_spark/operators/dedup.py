@@ -559,11 +559,20 @@ def dedup_embedding_cosine_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ``ann_ivf_arrow`` assigner): zero shuffle before the block
     equi-join, BLAS-speed instead of interpreted folds.
     """
-    from .similarity import _centroids, assign_cells_arrow
+    from .similarity import assign_cells_arrow
+
+    return _dedup_cells(spark, sf_dir, assign_cells_arrow)
+
+
+def _dedup_cells(spark: SparkSession, sf_dir: str, assigner) -> DataFrame:
+    """Shared body of the cell-blocked dedup variants: load, pick seed
+    centroids, assign every vector with ``assigner`` (flat or hier Arrow),
+    then pairwise-verify within cells."""
+    from .similarity import _centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _centroids(emb)
-    assigned = assign_cells_arrow(
+    assigned = assigner(
         emb.select("vec_id", "embedding"), cents,
         id_col="vec_id", emb_out="embedding",
     )
@@ -584,17 +593,9 @@ def dedup_embedding_cosine_cells_hier(
     IVF family closed with ``ann_ivf_hier_arrow``).  Recall tradeoff is
     the hier approximation stacked on cell blocking, both audited in the
     ANN family; the oracle replays the exact two-level tie rules."""
-    from .similarity import _centroids, assign_cells_hier_arrow
+    from .similarity import assign_cells_hier_arrow
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = _centroids(emb)
-    assigned = assign_cells_hier_arrow(
-        emb.select("vec_id", "embedding"), cents,
-        id_col="vec_id", emb_out="embedding",
-    )
-    return embedding_block_pairs(
-        assigned, F.col("cid").cast("bigint"), block_name="cell"
-    )
+    return _dedup_cells(spark, sf_dir, assign_cells_hier_arrow)
 
 
 DEDUP_EMBEDDING_SQL = f"""

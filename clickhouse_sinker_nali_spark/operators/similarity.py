@@ -686,18 +686,13 @@ def _hier_groups_np(cents):
     cos = (C @ C[:k1].T) / np.outer(cn, cn[:k1])
     g = k1 - 1 - np.argmax(cos[:, ::-1], axis=1)  # ties → larger g
     groups = [[int(c) for c in np.flatnonzero(g == gi)] for gi in range(k1)]
-    empty = [gi for gi, members in enumerate(groups) if not members]
-    if empty:
-        raise ValueError(
-            f"hier coarse groups {empty} are empty (rep stolen by a "
-            "near-parallel rep): this centroid set cannot be hier-grouped "
-            "deterministically — use the flat assigner for it"
-        )
+    _check_no_empty_groups(groups)
     return k1, groups
 
 
 def assign_cells_hier_arrow(
-    df: DataFrame, cents, id_col: str = "neighbor_id", emb_out: str = "ce"
+    df: DataFrame, cents, id_col: str = "neighbor_id", emb_out: str = "ce",
+    bc=None,
 ) -> DataFrame:
     """Hierarchical Arrow/NumPy cell assignment: the two-level coarse
     structure with :func:`assign_cells_arrow`'s vectorized scoring
@@ -716,7 +711,8 @@ def assign_cells_hier_arrow(
     empirical parity)."""
     _require_dense_cids(cents)
     _, groups = _hier_groups_np(cents)
-    bc = _broadcast_centroids(df, cents)
+    if bc is None:
+        bc = _broadcast_centroids(df, cents)
     return df.mapInPandas(
         _hier_assign_fn(bc, groups, id_col, emb_out),
         f"{id_col} bigint, {emb_out} array<float>, cid int",
@@ -761,14 +757,15 @@ def _probe_assign_fn(bc, nprobe: int):
     return assign
 
 
-def probed_queries_arrow(emb: DataFrame, cents) -> DataFrame:
+def probed_queries_arrow(emb: DataFrame, cents, bc=None) -> DataFrame:
     """:func:`_probed_queries` with broadcast-distributed centroids and
     NumPy scoring — the query-side companion of the Arrow corpus
     assigners, removing the LAST plan-literal centroid site from the
     composed IVF path (``_cell_scores`` bakes K×d doubles into the plan;
     fine at K≈10³, plan-compile poison at K≈10⁵⁺)."""
     _require_dense_cids(cents)
-    bc = _broadcast_centroids(emb, cents)
+    if bc is None:
+        bc = _broadcast_centroids(emb, cents)
     return emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding"
     ).mapInPandas(
@@ -790,13 +787,34 @@ def ann_ivf_hier_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the fold form)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = _centroids(emb)
+    # ONE broadcast shared by the corpus and probe stages — two handles
+    # would pin two executor-resident copies of the K×d matrix (~0.5 GB
+    # each at the K≈10⁵ target) for no reason
+    bc = _broadcast_centroids(emb, cents)
     corpus = assign_cells_hier_arrow(
         emb.filter(F.col("vec_id") >= N_QUERIES).select(
             F.col("vec_id").alias("neighbor_id"), "embedding"
         ),
         cents,
+        bc=bc,
     )
-    return _rank_probed(corpus, probed_queries_arrow(emb, cents))
+    return _rank_probed(corpus, probed_queries_arrow(emb, cents, bc=bc))
+
+
+def _check_no_empty_groups(groups) -> None:
+    """A rep's self-cosine is dot/(sqrt*sqrt), which can land an ulp
+    below 1.0 and let a near-parallel LATER rep steal it, leaving its
+    group empty — downstream that renders an untyped array() literal or
+    silently NULL-drops rows.  The oracle replays the same arithmetic,
+    so raising (not reassigning) keeps parity: fail loudly instead of
+    diverging."""
+    empty = [g for g, members in enumerate(groups) if not members]
+    if empty:
+        raise ValueError(
+            f"hier coarse groups {empty} are empty (rep stolen by a "
+            "near-parallel rep): this centroid set cannot be hier-grouped "
+            "deterministically — use the flat assigner for it"
+        )
 
 
 def _hier_groups(cents: list[tuple[int, list[float]]]):
@@ -831,19 +849,7 @@ def _hier_groups(cents: list[tuple[int, list[float]]]):
             if best_cos is None or c >= best_cos:  # >= : larger g wins ties
                 best_cos, best_g = c, g
         groups[best_g].append(cid)
-    # A rep's self-cosine is dot/(sqrt*sqrt) which can land an ulp below
-    # 1.0, letting a near-parallel LATER rep steal it and leave its group
-    # empty — downstream that renders an untyped array() literal and
-    # silently drops the stolen rows (NULL cid).  The oracle SQL replays
-    # the same fold arithmetic, so raising (not reassigning) keeps parity:
-    # fail loudly instead of diverging.
-    empty = [g for g, members in enumerate(groups) if not members]
-    if empty:
-        raise ValueError(
-            f"hier coarse groups {empty} are empty (rep stolen by a "
-            "near-parallel rep): this centroid set cannot be hier-grouped "
-            "deterministically — use the flat assigner for it"
-        )
+    _check_no_empty_groups(groups)
     return k1, groups
 
 

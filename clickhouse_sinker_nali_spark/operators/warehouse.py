@@ -420,7 +420,10 @@ def _scd2_intervals_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``interval_overlap_join`` both consume it."""
     import os as _os
 
-    key = (spark.sparkContext.applicationId, _os.path.normpath(sf_dir))
+    # abspath, not normpath: a RELATIVE sf_dir resolved from two different
+    # cwds must not collide on one cache entry (silently serving the other
+    # directory's dimension)
+    key = (spark.sparkContext.applicationId, _os.path.abspath(sf_dir))
     df = _SCD2_DIM_CACHE.get(key)
     if df is None:
         df = scd2_intervals(load_table(spark, sf_dir, "orders")).persist()

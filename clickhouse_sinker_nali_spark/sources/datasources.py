@@ -276,14 +276,74 @@ def _kafka_end_offsets(topic_dir: str) -> dict[str, int]:
     return out
 
 
-def _kafka_read_slice(topic_dir: str, topic: str, part: int, lo: int, hi: int):
+def _kafka_initial_offsets(topic_dir: str, topic: str, starting) -> dict:
+    """Resolve startingOffsets (earliest / latest / per-partition JSON)
+    to a per-partition offset dict — shared by both readers."""
+    if starting == "latest":
+        return _kafka_end_offsets(topic_dir)
+    if isinstance(starting, str) and starting.strip().startswith("{"):
+        spec = _json.loads(starting)
+        per_part = spec.get(topic, {})
+        return {
+            str(p): int(per_part.get(str(p), 0))
+            for p in _kafka_partitions(topic_dir)
+        }
+    return {str(p): 0 for p in _kafka_partitions(topic_dir)}
+
+
+def _kafka_apportion(start: dict, end: dict, cap: int | None) -> dict:
+    """Cap total consumed offsets at ``cap`` (maxOffsetsPerTrigger),
+    split proportionally to per-partition lag (Spark Kafka rate-limit) —
+    shared by both readers."""
+    if cap is None:
+        return end
+    lags = {p: max(0, end.get(p, 0) - start.get(p, 0)) for p in end}
+    total = sum(lags.values())
+    if total <= cap:
+        return end
+    capped, assigned = {}, 0
+    for p in sorted(lags, key=int):
+        share = int(cap * lags[p] / total)
+        capped[p] = start.get(p, 0) + min(lags[p], share)
+        assigned += capped[p] - start.get(p, 0)
+    leftover = cap - assigned
+    for p in sorted(lags, key=int):
+        if leftover <= 0:
+            break
+        room = (start.get(p, 0) + lags[p]) - capped[p]
+        take = min(room, leftover)
+        capped[p] += take
+        leftover -= take
+    return capped
+
+
+def _kafka_read_slice(
+    topic_dir: str,
+    topic: str,
+    part: int,
+    lo: int,
+    hi: int,
+    base_line: int = 0,
+    base_byte: int = 0,
+):
     """Decode rows [lo, hi) of one partition log — shared by the
-    driver-side simple reader and the executor-side parallel reader."""
+    driver-side simple reader and the executor-side parallel reader.
+
+    ``(base_line, base_byte)`` is a seek anchor at or below ``lo`` (the
+    parallel reader's planner records byte positions at trigger
+    boundaries): the scan seeks there and skips only ``lo - base_line``
+    lines instead of re-reading the consumed prefix — per-trigger read
+    cost then tracks the batch, not the log's lifetime size."""
     from datetime import datetime, timedelta
 
     rows = []
-    with open(_os.path.join(topic_dir, f"partition-{part}.jsonl")) as f:
-        for off, line in enumerate(f):
+    # binary mode: the byte anchors come from binary counting, and
+    # TextIOWrapper.seek only accepts opaque cookies from its own tell()
+    # — seeking a text handle to a raw byte offset is undefined behavior
+    with open(_os.path.join(topic_dir, f"partition-{part}.jsonl"), "rb") as f:
+        if base_byte:
+            f.seek(base_byte)
+        for off, line in enumerate(f, start=base_line):
             if off < lo:
                 continue
             if off >= hi:
@@ -364,39 +424,10 @@ class KafkaSimStreamReader(SimpleDataSourceStreamReader):
     # -- stream-reader contract -----------------------------------------
 
     def initialOffset(self) -> dict:
-        if self.starting == "latest":
-            return self._end_offsets()
-        if isinstance(self.starting, str) and self.starting.strip().startswith("{"):
-            spec = _json.loads(self.starting)
-            per_part = spec.get(self.topic, {})
-            return {
-                str(p): int(per_part.get(str(p), 0)) for p in self._partitions()
-            }
-        return {str(p): 0 for p in self._partitions()}
+        return _kafka_initial_offsets(self.dir, self.topic, self.starting)
 
     def _apportion(self, start: dict, end: dict) -> dict:
-        """Cap total consumed offsets at maxOffsetsPerTrigger, split
-        proportionally to per-partition lag (Spark Kafka rate-limit)."""
-        if self.max_per_trigger is None:
-            return end
-        lags = {p: max(0, end.get(p, 0) - start.get(p, 0)) for p in end}
-        total = sum(lags.values())
-        if total <= self.max_per_trigger:
-            return end
-        capped, assigned = {}, 0
-        for p in sorted(lags, key=int):
-            share = int(self.max_per_trigger * lags[p] / total)
-            capped[p] = start.get(p, 0) + min(lags[p], share)
-            assigned += capped[p] - start.get(p, 0)
-        leftover = self.max_per_trigger - assigned
-        for p in sorted(lags, key=int):
-            if leftover <= 0:
-                break
-            room = (start.get(p, 0) + lags[p]) - capped[p]
-            take = min(room, leftover)
-            capped[p] += take
-            leftover -= take
-        return capped
+        return _kafka_apportion(start, end, self.max_per_trigger)
 
     def read(self, start: dict):
         # never move an offset BACKWARD: a startingOffsets value beyond the
@@ -426,14 +457,27 @@ class KafkaSimStreamReader(SimpleDataSourceStreamReader):
 
 
 class _KafkaSlice(InputPartition):
-    """One (partition, offset-range) read task, pickled to an executor."""
+    """One (partition, offset-range) read task, pickled to an executor.
+    ``(base_line, base_byte)`` is the planner's seek anchor at or below
+    ``lo`` (see ``_kafka_read_slice``)."""
 
-    def __init__(self, topic_dir: str, topic: str, part: int, lo: int, hi: int):
+    def __init__(
+        self,
+        topic_dir: str,
+        topic: str,
+        part: int,
+        lo: int,
+        hi: int,
+        base_line: int = 0,
+        base_byte: int = 0,
+    ):
         self.topic_dir = topic_dir
         self.topic = topic
         self.part = part
         self.lo = lo
         self.hi = hi
+        self.base_line = base_line
+        self.base_byte = base_byte
 
 
 class KafkaSimParallelStreamReader(DataSourceStreamReader):
@@ -454,6 +498,15 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
     re-baselines from the checkpointed start seen in ``partitions``
     (rate accuracy resumes one batch later — same behavior as Spark's
     Kafka source under admission-control restart).
+
+    Per-trigger planning cost is O(appended bytes), not O(log size): end
+    offsets are counted INCREMENTALLY (seek to the last counted byte,
+    count only complete new lines), and byte positions at counted
+    boundaries are kept (one small entry per trigger, pruned at commit)
+    so executor read tasks seek to an anchor at-or-below their start
+    line instead of re-scanning the consumed prefix — without this, a
+    long-running stream's per-trigger cost grows with total log size and
+    eventually exceeds the trigger interval with no real backlog.
     """
 
     def __init__(self, options: dict) -> None:
@@ -469,44 +522,44 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
         cap = options.get("maxoffsetspertrigger", options.get("maxOffsetsPerTrigger"))
         self.max_per_trigger = int(cap) if cap else None
         self._progress: dict | None = None
+        # part -> (bytes_counted, lines_counted): incremental tail state
+        self._tail: dict[str, tuple[int, int]] = {}
+        # part -> {line_no: byte_off} at counted boundaries (seek anchors)
+        self._anchors: dict[str, dict[int, int]] = {}
 
     def initialOffset(self) -> dict:
-        if self.starting == "latest":
-            return _kafka_end_offsets(self.dir)
-        if isinstance(self.starting, str) and self.starting.strip().startswith("{"):
-            spec = _json.loads(self.starting)
-            per_part = spec.get(self.topic, {})
-            return {
-                str(p): int(per_part.get(str(p), 0))
-                for p in _kafka_partitions(self.dir)
-            }
-        return {str(p): 0 for p in _kafka_partitions(self.dir)}
+        return _kafka_initial_offsets(self.dir, self.topic, self.starting)
 
-    def _apportion(self, start: dict, end: dict) -> dict:
-        if self.max_per_trigger is None:
-            return end
-        lags = {p: max(0, end.get(p, 0) - start.get(p, 0)) for p in end}
-        total = sum(lags.values())
-        if total <= self.max_per_trigger:
-            return end
-        capped, assigned = {}, 0
-        for p in sorted(lags, key=int):
-            share = int(self.max_per_trigger * lags[p] / total)
-            capped[p] = start.get(p, 0) + min(lags[p], share)
-            assigned += capped[p] - start.get(p, 0)
-        leftover = self.max_per_trigger - assigned
-        for p in sorted(lags, key=int):
-            if leftover <= 0:
-                break
-            room = (start.get(p, 0) + lags[p]) - capped[p]
-            take = min(room, leftover)
-            capped[p] += take
-            leftover -= take
-        return capped
+    def _end_offsets(self) -> dict[str, int]:
+        out = {}
+        for p in _kafka_partitions(self.dir):
+            ps = str(p)
+            path = _os.path.join(self.dir, f"partition-{p}.jsonl")
+            bytes_done, lines = self._tail.get(ps, (0, 0))
+            size = _os.path.getsize(path)
+            if size > bytes_done:
+                with open(path, "rb") as f:
+                    f.seek(bytes_done)
+                    chunk = f.read(size - bytes_done)
+                # count only COMPLETE lines — the producer may be mid-append
+                last_nl = chunk.rfind(b"\n")
+                if last_nl >= 0:
+                    lines += chunk[: last_nl + 1].count(b"\n")
+                    bytes_done += last_nl + 1
+                self._tail[ps] = (bytes_done, lines)
+            out[ps] = lines
+            self._anchors.setdefault(ps, {0: 0})[lines] = bytes_done
+        return out
+
+    def _anchor_for(self, part: str, lo: int) -> tuple[int, int]:
+        """Largest recorded (line, byte) boundary at or below ``lo``."""
+        anchors = self._anchors.get(part) or {0: 0}
+        base_line = max((ln for ln in anchors if ln <= lo), default=0)
+        return base_line, anchors.get(base_line, 0)
 
     def latestOffset(self) -> dict:
         start = self._progress if self._progress is not None else self.initialOffset()
-        end = self._apportion(start, _kafka_end_offsets(self.dir))
+        end = _kafka_apportion(start, self._end_offsets(), self.max_per_trigger)
         # never move an offset backward (same contract as the simple reader)
         end = {p: max(hi, start.get(p, 0)) for p, hi in end.items()}
         self._progress = end
@@ -519,11 +572,17 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
             self._progress.get(p, 0) < hi for p, hi in end.items()
         ):
             self._progress = dict(end)
-        return [
-            _KafkaSlice(self.dir, self.topic, int(p), start.get(p, 0), hi)
-            for p, hi in sorted(end.items(), key=lambda kv: int(kv[0]))
-            if hi > start.get(p, 0)
-        ]
+        out = []
+        for p, hi in sorted(end.items(), key=lambda kv: int(kv[0])):
+            lo = start.get(p, 0)
+            if hi > lo:
+                base_line, base_byte = self._anchor_for(p, lo)
+                out.append(
+                    _KafkaSlice(
+                        self.dir, self.topic, int(p), lo, hi, base_line, base_byte
+                    )
+                )
+        return out
 
     def read(self, partition: _KafkaSlice):
         return iter(
@@ -533,11 +592,25 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
                 partition.part,
                 partition.lo,
                 partition.hi,
+                partition.base_line,
+                partition.base_byte,
             )
         )
 
     def commit(self, end) -> None:
-        pass  # the checkpoint owns offsets (reference K5: no hand-commit)
+        # the checkpoint owns offsets (reference K5: no hand-commit);
+        # prune seek anchors below the committed start, keeping the
+        # newest at-or-below so the next batch still has its anchor
+        for p, committed in (end or {}).items():
+            anchors = self._anchors.get(str(p))
+            if not anchors:
+                continue
+            keep_floor = max(
+                (ln for ln in anchors if ln <= committed), default=0
+            )
+            self._anchors[str(p)] = {
+                ln: b for ln, b in anchors.items() if ln >= keep_floor
+            }
 
 
 class KafkaSimDataSource(DataSource):

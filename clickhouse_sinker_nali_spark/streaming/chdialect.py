@@ -57,18 +57,23 @@ def _extract_ch_code(err: Exception) -> int | None:
     Through JDBC/py4j the server exception arrives as text, not a typed
     object; ClickHouse prefixes every server error with
     ``Code: NNN. DB::Exception`` (and the JDBC driver preserves it), so the
-    message is the reliable carrier.  The match is anchored to that full
-    shape — a bare ``Code: NNN`` substring from a non-ClickHouse layer
-    (HTTP proxy text, a nested driver's own codes) must NOT be trusted for
-    the no-rotate decision: misreading one as a non-replica server error
-    would fail fast on what is really a connectivity problem.  Returns
-    None when no server code is present (pure connectivity/driver errors).
+    message is the reliable carrier.  The match is anchored to the
+    DB::Exception shape — a bare ``Code: NNN`` substring from a
+    non-ClickHouse layer (HTTP proxy text, a nested driver's own codes)
+    must NOT be trusted for the no-rotate decision: misreading one as a
+    non-replica server error would fail fast on what is really a
+    connectivity problem.  Both server formats are accepted: the modern
+    ``Code: NNN. DB::Exception: ...`` and the pre-21.x / legacy-JDBC
+    ``Code: NNN, e.displayText() = DB::Exception: ...``.  Returns None
+    when no server code is present (pure connectivity/driver errors).
     """
     global _CODE_RE
     if _CODE_RE is None:
         import re
 
-        _CODE_RE = re.compile(r"\bCode:\s*(\d+)\.\s*DB::Exception\b")
+        _CODE_RE = re.compile(
+            r"\bCode:\s*(\d+)[.,]\s*(?:e\.displayText\(\)\s*=\s*)?DB::Exception\b"
+        )
     m = _CODE_RE.search(str(err))
     return int(m.group(1)) if m else None
 

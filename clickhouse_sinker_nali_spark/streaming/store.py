@@ -54,17 +54,32 @@ def read_store_or_none(spark: SparkSession, path: str) -> DataFrame | None:
 def versioned_swap_write(df: DataFrame, store_path: str, version: int) -> str:
     """Whole-store swap without a delete-then-write crash window.
 
-    Writes ``store_path/v_<version>`` (overwrite — a replayed epoch
-    rewrites its own directory) then atomically replaces the CURRENT
-    pointer file.  A crash before the pointer update leaves the previous
+    Writes ``store_path/v_<version>`` via a side directory (a replayed
+    epoch rewrites its own version — and may be lazily READING it, so
+    the data lands in ``v_<version>__tmp`` first and is swapped in) then
+    atomically replaces the CURRENT pointer file.  A crash before the pointer update leaves the previous
     version intact and current; after, the new one.  Superseded version
     directories are garbage-collected after the flip (keeping the
     immediate predecessor for readers that resolved CURRENT just before
     the swap) — without GC a long-running topk/HLL stream leaves one full
     store copy on disk per epoch.  Returns the data directory written.
     """
+    import shutil
+
     vdir = os.path.join(store_path, f"v_{version}")
-    df.write.mode("overwrite").parquet(vdir)
+    # Write to a side directory FIRST, then swap into place.  A replayed
+    # epoch (crash between the pointer flip and the checkpoint commit)
+    # re-runs with CURRENT already pointing at v_<version>, and its merge
+    # plan lazily READS that directory — a direct overwrite of the path a
+    # plan is reading from fails ("Cannot overwrite a path that is also
+    # being read from") on every replay, wedging the stream permanently.
+    # Writing the side dir materializes the read before the old copy is
+    # touched.
+    tmp_dir = os.path.join(store_path, f"v_{version}__tmp")
+    df.write.mode("overwrite").parquet(tmp_dir)
+    if os.path.exists(vdir):
+        shutil.rmtree(vdir)
+    os.rename(tmp_dir, vdir)
     os.makedirs(store_path, exist_ok=True)
     tmp = os.path.join(store_path, "CURRENT.tmp")
     with open(tmp, "w") as f:
@@ -84,6 +99,9 @@ def _gc_versions(store_path: str, current: int) -> None:
 
     versions = []
     for name in os.listdir(store_path):
+        if name.endswith("__tmp"):  # stale side dir from a crashed write
+            shutil.rmtree(os.path.join(store_path, name), ignore_errors=True)
+            continue
         if name.startswith("v_"):
             try:
                 versions.append(int(name[2:]))

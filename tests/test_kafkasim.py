@@ -111,10 +111,14 @@ def test_kafkasim_schema_matches_kafka(spark, tmp_path):
 
 
 def test_kafkasim_full_pipeline_virtual_columns_and_rate_limit(spark, tmp_path):
+    # parallel=false: this test pins the SIMPLE reader's prefetch path,
+    # whose read(start) receives the start offset and therefore caps even
+    # the first batch of a fresh query (the parallel default documents the
+    # first batch as admission-uncapped — see its class docstring).
     root = str(tmp_path / "logs")
     _write_topic(root, n_per_part=20, parts=2)
     register_all(spark)
-    cfg = _cfg(kafka_options={"path": root})
+    cfg = _cfg(kafka_options={"path": root, "parallel": "false"})
     epochs: list = []
     _drain(spark, cfg, root, str(tmp_path / "ckpt"), epochs)
 
@@ -300,10 +304,69 @@ def test_kafkasim_parallel_reader_matches_simple(spark, tmp_path):
     }
 
 
+def test_kafkasim_parallel_clean_restart_no_offset_regression(tmp_path):
+    """ADVICE r5 (high): after a CLEAN restart — every batch committed, no
+    pending replay — the first latestOffset() of a fresh reader instance
+    must never fall below the checkpointed offset.  The old code baselined
+    rate limiting from initialOffset() (earliest=0) whenever _progress was
+    None, so under maxOffsetsPerTrigger it returned a capped end BELOW the
+    committed offset; Spark's offset log regressed and the committed prefix
+    re-emitted as duplicates.  Drives the reader per the pyspark
+    DataSourceStreamReader protocol (latestOffset -> partitions -> commit)."""
+    from clickhouse_sinker_nali_spark.sources.datasources import (
+        KafkaSimParallelStreamReader,
+    )
+
+    root = str(tmp_path / "logs")
+    _write_topic(root, n_per_part=20, parts=1)
+    opts = {"path": root, "subscribe": TOPIC, "maxOffsetsPerTrigger": "8"}
+
+    # session 1: fresh start (initialOffset IS called), rate-limited drain
+    r1 = KafkaSimParallelStreamReader(opts)
+    committed = r1.initialOffset()
+    assert committed == {"0": 0}
+    batches = 0
+    while True:
+        end = r1.latestOffset()
+        assert all(end[p] - committed[p] <= 8 for p in end)  # cap honored
+        if end == committed:
+            break
+        r1.partitions(committed, end)
+        r1.commit(end)
+        committed = end
+        batches += 1
+    assert committed == {"0": 20} and batches == 3  # 8 + 8 + 4
+
+    # session 2: CLEAN restart — Spark calls latestOffset() FIRST (the
+    # checkpointed start only reaches partitions()); initialOffset is not
+    # called because the checkpoint exists
+    r2 = KafkaSimParallelStreamReader(opts)
+    end2 = r2.latestOffset()
+    assert all(end2[p] >= committed[p] for p in end2), (
+        f"offset log regressed: {end2} < committed {committed}"
+    )
+    assert r2.partitions(committed, end2) == []  # nothing to re-emit
+
+    # producer appends; rate limiting resumes one batch later
+    with open(os.path.join(root, TOPIC, "partition-0.jsonl"), "a") as f:
+        for off in range(20, 40):
+            msg = {"time": "2024-03-01 10:00:59", "name": f"p0m{off}",
+                   "value": off * 0.5}
+            f.write(json.dumps({"key": None, "value": json.dumps(msg)}) + "\n")
+    end3 = r2.latestOffset()
+    assert end3 == {"0": 28}  # capped again, from the committed baseline
+    slices = r2.partitions(committed, end3)
+    assert [(s.part, s.lo, s.hi) for s in slices] == [(0, 20, 28)]
+
+
 def test_kafkasim_parallel_rate_limit_and_resume(spark, tmp_path):
-    """The parallel reader under maxOffsetsPerTrigger: every micro-batch
-    stays within the cap, the log drains completely across availableNow
-    rounds, and a checkpoint restart resumes without loss or dups."""
+    """The parallel reader under maxOffsetsPerTrigger: the log drains
+    completely, a checkpoint restart resumes without loss or dups, and —
+    because Spark's python stream protocol gives latestOffset no start
+    offset — only the FIRST batch of a (re)started query is admission-
+    uncapped; every batch after the authoritative re-baseline honors the
+    cap (the documented restart caveat, safe side of the r5 ADVICE
+    offset-regression fix)."""
     root = str(tmp_path / "logs")
     _write_topic(root, n_per_part=20, parts=2)
     register_all(spark)
@@ -312,19 +375,22 @@ def test_kafkasim_parallel_rate_limit_and_resume(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt_par_rl")
     _drain(spark, cfg, root, ckpt, epochs)
     rows = [r for _, b in epochs for r in b]
-    assert len(rows) == 40
-    assert all(len(b) <= 16 for _, b in epochs)
-    assert len(epochs) >= 3
-    # append more and resume from the SAME checkpoint
+    assert len(rows) == 40  # fresh query: first batch uncapped, drains all
+    # append 40 more and resume from the SAME checkpoint: the restart
+    # replays the offset-log tail through partitions(), re-baselining the
+    # rate limiter, so the backlog drains as capped batches
     d = os.path.join(root, TOPIC)
     for p in range(2):
         with open(os.path.join(d, f"partition-{p}.jsonl"), "a") as f:
-            for off in range(20, 25):
+            for off in range(20, 40):
                 msg = {"time": "2024-03-01 10:00:59", "name": f"p{p}m{off}",
                        "value": p * 1000 + off * 0.5}
                 f.write(json.dumps({"key": None, "value": json.dumps(msg)}) + "\n")
-    _drain(spark, cfg, root, ckpt, epochs)
-    rows = [r for _, b in epochs for r in b]
-    assert len(rows) == 50  # resumed exactly where it left off
-    got = {(r["__kafka_partition"], r["__kafka_offset"]) for r in rows}
-    assert got == {(p, o) for p in range(2) for o in range(25)}
+    epochs2: list = []
+    _drain(spark, cfg, root, ckpt, epochs2)
+    rows2 = [r for _, b in epochs2 for r in b]
+    assert len(rows2) == 40
+    assert all(len(b) <= 16 for _, b in epochs2)  # cap honored post-restart
+    assert len(epochs2) >= 3  # 16 + 16 + 8
+    got = {(r["__kafka_partition"], r["__kafka_offset"]) for r in rows + rows2}
+    assert got == {(p, o) for p in range(2) for o in range(40)}

@@ -197,7 +197,27 @@ MINHASH_SIG_SQL = (
 )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+# last call's persisted shingle frame, released on the next call (see
+# dedup_minhash_lsh)
+_SHINGLE_CACHE: list[DataFrame] = []
+
+# Hot-bucket cap B: band buckets with MORE than this many members are
+# DROPPED before the candidate self-join.  A bucket of n docs emits
+# C(n,2) pairs, so one boilerplate-driven hot bucket (cookie banners,
+# license headers, template pages — guaranteed in any real 100 TB crawl)
+# can make the join output-bound on its own; members of a dropped bucket
+# remain candidates through every OTHER band they hash into, so this is
+# a recall dial (like the cells/hier pair-set note), not a correctness
+# hole — dedup_lsh_recall audits it.  64 is ~4x the largest bucket the
+# sf0.1 fixture produces (16), so oracle-scale results are bit-identical
+# capped or uncapped (pinned by pytest); at sf10 it converts the
+# 136.9M-pair abort into a completed run.
+LSH_MAX_BUCKET = 64
+
+
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
     """LSH-banded MinHash near-dup: candidates from band buckets, then exact
     Jaccard verify on candidates only.
 
@@ -208,12 +228,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join, never quadratic in corpus size.  This is THE 100 TB dedup
     path: signature generation is map-side, banding is an exact-key shuffle,
     and the expensive Jaccard runs only on bucket collisions.
+
+    ``max_bucket`` (default ``LSH_MAX_BUCKET``; 0/None-able only by
+    passing 0) drops hot buckets before the self-join — see the constant's
+    note.  The bucket count runs as a window over (band, key), the same
+    keys the self-join shuffles on, so the cap adds no new exchange shape.
     """
     # Shared by signatures + verify.  DISK_ONLY, not MEMORY: shingles are
     # ~10x text volume, and at 100 TB a deserialized in-memory cache would
     # evict/thrash executors — sequential disk re-read is the cheaper reuse.
+    # The PREVIOUS call's shingle cache is released here (the caller owns
+    # the action, so the function can't unpersist after it): without this,
+    # repeated calls in one session — a bench loop, the oracle sweep —
+    # accumulate DISK_ONLY frames until heap/GC pressure makes every later
+    # query's wall time bimodal (BENCH_r05's 12-18s outliers).
+    while _SHINGLE_CACHE:
+        try:
+            _SHINGLE_CACHE.pop().unpersist()
+        except Exception:
+            pass
     sh = _shingle_df(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    _SHINGLE_CACHE.append(sh)
     banded = _banded_sigs(sh)
+    cap = LSH_MAX_BUCKET if max_bucket is None else max_bucket
+    if cap:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= cap)
+            .drop("_bn")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

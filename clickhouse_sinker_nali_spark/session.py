@@ -85,10 +85,21 @@ def sql_on_views(spark: SparkSession, sf_dir: str, tables: list, sql: str):
 # Tables whose downstream operators are CPU-heavy PER ROW (shingle
 # explode + md5, higher-order-function folds, Arrow mapInPandas scoring,
 # binary decode): for these, scan-stage parallelism is the throughput
-# ceiling, so load_table rebalances them when the file's physical split
-# count is below the cluster parallelism (see _scan_splits).
+# ceiling, so load_table repairs their layout when the file's physical
+# split count is below the cluster parallelism (see _scan_splits).
+#
+# r6: the repair is a ONE-TIME materialized multi-file copy per
+# (source signature, target), not a per-query repartition — r5's blanket
+# runtime exchange won on scan-bound queries but cost 1.5-2x on every
+# light-per-row document query (full-text round-robin shuffle vs. no
+# scan-stage CPU to win back; measured in VERDICT r5).  A materialized
+# copy is paid once (~0.1s for the local fixtures), every consumer gets a
+# parallel scan with ZERO added exchange, and the on-disk shape (one file
+# per core) is exactly what a real 100 TB input looks like — where the
+# split-count condition is false and none of this runs.
 _REBALANCE_TABLES = {"documents", "embeddings"}
 _SPLITS_CACHE: dict[str, int] = {}
+_LAYOUT_CACHE: dict[tuple, str] = {}
 
 
 def _scan_splits(path: str) -> int:
@@ -110,22 +121,86 @@ def _scan_splits(path: str) -> int:
     if cached is not None:
         return cached
     try:
-        import glob as _glob
-
+        files = _parquet_files(path)
         import pyarrow.parquet as pq
 
-        files = (
-            [path]
-            if os.path.isfile(path)
-            else _glob.glob(os.path.join(path, "*.parquet"))
-        )
-        if not files:
-            raise FileNotFoundError(path)
         splits = sum(pq.ParquetFile(f).num_row_groups for f in files)
     except Exception:
         splits = 1 << 30
     _SPLITS_CACHE[path] = splits
     return splits
+
+
+def _parquet_files(path: str) -> list[str]:
+    import glob as _glob
+
+    files = (
+        [path]
+        if os.path.isfile(path)
+        else sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    )
+    if not files:
+        raise FileNotFoundError(path)
+    return files
+
+
+def _parallel_layout(path: str, target: int) -> str:
+    """One-time multi-FILE rewrite of an under-split local parquet input.
+
+    Returns a cached directory holding the same rows as ``path`` split
+    into ``target`` parquet files.  Spark's file-split packing
+    (openCostInBytes weighting) then plans one scan partition per file —
+    full cluster-width parallelism for everything fused into the scan
+    stage, with NO per-query exchange (the r5 runtime repartition taxed
+    every light-per-row consumer; this costs ~0.1s once per source).
+
+    Cache key = (per-file mtime+size signature, target), so a
+    regenerated source at the same path gets a fresh copy.  The write is
+    atomic (tmp dir + rename) — concurrent sessions race benignly.
+    Falls back to the original path on any failure (read-only tmp,
+    exotic source layout): the caller then just runs under-parallel,
+    matching the input's true shape.
+    """
+    try:
+        files = _parquet_files(path)
+        sig = tuple(
+            (os.path.basename(f), os.path.getmtime(f), os.path.getsize(f))
+            for f in files
+        )
+        key = (path, sig, target)
+        hit = _LAYOUT_CACHE.get(key)
+        if hit is not None:
+            return hit
+        import hashlib
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+        cache_root = os.environ.get("SPARK_GRAFT_CACHE_DIR") or os.path.join(
+            tempfile.gettempdir(), "spark_graft_scan_cache"
+        )
+        out = os.path.join(cache_root, f"{digest}.parquet")
+        if not os.path.isdir(out):
+            tbl = pq.read_table(path)
+            per = max(1, -(-tbl.num_rows // target))
+            tmp = f"{out}.tmp.{os.getpid()}"
+            os.makedirs(tmp, exist_ok=True)
+            for i, lo in enumerate(range(0, tbl.num_rows, per)):
+                pq.write_table(
+                    tbl.slice(lo, per), os.path.join(tmp, f"part-{i:05d}.parquet")
+                )
+            try:
+                os.rename(tmp, out)
+            except OSError:
+                # another session won the race; its copy is identical
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)
+        _LAYOUT_CACHE[key] = out
+        return out
+    except Exception:
+        return path
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = True):
@@ -138,14 +213,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = Tr
     DuckDB/pyarrow narrow ns → µs.  Conversion is a pure projection: no
     shuffle, fully codegen'd, negligible at 100 TB.
 
-    ``documents``/``embeddings`` additionally get a round-robin rebalance
-    when the parquet physical split count is below the cluster's default
-    parallelism: their operators (dedup, text, ANN, multimodal) do heavy
-    per-row work INSIDE the scan stage, and a single-row-group file would
-    otherwise pin that work to one core.  Catalyst pushes filters and
-    column pruning through Repartition, so pushdown to the scan is
-    unaffected; on a real multi-row-group 100 TB input the condition is
-    false and no exchange is added.
+    ``documents``/``embeddings`` are additionally served from a ONE-TIME
+    materialized multi-file copy when the parquet physical split count is
+    below the cluster's default parallelism: their operators (dedup,
+    text, ANN, multimodal) do heavy per-row work INSIDE the scan stage,
+    and a single-row-group file would otherwise pin that work to one
+    core.  The copy is an on-disk layout fix, not a plan change — no
+    exchange is added, pushdown and pruning hit the scan exactly as on
+    the original — and on a real many-split 100 TB input the condition
+    is false and the original path is read directly.
     """
     from pyspark.sql import functions as F
 
@@ -159,12 +235,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, rebalance: bool = Tr
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
-        df = spark.read.parquet(path)
         if rebalance and name in _REBALANCE_TABLES:
             target = spark.sparkContext.defaultParallelism
             if _scan_splits(path) < target:
-                df = df.repartition(target)
-        return df
+                path = _parallel_layout(path, target)
+        return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     if dict(df.dtypes).get("ts") == "bigint":

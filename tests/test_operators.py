@@ -67,6 +67,46 @@ def test_minhash_lsh_is_subset_of_exhaustive_jaccard(spark):
     assert len(lsh) > 0
 
 
+def test_minhash_lsh_hot_bucket_cap(spark, tmp_path):
+    """The LSH_MAX_BUCKET hot-bucket drop (r6): (a) at oracle scale no
+    bucket exceeds the cap, so capped and uncapped results are identical —
+    the registered query's DuckDB oracle stays valid; (b) on a corpus with
+    a planted boilerplate cluster larger than the cap, the capped run
+    drops that bucket's quadratic pair set but keeps pairs reachable
+    through other bands, and the uncapped run still finds everything."""
+    capped = {(r.doc_a, r.doc_b) for r in D.dedup_minhash_lsh(spark, SF_DIR).collect()}
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in D.dedup_minhash_lsh(spark, SF_DIR, max_bucket=0).collect()
+    }
+    assert capped == uncapped and capped
+
+    # planted corpus: 10 near-identical boilerplate docs (one hot bucket in
+    # EVERY band -> all C(10,2) pairs vanish under cap 4) + 2 near-dup docs
+    # in their own small buckets (must survive)
+    docs = [(i, "cookie banner terms accept all " * 6 + f"v{i % 2}", "en")
+            for i in range(10)]
+    docs += [(100, "a unique story about spark shuffles at scale", "en"),
+             (101, "a unique story about spark shuffles at large scale", "en")]
+    planted = str(tmp_path / "planted")
+    os.makedirs(planted)
+    spark.createDataFrame(
+        docs, "doc_id: bigint, text: string, lang: string"
+    ).coalesce(1).write.parquet(os.path.join(planted, "documents.parquet"))
+    got_capped = {
+        (r.doc_a, r.doc_b)
+        for r in D.dedup_minhash_lsh(spark, planted, max_bucket=4).collect()
+    }
+    got_uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in D.dedup_minhash_lsh(spark, planted, max_bucket=0).collect()
+    }
+    assert (100, 101) in got_capped  # small-bucket pair survives the cap
+    assert not any(a < 100 and b < 100 for a, b in got_capped)  # hot dropped
+    assert (100, 101) in got_uncapped
+    assert sum(1 for a, b in got_uncapped if a < 100 and b < 100) > 0
+
+
 def test_connected_components_chain_and_singleton(spark):
     # pairs a~b, b~c, c~d must collapse into ONE cluster (transitivity the
     # pair list alone can't express); untouched nodes stay singletons

@@ -299,7 +299,9 @@ def oracle_sql() -> dict[str, str]:
         "set_ops_nations": R.SET_OPS_SQL,
         "topk_parts": R.TOPK_SQL,
         "distinct_event_users": R.DISTINCT_SQL,
-        # approx_distinct_users: sketch-valued, rows-only check by design
+        # r6: delegated to the grouped deterministic HLL, so the former
+        # rows-only sketch query now has a full value-hash oracle
+        "approx_distinct_users": R.APPROX_DISTINCT_SQL,
         "asof_join_events_orders": R.ASOF_SQL,
         "range_join_buckets": R.RANGE_JOIN_SQL,
         "q4_exists_priority": R.Q4_EXISTS_SQL,

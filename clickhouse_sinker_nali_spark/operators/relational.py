@@ -460,18 +460,105 @@ ORDER BY event_type
 
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ approximate distinct (no exact oracle — sketch values
-    are engine-specific; the driver records a rows-only check).
+    """Approximate distinct users per event_type via the engine's
+    bit-reproducible HyperLogLog (operators/advanced.py) — grouped HLL:
+    one register set per event_type, registers merge by MAX, harmonic sum
+    accumulated as an integer so the estimate is IDENTICAL across
+    engines, which is what upgrades this query from the r1-r5 rows-only
+    check (Spark's builtin approx_count_distinct sketches are
+    engine-private) to a full DuckDB value-hash oracle.
 
     At 100 TB this replaces countDistinct wherever a ±2% answer is
-    acceptable: it is a fixed-size sketch (no distinct shuffle explosion).
+    acceptable: fixed 256-register state per group (map-side combined),
+    no distinct shuffle explosion.  Spark's builtin
+    ``approx_count_distinct`` is the one-liner alternative when
+    cross-engine reproducibility doesn't matter.
     """
+    from ..functions import portable_hash64
+    from .advanced import _HLL_ALPHA, _HLL_M, _HLL_REM_BITS
+
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
-        .orderBy("event_type")
+    h = portable_hash64(F.col("user_id").cast("string"))
+    rem = h % F.lit(1 << _HLL_REM_BITS)
+    rho = F.when(rem == 0, F.lit(_HLL_REM_BITS + 1)).otherwise(
+        F.lit(_HLL_REM_BITS + 1) - F.length(F.bin(rem))
     )
+    regs = (
+        ev.select(
+            "event_type",
+            F.shiftright(h, _HLL_REM_BITS).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+    summed = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_REM_BITS + 1} - mj)")).alias(
+            "num_present"
+        ),
+    )
+    zeros = F.lit(_HLL_M) - F.col("n_present")
+    total_num = F.col("num_present") + zeros * F.lit(1 << (_HLL_REM_BITS + 1))
+    raw = (
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_REM_BITS + 1)))
+        / total_num.cast("double")
+    )
+    est = F.when(
+        (raw <= 2.5 * _HLL_M) & (zeros > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    # ROUND: the small-range branch uses ln(), whose 1-ulp cross-engine
+    # wobble the raw-emission rule exempts (same note as hll_distinct_sketch)
+    return summed.select(
+        "event_type", F.round(est, 3).alias("approx_users")
+    ).orderBy("event_type")
+
+
+def _approx_distinct_sql() -> str:
+    """DuckDB twin of approx_distinct_users — the grouped deterministic
+    HLL with the identical integer-harmonic-sum formulation (same shape
+    as advanced.HLL_SKETCH_SQL, one register set per event_type)."""
+    from .advanced import _HLL_ALPHA, _HLL_M, _HLL_REM_BITS
+
+    h = "(('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT)"
+    alpha_num = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << (_HLL_REM_BITS + 1))
+    raw = (
+        f"{alpha_num!r} / CAST(s.num_present + ({_HLL_M} - s.n_present)"
+        f" * (CAST(1 AS BIGINT) << {_HLL_REM_BITS + 1}) AS DOUBLE)"
+    )
+    small = (
+        f"{float(_HLL_M)!r} * ln({float(_HLL_M)!r}"
+        f" / CAST({_HLL_M} - s.n_present AS DOUBLE))"
+    )
+    cond = f"{raw} <= {2.5 * _HLL_M} AND ({_HLL_M} - s.n_present) > 0"
+    return f"""
+WITH rows_h AS (
+    SELECT event_type,
+           {h} // {1 << _HLL_REM_BITS} AS bucket,
+           CASE WHEN {h} % {1 << _HLL_REM_BITS} = 0 THEN {_HLL_REM_BITS + 1}
+                ELSE {_HLL_REM_BITS + 1}
+                     - length(bin({h} % {1 << _HLL_REM_BITS})) END AS rho
+    FROM events
+),
+regs AS (
+    SELECT event_type, bucket, MAX(rho) AS mj
+    FROM rows_h GROUP BY event_type, bucket
+),
+s AS (
+    SELECT event_type,
+           COUNT(*) AS n_present,
+           SUM(CAST(1 AS BIGINT) << ({_HLL_REM_BITS + 1} - mj)) AS num_present
+    FROM regs GROUP BY event_type
+)
+SELECT event_type,
+       ROUND(CASE WHEN {cond} THEN {small} ELSE {raw} END, 3) AS approx_users
+FROM s
+ORDER BY event_type
+"""
+
+
+APPROX_DISTINCT_SQL = _approx_distinct_sql()
 
 
 # --------------------------------------------------------------------------

@@ -52,68 +52,75 @@ def read_store_or_none(spark: SparkSession, path: str) -> DataFrame | None:
 
 
 def versioned_swap_write(df: DataFrame, store_path: str, version: int) -> str:
-    """Whole-store swap without a delete-then-write crash window.
+    """Whole-store swap with NO window where CURRENT dangles.
 
-    Writes ``store_path/v_<version>`` via a side directory (a replayed
-    epoch rewrites its own version — and may be lazily READING it, so
-    the data lands in ``v_<version>__tmp`` first and is swapped in) then
-    atomically replaces the CURRENT pointer file.  A crash before the pointer update leaves the previous
-    version intact and current; after, the new one.  Superseded version
-    directories are garbage-collected after the flip (keeping the
-    immediate predecessor for readers that resolved CURRENT just before
-    the swap) — without GC a long-running topk/HLL stream leaves one full
-    store copy on disk per epoch.  Returns the data directory written.
+    The write NEVER touches a directory CURRENT might reference: a fresh
+    epoch writes ``v_<version>`` directly; a REPLAYED epoch (its dir
+    already exists — and CURRENT may point at it, and the replay's merge
+    plan may be lazily READING it) writes under a new suffixed name
+    ``v_<version>__r<k>``.  Only after the data is fully on disk is the
+    CURRENT pointer file atomically replaced to name the new directory,
+    and only after THAT are superseded directories garbage-collected
+    (keeping the immediately-previous CURRENT target for in-flight
+    readers that resolved the pointer pre-flip).  A crash at any point
+    leaves CURRENT naming a complete, existing directory — the r5 scheme
+    deleted the old dir before renaming the new one into place, so a
+    crash between the two left CURRENT dangling at nothing and the next
+    replay's merge read failed (r5 ADVICE).  Partial directories from
+    crashed writes are cleaned by the next successful write's GC.
+    Returns the data directory written.
     """
-    import shutil
-
     vdir = os.path.join(store_path, f"v_{version}")
-    # Write to a side directory FIRST, then swap into place.  A replayed
-    # epoch (crash between the pointer flip and the checkpoint commit)
-    # re-runs with CURRENT already pointing at v_<version>, and its merge
-    # plan lazily READS that directory — a direct overwrite of the path a
-    # plan is reading from fails ("Cannot overwrite a path that is also
-    # being read from") on every replay, wedging the stream permanently.
-    # Writing the side dir materializes the read before the old copy is
-    # touched.
-    tmp_dir = os.path.join(store_path, f"v_{version}__tmp")
-    df.write.mode("overwrite").parquet(tmp_dir)
+    target = vdir
     if os.path.exists(vdir):
-        shutil.rmtree(vdir)
-    os.rename(tmp_dir, vdir)
+        k = 1
+        while os.path.exists(f"{vdir}__r{k}"):
+            k += 1
+        target = f"{vdir}__r{k}"
+    df.write.mode("overwrite").parquet(target)
     os.makedirs(store_path, exist_ok=True)
+    cur_file = os.path.join(store_path, "CURRENT")
+    prev_name = None
+    if os.path.exists(cur_file):
+        with open(cur_file) as f:
+            prev_name = f.read().strip()
     tmp = os.path.join(store_path, "CURRENT.tmp")
     with open(tmp, "w") as f:
-        f.write(f"v_{version}\n")
-    os.replace(tmp, os.path.join(store_path, "CURRENT"))
-    _gc_versions(store_path, version)
-    return vdir
+        f.write(os.path.basename(target) + "\n")
+    os.replace(tmp, cur_file)
+    _gc_versions(store_path, keep={os.path.basename(target), prev_name})
+    return target
 
 
-def _gc_versions(store_path: str, current: int) -> None:
-    """Delete version dirs other than ``current`` and its immediate
-    predecessor (kept for in-flight readers that read CURRENT pre-flip).
-    Versions NEWER than current are stale leftovers from a crash between
-    data write and pointer flip on a later epoch that then got replayed —
-    CURRENT never pointed at them, so they are garbage too."""
+def _parse_version_name(name: str) -> tuple[int, int] | None:
+    """``v_<n>`` → (n, 0); ``v_<n>__r<k>`` (replay rewrite) → (n, k);
+    anything else → None."""
+    if not name.startswith("v_"):
+        return None
+    body = name[2:]
+    base, _, rk = body.partition("__r")
+    try:
+        return (int(base), int(rk) if rk else 0)
+    except ValueError:
+        return None
+
+
+def _gc_versions(store_path: str, keep: set) -> None:
+    """Delete every version directory whose name is not in ``keep`` —
+    the just-flipped CURRENT target plus the previous CURRENT target
+    (in-flight readers).  This sweeps superseded versions, partial
+    directories from crashed writes (CURRENT never named them), stale
+    replay rewrites, and legacy ``__tmp`` side dirs — without GC a
+    long-running topk/HLL stream leaves one full store copy per epoch,
+    and a crash between write and flip would leak its partial dir
+    forever."""
     import shutil
 
-    versions = []
     for name in os.listdir(store_path):
-        if name.endswith("__tmp"):  # stale side dir from a crashed write
-            shutil.rmtree(os.path.join(store_path, name), ignore_errors=True)
+        if name in keep:
             continue
-        if name.startswith("v_"):
-            try:
-                versions.append(int(name[2:]))
-            except ValueError:
-                continue
-    keep = {current}
-    older = [v for v in versions if v < current]
-    if older:
-        keep.add(max(older))
-    for v in versions:
-        if v not in keep:
-            shutil.rmtree(os.path.join(store_path, f"v_{v}"), ignore_errors=True)
+        if name.endswith("__tmp") or _parse_version_name(name) is not None:
+            shutil.rmtree(os.path.join(store_path, name), ignore_errors=True)
 
 
 def read_versioned(spark: SparkSession, store_path: str) -> DataFrame | None:

@@ -11,11 +11,15 @@ outside the driver window gets oracle-checked within one rotation period
 budget.  The full sweep remains the authoritative all-at-once gate
 (``pytest -m slow`` / ``scripts/check_oracle.py``).
 
-The rotation key is date-based ON PURPOSE: a regression in an unselected
-chunk is caught by the next day's run or the slow sweep, which is the
-trade that keeps this in the default suite at all.  Set
-``ORACLE_ROTATION_CHUNK=<n>`` to pin a chunk (debugging a specific day's
-failure), or ``ORACLE_ROTATION_CHUNK=all`` to sweep everything.
+The rotation key is the current COMMIT (HEAD sha), falling back to the
+calendar day outside a git checkout: a given commit's fast-suite result
+is therefore reproducible — the same tree always checks the same chunk —
+while successive commits walk different chunks, so a regression in an
+unselected chunk surfaces within a few commits or the slow sweep (the
+r5 date key made one commit green on Monday and red on Tuesday with no
+code change: r5 ADVICE).  Set ``ORACLE_ROTATION_CHUNK=<n>`` to pin a
+chunk (debugging a specific failure), or ``ORACLE_ROTATION_CHUNK=all``
+to sweep everything.
 """
 
 from __future__ import annotations
@@ -42,8 +46,27 @@ def _rotation_names() -> list[str]:
     if pin is not None:
         idx = int(pin) % n_chunks
     else:
-        idx = datetime.date.today().toordinal() % n_chunks
+        idx = _rotation_key() % n_chunks
     return names[idx * CHUNK_SIZE : (idx + 1) * CHUNK_SIZE]
+
+
+def _rotation_key() -> int:
+    """Stable per-commit key: HEAD sha when available (same tree → same
+    chunk, reproducible per commit), else the calendar day (still rotates
+    on exported tarballs, the r1-r5 behavior)."""
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip()
+        if sha:
+            return int(sha[:12], 16)
+    except Exception:
+        pass
+    return datetime.date.today().toordinal()
 
 
 def test_oracle_rotation_chunk(tmp_path):

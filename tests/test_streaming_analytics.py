@@ -677,10 +677,13 @@ def test_versioned_swap_write_gcs_superseded_versions(spark, tmp_path):
     dirs = sorted(d for d in os.listdir(store) if d.startswith("v_"))
     assert dirs == ["v_3", "v_4"], dirs
     assert read_versioned(spark, store).count() == 5
-    # a replayed epoch rewrites its own dir and GC stays consistent
+    # a replayed epoch writes a fresh __r suffix (never touching the dir
+    # CURRENT points at) and GC keeps exactly {new, previous} — the older
+    # v_3 goes, the pre-replay v_4 stays for in-flight readers
     versioned_swap_write(spark.range(5).withColumnRenamed("id", "v"), store, 4)
     dirs = sorted(d for d in os.listdir(store) if d.startswith("v_"))
-    assert dirs == ["v_3", "v_4"], dirs
+    assert dirs == ["v_4", "v_4__r1"], dirs
+    assert read_versioned(spark, store).count() == 5
 
 
 def test_versioned_swap_write_replay_reads_own_version(spark, tmp_path):
@@ -707,6 +710,45 @@ def test_versioned_swap_write_replay_reads_own_version(spark, tmp_path):
     assert got == list(range(1, 11))
     # no stale side dirs left behind
     assert not [d for d in os.listdir(store) if d.endswith("__tmp")]
+    # the pre-replay v_7 survives for in-flight readers; CURRENT names
+    # the new rewrite — at no point did the write touch v_7 itself
+    assert sorted(d for d in os.listdir(store) if d.startswith("v_")) == [
+        "v_7", "v_7__r1",
+    ]
+    with open(os.path.join(store, "CURRENT")) as f:
+        assert f.read().strip() == "v_7__r1"
+
+
+def test_versioned_swap_write_cleans_crash_leftovers(spark, tmp_path):
+    """Crash-injection (r5 VERDICT #8 / ADVICE low): a crash between data
+    write and pointer flip leaves a partial version dir (or a legacy
+    __tmp side dir) that CURRENT never named.  The next successful write
+    must clean BOTH, and at every step CURRENT must resolve to a
+    complete, existing directory."""
+    from clickhouse_sinker_nali_spark.streaming.store import (
+        read_versioned,
+        versioned_swap_write,
+    )
+
+    store = str(tmp_path / "vstore_crash")
+    versioned_swap_write(spark.range(3).withColumnRenamed("id", "v"), store, 1)
+
+    # simulate a crashed epoch-2 write: partial version dir, no flip
+    os.makedirs(os.path.join(store, "v_2"))
+    with open(os.path.join(store, "v_2", "part-00000.parquet"), "w") as f:
+        f.write("partial")
+    # ...and a legacy __tmp side dir from the pre-r6 scheme
+    os.makedirs(os.path.join(store, "v_9__tmp"))
+
+    # CURRENT still resolves (the crash never touched v_1)
+    assert read_versioned(spark, store).count() == 3
+
+    # the replayed epoch 2 writes fresh (v_2 exists -> __r1), flips, GCs
+    versioned_swap_write(spark.range(4).withColumnRenamed("id", "v"), store, 2)
+    names = sorted(os.listdir(store))
+    assert "v_9__tmp" not in names and "v_2" not in names
+    assert "v_2__r1" in names and "v_1" in names  # new + previous kept
+    assert read_versioned(spark, store).count() == 4
 
 
 def test_lsh_band_store_probe_is_partition_pruned(spark, tmp_path):

@@ -215,3 +215,118 @@ def test_sustained_streaming_ingest_steady_state(spark, tmp_path):
         f"busy-epoch throughput {produced / wall:,.0f} rows/s; "
         f"median batch {median} ms / trigger {TRIGGER_S * 1000} ms"
     )
+
+
+N_TASKS = 3
+TASK_PARTS = 3
+TASK_RATE = 14_000  # per task; aggregate 42K rows/s across the session
+MULTI_RUN_S = 60
+
+
+@pytest.mark.slow
+def test_concurrent_multi_task_isolation_under_load(spark, tmp_path):
+    """Multi-task concurrency proof (r5 VERDICT #6).  The reference daemon
+    runs MANY topic→table tasks in one process (reference
+    cmd/clickhouse_sinker_nali/main.go:408-421: one goroutine pool shared
+    by every task); the Spark engine's equivalent claim is several
+    concurrent streaming queries on one session sharing the scheduler.
+    Three kafkasim pipelines — distinct topics, sinks, checkpoints — each
+    with a live producer, aggregate ≥40K rows/s offered for ~60 s:
+
+    1. per-task exactly-once through the final drain (no loss, no dups,
+       no cross-task leakage: every sink row's topic matches its task);
+    2. no starvation: EVERY task keeps up (per-task median batch duration
+       under the trigger; every task's epoch count shows continuous
+       scheduling, not one query hogging the pool).
+    """
+    root = str(tmp_path / "logs")
+    tasks = []
+    for t in range(N_TASKS):
+        topic = f"multi_topic_{t}"
+        topic_dir = os.path.join(root, topic)
+        os.makedirs(topic_dir)
+        for p in range(TASK_PARTS):
+            open(os.path.join(topic_dir, f"partition-{p}.jsonl"), "w").close()
+        tasks.append({"topic": topic, "dir": topic_dir})
+    register_all(spark)
+
+    queries, producers = [], []
+    try:
+        for t, task in enumerate(tasks):
+            cfg = TaskConfig(
+                name=f"multi_task_{t}",
+                topic=task["topic"],
+                table=f"t{t}",
+                dims=DIMS + [{"name": "__kafka_topic", "type": "String"}],
+                buffer_size=1 << 19,
+                flush_interval_s=TRIGGER_S,
+                kafka_options={"path": root, "parallel": "true"},
+            )
+            task["out"] = str(tmp_path / f"sink_{t}")
+            sink = ParquetSink(path=task["out"], shards=2)
+            src = build_kafka_source(spark, cfg, "none:9092", fmt="kafkasim")
+            producer = _Producer(task["dir"], TASK_RATE, TASK_PARTS)
+            producer.start()
+            producers.append(producer)
+            queries.append(
+                start_pipeline(
+                    spark, cfg, src, sink,
+                    checkpoint_dir=str(tmp_path / f"ckpt_{t}"),
+                )
+            )
+        time.sleep(MULTI_RUN_S)
+        for producer in producers:
+            producer.stop_evt.set()
+        for producer in producers:
+            producer.join(10)
+        # drain every query: two consecutive idle progresses each
+        deadline = time.time() + 90
+        idle = [0] * N_TASKS
+        seen = [-1] * N_TASKS
+        while min(idle) < 2 and time.time() < deadline:
+            time.sleep(TRIGGER_S)
+            for t, q in enumerate(queries):
+                p = q.lastProgress
+                if p is None or p["batchId"] == seen[t]:
+                    continue
+                seen[t] = p["batchId"]
+                idle[t] = idle[t] + 1 if int(p["numInputRows"] or 0) == 0 else 0
+        all_progress = [
+            [json.loads(p.json) for p in q.recentProgress] for q in queries
+        ]
+    finally:
+        for q in queries:
+            q.stop()
+
+    for t, task in enumerate(tasks):
+        produced = producers[t].produced
+        assert produced >= TASK_RATE * MULTI_RUN_S * 0.8, (
+            f"task {t} producer starved — host too loaded"
+        )
+        sunk = spark.read.parquet(task["out"])
+        n = sunk.count()
+        assert n == produced, f"task {t}: sink rows {n} != produced {produced}"
+        assert (
+            sunk.select("__kafka_partition", "__kafka_offset").distinct().count()
+            == n
+        ), f"task {t}: duplicate (partition, offset) in sink"
+        # no cross-task leakage: every row came from THIS task's topic
+        topics = [r[0] for r in sunk.select("__kafka_topic").distinct().collect()]
+        assert topics == [task["topic"]], f"task {t} sank rows from {topics}"
+        # no starvation: this task's own epochs kept up with the trigger
+        busy = [
+            p for p in all_progress[t] if int(p["numInputRows"] or 0) > 0
+        ][2:]
+        assert len(busy) >= 5, f"task {t}: only {len(busy)} busy epochs"
+        durations = sorted(p["batchDuration"] for p in busy)
+        median = durations[len(durations) // 2]
+        assert median < TRIGGER_S * 1000, (
+            f"task {t}: median batch {median} ms >= trigger — starved"
+        )
+
+    total = sum(pr.produced for pr in producers)
+    print(
+        f"\nMULTI-TASK: {N_TASKS} concurrent pipelines, {total} rows in "
+        f"{MULTI_RUN_S}s (aggregate offered {N_TASKS * TASK_RATE}/s), "
+        "exactly-once per task, no starvation"
+    )

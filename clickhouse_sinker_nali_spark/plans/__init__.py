@@ -43,12 +43,13 @@ def read_schema_columns(df: DataFrame) -> list[set[str]]:
 def count_exchanges(df: DataFrame) -> int:
     """Number of ALGORITHMIC shuffle exchanges in the physical plan.
 
-    Excluded: broadcast exchanges, and the load_table small-input scan
-    rebalance (``RoundRobinPartitioning`` + ``REPARTITION_BY_NUM`` — see
-    session._scan_splits), which exists only when the local parquet has
-    fewer row groups than cores and is definitionally absent at scale.
-    No operator emits a bare round-robin repartition (they partition by
-    key or range), so the marker is unambiguous.
+    Excluded: broadcast exchanges, and the historical r5 scan-rebalance
+    marker (``RoundRobinPartitioning`` + ``REPARTITION_BY_NUM``) — since
+    r6 load_table repairs under-split inputs with a materialized on-disk
+    layout instead, so no plan emits that node anymore; the exclusion
+    stays because no operator emits a bare round-robin repartition
+    (they partition by key or range), making the marker unambiguous if
+    it ever reappears.
     """
     plan = formatted_plan(df)
     n = sum(

@@ -233,13 +233,13 @@ def main() -> None:
         "Generated by `python scripts/dump_plans.py` (plan shape at sf0.001;\n"
         "shape is volume-invariant, AQE fills in runtime stats at scale).\n"
         "Each plan is truncated to the structurally interesting prefix.\n\n"
-        "A leading `Exchange RoundRobinPartitioning(N), REPARTITION_BY_NUM`\n"
-        "over a documents/embeddings scan is the load_table scan-stage\n"
-        "rebalance (COVERAGE.md round 5): the local test parquet is single\n"
-        "row group, which would pin scan-fused heavy per-row work to one\n"
-        "core; on a real many-row-group input the rebalance condition is\n"
-        "false and that node is absent.  It is not an algorithmic shuffle\n"
-        "and plans.count_exchanges excludes it.\n"
+        "documents/embeddings scans read load_table's one-time materialized\n"
+        "multi-file layout when the source parquet has fewer physical splits\n"
+        "than the cluster width (COVERAGE.md round 6): scan-fused heavy\n"
+        "per-row work gets cluster-width parallelism from the ON-DISK shape,\n"
+        "so — unlike the r5 runtime repartition — NO exchange node appears\n"
+        "in any plan for it; on a real many-split input the original path\n"
+        "is read directly.\n"
     )
     for name, fn in queries.items():
         df = fn(spark, SF_DIR)

@@ -38,7 +38,7 @@ def test_every_query_key_has_matching_oracle_or_is_documented_rows_only():
 
 
 def test_oracle_sql_strings_are_self_contained():
-    """No leftover template placeholders (every oracle must be directly
+    r"""No leftover template placeholders (every oracle must be directly
     executable); regex quantifiers and \p{..} classes are fine."""
     import re
 

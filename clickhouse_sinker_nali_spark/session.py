@@ -163,6 +163,15 @@ def _parallel_layout(path: str, target: int) -> str:
     """
     try:
         files = _parquet_files(path)
+        # the rewrite reads the source into driver memory (pyarrow) — fine
+        # for the under-split LOCAL fixtures this repairs, but a genuinely
+        # large single-split file is better left alone than OOMing the
+        # driver; at that size the scan is long enough that Spark's own
+        # byte-splitting across its (necessarily multiple) row groups works
+        if sum(os.path.getsize(f) for f in files) > int(
+            os.environ.get("SPARK_GRAFT_MAT_MAX_BYTES", str(2 << 30))
+        ):
+            return path
         sig = tuple(
             (os.path.basename(f), os.path.getmtime(f), os.path.getsize(f))
             for f in files
@@ -177,10 +186,14 @@ def _parallel_layout(path: str, target: int) -> str:
         import pyarrow.parquet as pq
 
         digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+        # the digest folds the SOURCE-PATH hash in as a prefix so stale
+        # copies of a regenerated source are findable (and GC-able) by
+        # name without reading any metadata
+        src_tag = hashlib.md5(path.encode()).hexdigest()[:10]
         cache_root = os.environ.get("SPARK_GRAFT_CACHE_DIR") or os.path.join(
             tempfile.gettempdir(), "spark_graft_scan_cache"
         )
-        out = os.path.join(cache_root, f"{digest}.parquet")
+        out = os.path.join(cache_root, f"{src_tag}-{digest}.parquet")
         if not os.path.isdir(out):
             tbl = pq.read_table(path)
             per = max(1, -(-tbl.num_rows // target))
@@ -197,6 +210,21 @@ def _parallel_layout(path: str, target: int) -> str:
                 import shutil
 
                 shutil.rmtree(tmp, ignore_errors=True)
+            # GC superseded copies of THIS source (older signature, other
+            # target): without this, every regeneration of a fixture
+            # leaks one full copy in the cache dir.  Same-prefix dirs
+            # belong exclusively to this path, so the sweep cannot touch
+            # other sources' live copies.
+            import shutil
+
+            for name in os.listdir(cache_root):
+                if (
+                    name.startswith(f"{src_tag}-")
+                    and name != os.path.basename(out)
+                ):
+                    shutil.rmtree(
+                        os.path.join(cache_root, name), ignore_errors=True
+                    )
         _LAYOUT_CACHE[key] = out
         return out
     except Exception:

@@ -188,13 +188,22 @@ def test_dynamic_schema_mode_counts_100k_and_widens_exactly(spark, regime_src, t
     ]
     assert sorted(widened) == EXPECTED_DYNAMIC_SCHEMA
 
-    # every newkey got its ALTER ... ADD COLUMN IF NOT EXISTS
+    # every newkey got its ALTER ... ADD COLUMN IF NOT EXISTS, in the
+    # byte-golden reference format (r5 chdialect delegation): db.table
+    # BARE, only the column backtick-quoted — so the key is the first
+    # backticked token, and the double space from the empty ON CLUSTER
+    # slot is present (output/clickhouse.go:369-434)
     altered = {
-        stmt.split("`")[5]: stmt.rsplit("` ", 1)[1]
+        stmt.split("`")[1]: stmt.rsplit("` ", 1)[1]
         for stmt in executed_ddl
         if "ADD COLUMN" in stmt
     }
     assert altered == dict(EXPECTED_DYNAMIC_SCHEMA)
+    assert all(
+        "  ADD COLUMN IF NOT EXISTS" in stmt
+        for stmt in executed_ddl
+        if "ADD COLUMN" in stmt
+    )
 
     # spot-check the widened data really flowed: regime-2 rows carry their
     # int key, regime-4 rows their arrays, base regimes NULL/empty

@@ -94,19 +94,28 @@ def test_parallel_layout_cache_and_refresh(tmp_path):
     assert len([f for f in os.listdir(out1) if f.endswith(".parquet")]) == 8
     # same signature -> same cached copy
     assert _parallel_layout(src, 8) == out1
-    # regenerated source at the same path -> fresh copy (mtime/size key)
+    # regenerated source at the same path -> fresh copy (mtime/size key),
+    # and the superseded copy is GC'd (a regenerating fixture must not
+    # leak one full cache copy per generation)
     pq.write_table(pa.table({"x": list(range(200))}), src)
     os.utime(src, (0, 0))
     out2 = _parallel_layout(src, 8)
     assert out2 != out1
+    assert not os.path.exists(out1), "stale layout copy leaked"
     total = sum(
         pq.read_table(os.path.join(out2, f)).num_rows
         for f in os.listdir(out2)
         if f.endswith(".parquet")
     )
     assert total == 200
-    shutil.rmtree(out1, ignore_errors=True)
-    shutil.rmtree(out2, ignore_errors=True)
+    # a crashed write's tmp dir is swept by the next materialization too
+    tmp_leftover = out2 + ".tmp.99999"
+    os.makedirs(tmp_leftover)
+    pq.write_table(pa.table({"x": [1]}), src)  # third generation
+    out3 = _parallel_layout(src, 8)
+    assert not os.path.exists(tmp_leftover), "crashed tmp dir leaked"
+    assert not os.path.exists(out2)
+    shutil.rmtree(out3, ignore_errors=True)
 
 
 def test_parallel_layout_fails_open(tmp_path):

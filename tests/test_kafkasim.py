@@ -304,6 +304,82 @@ def test_kafkasim_parallel_reader_matches_simple(spark, tmp_path):
     }
 
 
+@pytest.mark.parametrize("parallel", ["true", "false"])
+def test_kafkasim_partition_growth_mid_stream(spark, tmp_path, parallel):
+    """Kafka topics can GROW partitions; the reference daemon absorbs the
+    consumer-group rebalance and starts reading the new partition from its
+    beginning (input/kafka_sarama.go rebalance path).  The kafkasim
+    readers' equivalent (BOTH execution shapes): a partition-N.jsonl
+    appearing mid-stream enters the end-offset listing on the next
+    trigger, planning defaults its start to 0 (absent from the
+    checkpointed offset map), and its rows arrive exactly once alongside
+    the existing partitions'."""
+    root = str(tmp_path / "logs")
+    _write_topic(root, n_per_part=10, parts=2)
+    register_all(spark)
+    cfg = _cfg(
+        buffer_size=1 << 10,
+        kafka_options={"path": root, "parallel": parallel},
+    )
+    ckpt = str(tmp_path / "ckpt_growth")
+    epochs: list = []
+    _drain(spark, cfg, root, ckpt, epochs)
+    assert sum(len(b) for _, b in epochs) == 20
+
+    # the topic grows a THIRD partition (plus fresh rows on an old one)
+    d = os.path.join(root, TOPIC)
+    with open(os.path.join(d, "partition-2.jsonl"), "w") as f:
+        for off in range(7):
+            msg = {"time": "2024-03-02 00:00:00", "name": f"p2m{off}",
+                   "value": 2000 + off * 0.5}
+            f.write(json.dumps({"key": None, "value": json.dumps(msg)}) + "\n")
+    with open(os.path.join(d, "partition-0.jsonl"), "a") as f:
+        msg = {"time": "2024-03-02 00:00:01", "name": "p0m10", "value": 5.0}
+        f.write(json.dumps({"key": None, "value": json.dumps(msg)}) + "\n")
+
+    epochs2: list = []
+    _drain(spark, cfg, root, ckpt, epochs2)
+    rows2 = [r for _, b in epochs2 for r in b]
+    got = {(r["__kafka_partition"], r["__kafka_offset"]) for r in rows2}
+    assert got == {(2, o) for o in range(7)} | {(0, 10)}
+    assert {r.name for r in rows2 if r["__kafka_partition"] == 2} == {
+        f"p2m{o}" for o in range(7)
+    }
+
+
+def test_kafkasim_parallel_mid_append_partial_line(tmp_path):
+    """A producer caught mid-append leaves a trailing line without its
+    newline; the incremental end-offset counter must not count it (a read
+    task would emit a torn record), and must count it exactly once when
+    the newline lands — including when the remainder arrives across two
+    polls."""
+    from clickhouse_sinker_nali_spark.sources.datasources import (
+        KafkaSimParallelStreamReader,
+    )
+
+    root = str(tmp_path / "logs")
+    d = os.path.join(root, TOPIC)
+    os.makedirs(d)
+    path = os.path.join(d, "partition-0.jsonl")
+    full = json.dumps({"key": None, "value": json.dumps({"name": "a"})}) + "\n"
+    torn = json.dumps({"key": None, "value": json.dumps({"name": "b"})})
+    with open(path, "w") as f:
+        f.write(full + torn[:10])  # one complete line + a torn prefix
+
+    r = KafkaSimParallelStreamReader({"path": root, "subscribe": TOPIC})
+    assert r.initialOffset() == {"0": 0}
+    assert r.latestOffset() == {"0": 1}  # torn line not counted
+    with open(path, "a") as f:
+        f.write(torn[10:])  # rest of the record, still no newline
+    assert r.latestOffset() == {"0": 1}
+    with open(path, "a") as f:
+        f.write("\n")  # newline lands: the record is complete
+    assert r.latestOffset() == {"0": 2}
+    slices = r.partitions({"0": 1}, {"0": 2})
+    rows = list(r.read(slices[0]))
+    assert len(rows) == 1 and b'"name": "b"' in bytes(rows[0][1])
+
+
 def test_kafkasim_parallel_clean_restart_no_offset_regression(tmp_path):
     """ADVICE r5 (high): after a CLEAN restart — every batch committed, no
     pending replay — the first latestOffset() of a fresh reader instance

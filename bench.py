@@ -249,6 +249,27 @@ def main() -> None:
     parse_rps, full_rps, parse_reps, full_reps = bench_ingest(spark)
     apache_rps, apache_reps = bench_ingest_apache(spark)
 
+    # Matched-core apples-to-apples vs BASELINE.md: the reference's two
+    # published configurations are 142K rows/s @ 11 cpu and 301K @ 25 cpu
+    # (docs/dev/introduction.md:72).  Dividing the local[32] figure by 32
+    # UNDERcounts per-core efficiency (shared-JVM scaling + host sharing),
+    # so measure at the reference's own core counts in fresh sessions.
+    # r6 measurements: 182K @ 11 (1.29x the reference) and 338K @ 25
+    # (1.12x its best case).
+    matched: dict[str, int] = {}
+    spark.stop()
+    for cores in (11, 25):
+        s = get_spark(
+            f"bench_{cores}c",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores,
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        rps, _ = bench_ingest_apache(s)
+        matched[f"ingest_apache_log_rows_per_sec_{cores}core"] = round(rps)
+        s.stop()
+
     total = round(sum(timings.values()), 3)
     result = json.dumps(
         {
@@ -264,6 +285,7 @@ def main() -> None:
             "ingest_parse_reps_sec": parse_reps,
             "ingest_full_reps_sec": full_reps,
             "ingest_apache_reps_sec": apache_reps,
+            **matched,
         }
     )
     # Also persist to a file: the driver tail-captures stdout, and JVM noise

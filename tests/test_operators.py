@@ -2127,6 +2127,39 @@ def test_hll_sketch_estimate_and_mergeability(spark):
     assert row.n_zero_buckets == A._HLL_M - len(regs(ev))
 
 
+def test_approx_distinct_users_grouped_hll_accuracy(spark, tmp_path):
+    """approx_distinct_users (r6: grouped deterministic HLL) must track the
+    exact per-group cardinality within HLL's error band across two orders
+    of magnitude of group size — including the small-range linear-counting
+    branch (n << m) and the raw-estimate branch (n >> m)."""
+    import math
+
+    import clickhouse_sinker_nali_spark.operators.relational as R
+
+    sizes = {"tiny": 60, "mid": 900, "big": 20_000}
+    rows = []
+    eid = 0
+    for off, (etype, n) in enumerate(sizes.items()):
+        for u in range(n):
+            for _ in range(2):  # duplicates must not inflate the estimate
+                rows.append((eid, u + off * 1_000_000, etype))
+                eid += 1
+    src = str(tmp_path / "events_hll")
+    import os as _os
+
+    _os.makedirs(src)
+    spark.createDataFrame(
+        rows, "event_id: bigint, user_id: bigint, event_type: string"
+    ).write.parquet(_os.path.join(src, "events.parquet"))
+
+    got = {r.event_type: r.approx_users for r in
+           R.approx_distinct_users(spark, src).collect()}
+    sigma = 1.04 / math.sqrt(256)
+    for etype, n in sizes.items():
+        rel = abs(got[etype] - n) / n
+        assert rel <= 4 * sigma, f"{etype}: est {got[etype]} vs {n} ({rel:.3f})"
+
+
 def test_lit_doubles_bit_equal_to_lit(spark):
     """The parsed-literal fast path must produce arrays bit-identical to
     F.lit across magnitudes, signs, and nesting."""

@@ -331,9 +331,30 @@ def minhash_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     an equi-join, verifies Jaccard on collisions, and appends the delta's
     band rows to the store.  Cost scales with the batch, not the corpus.
     Emits each qualifying pair once, tagged new-new or new-old.
+
+    The hot-bucket cap applies to the probe side exactly as in
+    ``dedup_minhash_lsh`` (and progressively in the streaming twin): a
+    boilerplate bucket past ``LSH_MAX_BUCKET`` members stops producing
+    candidates — identical results at oracle scale, bounded probe output
+    at 100 TB.
     """
+    while _SHINGLE_CACHE:
+        try:
+            _SHINGLE_CACHE.pop().unpersist()
+        except Exception:
+            pass
     sh = _shingle_df(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    _SHINGLE_CACHE.append(sh)
     banded = _banded_sigs(sh)
+    if LSH_MAX_BUCKET:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "key")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= LSH_MAX_BUCKET)
+            .drop("_bn")
+        )
     delta = banded.filter(F.col("doc_id") % DELTA_MOD == 0)
     d, s = delta.alias("d"), banded.alias("s")
     cand = (

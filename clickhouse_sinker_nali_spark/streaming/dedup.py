@@ -191,6 +191,19 @@ def streaming_lsh_index_maintenance(
     the probe reads only the delta's key-buckets via static partition
     pruning (:func:`probe_band_store`); exactly-once append comes from the
     checkpointed epoch.
+
+    The batch path's hot-bucket cap (``dedup.LSH_MAX_BUCKET``) applies
+    PROGRESSIVELY here: once a bucket's total membership (store + delta)
+    exceeds the cap, it stops producing new candidate pairs — without
+    this, one boilerplate bucket accumulating over a long-lived stream
+    makes every later batch that touches it pay |delta|×|store| in that
+    bucket, unboundedly.  Divergence from the one-shot capped batch is
+    deliberate and one-sided: pairs emitted while the bucket was still
+    small REMAIN in the pair log (the one-shot run would drop the whole
+    bucket retroactively); pairs are never invented.  The cumulative-
+    equivalence property above therefore holds exactly wherever no
+    bucket ever crosses the cap, and degrades only by keeping a prefix
+    of a hot bucket's pairs otherwise.
     """
     import os
 
@@ -235,6 +248,20 @@ def streaming_lsh_index_maintenance(
         all_bands = (
             banded_delta if old_bands is None
             else old_bands.unionByName(banded_delta)
+        )
+        # progressive hot-bucket cap (see docstring): filtering the PROBE
+        # side is enough — delta rows in a capped bucket find no partner.
+        # The window runs on the join's own keys over only the pruned
+        # partitions, so it adds no new exchange shape.
+        from pyspark.sql.window import Window
+
+        from ..operators.dedup import LSH_MAX_BUCKET
+
+        wb = Window.partitionBy("band", "key")
+        all_bands = (
+            all_bands.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bn") <= LSH_MAX_BUCKET)
+            .drop("_bn")
         )
         d, s = banded_delta.alias("d"), all_bands.alias("s")
         cand = (

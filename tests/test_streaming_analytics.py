@@ -549,6 +549,54 @@ def test_streaming_lsh_index_matches_batch_lsh(spark, tmp_path):
     assert any(a < cut <= b for a, b, _ in got), "no new-old pair exercised"
 
 
+def test_streaming_lsh_progressive_hot_bucket_cap(spark, tmp_path, monkeypatch):
+    """The streaming probe applies the hot-bucket cap PROGRESSIVELY: pairs
+    emitted while a bucket was small remain, but once its total membership
+    crosses the cap no batch emits new pairs from it — while normal
+    buckets keep pairing across batches."""
+    import clickhouse_sinker_nali_spark.operators.dedup as D
+    from clickhouse_sinker_nali_spark.streaming.dedup import (
+        streaming_lsh_index_maintenance,
+    )
+
+    monkeypatch.setattr(D, "LSH_MAX_BUCKET", 4)
+    boiler = "accept all cookies to continue reading this very fine website "
+    story = "a long unique story about spark shuffles and broadcast joins "
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.txt"), "w") as f:
+        for i in range(1, 5):  # 4 boilerplate docs: bucket at the cap
+            f.write(json.dumps({"doc_id": i, "text": boiler * 5}) + "\n")
+        # 100/101 identical, and 102's variant provably shares their band
+        # keys (the tail's shingles are not the band minima)
+        f.write(json.dumps({"doc_id": 100, "text": story * 5 + "extra tail"}) + "\n")
+        f.write(json.dumps({"doc_id": 101, "text": story * 5 + "extra tail"}) + "\n")
+    with open(os.path.join(src, "b.txt"), "w") as f:
+        for i in range(5, 8):  # bucket grows to 7 > cap: no new pairs
+            f.write(json.dumps({"doc_id": i, "text": boiler * 5}) + "\n")
+        f.write(json.dumps({"doc_id": 102, "text": story * 5 + "other end"}) + "\n")
+
+    stream = _stream_json(spark, src, "doc_id bigint, text string")
+    pairs_dir = str(tmp_path / "pairs_cap")
+    q = (
+        streaming_lsh_index_maintenance(
+            stream, str(tmp_path / "store_cap"), pairs_dir
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cap"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {(r.doc_a, r.doc_b) for r in spark.read.parquet(pairs_dir).collect()}
+    early_boiler = {(a, b) for a in range(1, 5) for b in range(1, 5) if a < b}
+    assert early_boiler <= got  # the small-bucket era's pairs remain
+    # nothing involving the late arrivals 5-7 (bucket over cap)
+    assert not any(b >= 5 and b < 100 or a >= 5 and a < 100 for a, b in got)
+    # normal near-dups keep pairing across batches
+    assert (100, 102) in got and (101, 102) in got and (100, 101) in got
+
+
 def test_streaming_ivf_index_matches_batch_build_and_query(spark, tmp_path):
     """Two micro-batches of embeddings must grow the cell-partitioned
     store to exactly the batch build's content (same assignments under the

@@ -111,7 +111,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out quadratically, which is why the LSH variant below is the 100 TB
     path; here the vocabulary is small and AQE skew-split handles it.
     """
+    while _SHINGLE_CACHE:
+        try:
+            _SHINGLE_CACHE.pop().unpersist()
+        except Exception:
+            pass
     sh = _shingle_df(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    _SHINGLE_CACHE.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1156,7 +1162,13 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    while _SHINGLE_CACHE:
+        try:
+            _SHINGLE_CACHE.pop().unpersist()
+        except Exception:
+            pass
     sh = _shingle_df(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
+    _SHINGLE_CACHE.append(sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     pos = (

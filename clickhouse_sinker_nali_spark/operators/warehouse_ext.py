@@ -52,6 +52,26 @@ from pyspark.sql.functions import broadcast
 
 from ..session import load_table
 
+
+# per-call persisted intermediates (q2/q11/q15 re-read a small aggregate
+# twice).  Each call releases the PREVIOUS calls' frames: the queries()
+# contract returns an unexecuted plan, so there is no post-action hook —
+# without this, a bench loop or oracle sweep accumulates one cached
+# relation per invocation for the whole session (same policy as the
+# dedup shingle registry).
+_PERSIST_REGISTRY: list = []
+
+
+def _registered_persist(df):
+    while _PERSIST_REGISTRY:
+        try:
+            _PERSIST_REGISTRY.pop().unpersist()
+        except Exception:
+            pass
+    out = df.persist()
+    _PERSIST_REGISTRY.append(out)
+    return out
+
 DEC = "decimal(12,4)"
 DEC_WIDE = "decimal(20,8)"
 
@@ -149,8 +169,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").alias("ps_suppkey"),
         )
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_cost"))
-        .persist()
     )
+    supply_eur = _registered_persist(supply_eur)
     min_cost = supply_eur.groupBy("ps_partkey").agg(
         F.min("ps_cost").alias("min_cost")
     )
@@ -278,12 +298,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(_revenue()).cast(DEC_WIDE).alias("value"))
-        # persisted because BOTH the threshold aggregate and the final
-        # filter re-read it; released after the session ages it out (the
-        # queries() contract returns an unexecuted plan, so there is no
-        # post-action hook to unpersist at — same policy as graph.py)
-        .persist()
     )
+    # persisted because BOTH the threshold aggregate and the final filter
+    # re-read it; released on the next warehouse_ext call (see registry)
+    nat_value = _registered_persist(nat_value)
     threshold = nat_value.agg(
         (F.sum("value") * F.lit(0.001).cast("decimal(4,3)")).alias("thr")
     )
@@ -342,8 +360,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_revenue()).cast(DEC_WIDE).alias("total_revenue"))
-        .persist()  # reread by best-aggregate + final filter; see q11 note
     )
+    revenue = _registered_persist(revenue)  # reread twice; see q11 note
     best = revenue.agg(F.max("total_revenue").alias("best"))
     return (
         supp.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))

@@ -260,7 +260,11 @@ def main() -> None:
     spark.stop()
     for cores in (11, 25):
         # best-effort: a failure here must degrade to a missing key, never
-        # kill the whole bench artifact the driver grades
+        # kill the whole bench artifact the driver grades.  stop() runs in
+        # a finally: a leaked active session would make the next
+        # getOrCreate silently reuse THIS core count and publish its
+        # measurement under the wrong key.
+        s = None
         try:
             s = get_spark(
                 f"bench_{cores}c",
@@ -271,9 +275,14 @@ def main() -> None:
             s.sparkContext.setLogLevel("ERROR")
             rps, _ = bench_ingest_apache(s)
             matched[f"ingest_apache_log_rows_per_sec_{cores}core"] = round(rps)
-            s.stop()
         except Exception as e:  # noqa: BLE001 — degrade, don't die
             matched[f"ingest_apache_log_err_{cores}core"] = str(e)[:200]
+        finally:
+            if s is not None:
+                try:
+                    s.stop()
+                except Exception:
+                    pass
 
     total = round(sum(timings.values()), 3)
     result = json.dumps(

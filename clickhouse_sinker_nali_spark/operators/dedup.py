@@ -37,7 +37,7 @@ from ..functions import (
     word_shingles,
     word_shingles_sql,
 )
-from ..session import load_table
+from ..session import load_table, registered_persist
 
 MINHASH_K = 16  # signature length
 # 2 bands × 8 rows: candidate probability 1-(1-j^8)^2 — ~0.11 at j=0.7,
@@ -111,13 +111,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     out quadratically, which is why the LSH variant below is the 100 TB
     path; here the vocabulary is small and AQE skew-split handles it.
     """
-    while _SHINGLE_CACHE:
-        try:
-            _SHINGLE_CACHE.pop().unpersist()
-        except Exception:
-            pass
-    sh = _shingle_df(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
-    _SHINGLE_CACHE.append(sh)
+    sh = registered_persist(
+        _shingle_df(spark, sf_dir), _SHINGLE_CACHE, StorageLevel.DISK_ONLY
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -221,6 +217,24 @@ _SHINGLE_CACHE: list[DataFrame] = []
 LSH_MAX_BUCKET = 64
 
 
+def _cap_hot_buckets(banded: DataFrame, cap: int) -> DataFrame:
+    """Drop LSH band buckets with more than ``cap`` members — THE shared
+    definition of the hot-bucket drop (batch query, delta maintenance,
+    and the streaming probe all apply the same predicate).  Runs as a
+    window count over (band, key), the same keys downstream joins
+    shuffle on, so it adds no new exchange shape."""
+    if not cap:
+        return banded
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band", "key")
+    return (
+        banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= cap)
+        .drop("_bn")
+    )
+
+
 def dedup_minhash_lsh(
     spark: SparkSession, sf_dir: str, max_bucket: int | None = None
 ) -> DataFrame:
@@ -248,24 +262,13 @@ def dedup_minhash_lsh(
     # repeated calls in one session — a bench loop, the oracle sweep —
     # accumulate DISK_ONLY frames until heap/GC pressure makes every later
     # query's wall time bimodal (BENCH_r05's 12-18s outliers).
-    while _SHINGLE_CACHE:
-        try:
-            _SHINGLE_CACHE.pop().unpersist()
-        except Exception:
-            pass
-    sh = _shingle_df(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
-    _SHINGLE_CACHE.append(sh)
+    sh = registered_persist(
+        _shingle_df(spark, sf_dir), _SHINGLE_CACHE, StorageLevel.DISK_ONLY
+    )
     banded = _banded_sigs(sh)
-    cap = LSH_MAX_BUCKET if max_bucket is None else max_bucket
-    if cap:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band", "key")
-        banded = (
-            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bn") <= cap)
-            .drop("_bn")
-        )
+    banded = _cap_hot_buckets(
+        banded, LSH_MAX_BUCKET if max_bucket is None else max_bucket
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -344,23 +347,11 @@ def minhash_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates — identical results at oracle scale, bounded probe output
     at 100 TB.
     """
-    while _SHINGLE_CACHE:
-        try:
-            _SHINGLE_CACHE.pop().unpersist()
-        except Exception:
-            pass
-    sh = _shingle_df(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
-    _SHINGLE_CACHE.append(sh)
+    sh = registered_persist(
+        _shingle_df(spark, sf_dir), _SHINGLE_CACHE, StorageLevel.DISK_ONLY
+    )
     banded = _banded_sigs(sh)
-    if LSH_MAX_BUCKET:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band", "key")
-        banded = (
-            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bn") <= LSH_MAX_BUCKET)
-            .drop("_bn")
-        )
+    banded = _cap_hot_buckets(banded, LSH_MAX_BUCKET)
     delta = banded.filter(F.col("doc_id") % DELTA_MOD == 0)
     d, s = delta.alias("d"), banded.alias("s")
     cand = (
@@ -1162,13 +1153,9 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    while _SHINGLE_CACHE:
-        try:
-            _SHINGLE_CACHE.pop().unpersist()
-        except Exception:
-            pass
-    sh = _shingle_df(spark, sf_dir).persist(StorageLevel.DISK_ONLY)
-    _SHINGLE_CACHE.append(sh)
+    sh = registered_persist(
+        _shingle_df(spark, sf_dir), _SHINGLE_CACHE, StorageLevel.DISK_ONLY
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     pos = (

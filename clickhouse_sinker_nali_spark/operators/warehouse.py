@@ -406,7 +406,7 @@ def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scd2_intervals_cached(spark, sf_dir).orderBy("custkey", "valid_from")
 
 
-# materialized-dimension cache: (applicationId, sf_dir, source signature)
+# materialized-dimension cache: (applicationId, sf_dir, session.source_signature)
 # → persisted SCD2 intervals.  Session-lifetime state with no unpersist BY
 # DESIGN — the dim is tiny (one row per status change) and shared by every
 # consumer, exactly like a warehouse's materialized dimension table;
@@ -415,27 +415,6 @@ def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCD2_DIM_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _source_signature(path: str) -> tuple:
-    """Cheap freshness signature for a local parquet file/dir (mtime+size
-    per file).  Folding it into a materialized-dim cache key means a
-    REGENERATED source at the same path gets a fresh build instead of the
-    stale persisted dimension (r5 ADVICE).  Empty on any failure — the
-    cache then keys on path alone, matching the old behavior."""
-    import glob as _glob
-    import os as _os
-
-    try:
-        files = (
-            [path]
-            if _os.path.isfile(path)
-            else sorted(_glob.glob(_os.path.join(path, "*.parquet")))
-        )
-        return tuple(
-            (_os.path.basename(f), _os.path.getmtime(f), _os.path.getsize(f))
-            for f in files
-        )
-    except Exception:
-        return ()
 
 
 def invalidate_dim_caches() -> None:
@@ -458,11 +437,13 @@ def _scd2_intervals_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     # abspath, not normpath: a RELATIVE sf_dir resolved from two different
     # cwds must not collide on one cache entry (silently serving the other
     # directory's dimension)
+    from ..session import source_signature
+
     src = _os.path.join(_os.path.abspath(sf_dir), "orders.parquet")
     key = (
         spark.sparkContext.applicationId,
         _os.path.abspath(sf_dir),
-        _source_signature(src),
+        source_signature(src),
     )
     df = _SCD2_DIM_CACHE.get(key)
     # is_cached goes False if something (spark.catalog.clearCache(), a
@@ -470,6 +451,14 @@ def _scd2_intervals_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back; serving it anyway would silently recompute the whole window
     # pipeline on EVERY downstream action
     if df is None or not df.is_cached:
+        # evict (and unpersist) superseded-SIGNATURE entries for this
+        # (app, dir) first: a generate→query loop would otherwise leak
+        # one persisted dimension per regeneration for the session
+        for stale in [k for k in _SCD2_DIM_CACHE if k[:2] == key[:2]]:
+            try:
+                _SCD2_DIM_CACHE.pop(stale).unpersist()
+            except Exception:
+                pass
         df = scd2_intervals(load_table(spark, sf_dir, "orders")).persist()
         _SCD2_DIM_CACHE[key] = df
     return df

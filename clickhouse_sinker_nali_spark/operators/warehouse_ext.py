@@ -63,14 +63,9 @@ _PERSIST_REGISTRY: list = []
 
 
 def _registered_persist(df):
-    while _PERSIST_REGISTRY:
-        try:
-            _PERSIST_REGISTRY.pop().unpersist()
-        except Exception:
-            pass
-    out = df.persist()
-    _PERSIST_REGISTRY.append(out)
-    return out
+    from ..session import registered_persist
+
+    return registered_persist(df, _PERSIST_REGISTRY)
 
 DEC = "decimal(12,4)"
 DEC_WIDE = "decimal(20,8)"

@@ -73,6 +73,23 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def registered_persist(df, registry: list, level=None):
+    """Persist ``df`` after releasing every frame in ``registry`` — the
+    one policy behind per-call persisted intermediates (dedup shingles,
+    warehouse twice-read aggregates).  The queries() contract returns an
+    unexecuted plan, so there is no post-action unpersist hook; releasing
+    the PREVIOUS call's frames on re-entry bounds a bench loop or oracle
+    sweep to one live cache per registry instead of one per invocation."""
+    while registry:
+        try:
+            registry.pop().unpersist()
+        except Exception:
+            pass
+    out = df.persist(level) if level is not None else df.persist()
+    registry.append(out)
+    return out
+
+
 def sql_on_views(spark: SparkSession, sf_dir: str, tables: list, sql: str):
     """Register the named driver tables as temp views and run a SQL string
     — the shared SQL-surface entry used by the relational/warehouse query
@@ -144,6 +161,21 @@ def _parquet_files(path: str) -> list[str]:
     return files
 
 
+def source_signature(path: str) -> tuple:
+    """Cheap freshness signature for a local parquet file/dir: (basename,
+    mtime, size) per file.  THE one definition — the layout cache here and
+    the materialized-dimension caches (operators/warehouse.py) must agree
+    on invalidation granularity.  Empty on any failure, so callers degrade
+    to path-only keying."""
+    try:
+        return tuple(
+            (os.path.basename(f), os.path.getmtime(f), os.path.getsize(f))
+            for f in _parquet_files(path)
+        )
+    except Exception:
+        return ()
+
+
 def _parallel_layout(path: str, target: int) -> str:
     """One-time multi-FILE rewrite of an under-split local parquet input.
 
@@ -172,13 +204,13 @@ def _parallel_layout(path: str, target: int) -> str:
             os.environ.get("SPARK_GRAFT_MAT_MAX_BYTES", str(2 << 30))
         ):
             return path
-        sig = tuple(
-            (os.path.basename(f), os.path.getmtime(f), os.path.getsize(f))
-            for f in files
-        )
+        sig = source_signature(path)
         key = (path, sig, target)
         hit = _LAYOUT_CACHE.get(key)
-        if hit is not None:
+        # another session's GC (regenerated source) may have removed a
+        # cached copy out from under us — validate before serving, or
+        # every later read of this table dangles
+        if hit is not None and os.path.isdir(hit):
             return hit
         import hashlib
         import tempfile
@@ -186,16 +218,22 @@ def _parallel_layout(path: str, target: int) -> str:
         import pyarrow.parquet as pq
 
         digest = hashlib.md5(repr(key).encode()).hexdigest()[:16]
-        # the digest folds the SOURCE-PATH hash in as a prefix so stale
-        # copies of a regenerated source are findable (and GC-able) by
-        # name without reading any metadata
-        src_tag = hashlib.md5(path.encode()).hexdigest()[:10]
+        # the name is prefixed with a hash of (path, target) so the GC
+        # sweep below is scoped to superseded SIGNATURES of this exact
+        # (source, parallelism) pair — it can never touch another
+        # source's copies, nor a different-parallelism copy of this one
+        # that a sibling session in the same process is still reading
+        src_tag = hashlib.md5(f"{path}@{target}".encode()).hexdigest()[:10]
         cache_root = os.environ.get("SPARK_GRAFT_CACHE_DIR") or os.path.join(
             tempfile.gettempdir(), "spark_graft_scan_cache"
         )
         out = os.path.join(cache_root, f"{src_tag}-{digest}.parquet")
         if not os.path.isdir(out):
             tbl = pq.read_table(path)
+            if tbl.num_rows == 0:
+                # zero part files would materialize an unreadable empty
+                # dir (and cache it); an empty source needs no repair
+                return path
             per = max(1, -(-tbl.num_rows // target))
             tmp = f"{out}.tmp.{os.getpid()}"
             os.makedirs(tmp, exist_ok=True)
@@ -210,11 +248,9 @@ def _parallel_layout(path: str, target: int) -> str:
                 import shutil
 
                 shutil.rmtree(tmp, ignore_errors=True)
-            # GC superseded copies of THIS source (older signature, other
-            # target): without this, every regeneration of a fixture
-            # leaks one full copy in the cache dir.  Same-prefix dirs
-            # belong exclusively to this path, so the sweep cannot touch
-            # other sources' live copies.
+            # GC superseded copies of THIS (source, target) — older
+            # signatures from before a regeneration, crashed tmp dirs:
+            # without this, every regeneration leaks one full copy.
             import shutil
 
             for name in os.listdir(cache_root):

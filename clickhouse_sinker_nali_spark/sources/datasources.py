@@ -495,10 +495,11 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
     partition ON EXECUTORS (``partitions(start, end)`` → per-partition
     ``_KafkaSlice``), exactly like the real JVM Kafka source — the driver
     only lists end offsets.  This removes the simple reader's driver-side
-    decode ceiling (the sustained-load cap documented in COVERAGE.md);
-    the simple reader remains the default because availableNow-style
-    drain loops in the existing contract tests exercise its prefetch
-    path.
+    decode ceiling (the sustained-load cap documented in COVERAGE.md) and
+    is the DEFAULT since r6; ``parallel=false`` opts back into the simple
+    reader, whose read(start) receives the start offset and therefore
+    caps even a fresh query's first batch (pinned by the drain-loop
+    contract tests).
 
     maxOffsetsPerTrigger is apportioned in ``latestOffset`` against the
     last planned end.  The python stream API passes NO start offset to
@@ -541,16 +542,17 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
         self._tail: dict[str, tuple[int, int]] = {}
         # part -> {line_no: byte_off} at counted boundaries (seek anchors)
         self._anchors: dict[str, dict[int, int]] = {}
-
-    def _trace(self, msg: str) -> None:
         # The reader lives in a python runner process the JVM spawns — a
         # debugger can't reach it, so the protocol call sequence (which
         # Spark version / trigger mode decides) is observable only via
-        # this env-gated append log.  Used by the contract tests.
-        path = _os.environ.get("KAFKASIM_PROTO_TRACE")
-        if path:
-            with open(path, "a") as f:
-                f.write(f"{id(self) % 100000} {msg}\n")
+        # this env-gated append log.  Used by the contract tests.  Read
+        # ONCE here: call sites guard on the attribute so the per-trigger
+        # hot path pays neither the env lookup nor f-string rendering.
+        self._trace_path = _os.environ.get("KAFKASIM_PROTO_TRACE")
+
+    def _trace(self, msg: str) -> None:
+        with open(self._trace_path, "a") as f:
+            f.write(f"{id(self) % 100000} {msg}\n")
 
     def initialOffset(self) -> dict:
         off = _kafka_initial_offsets(self.dir, self.topic, self.starting)
@@ -561,7 +563,8 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
         # trust an earliest-based baseline (see latestOffset).
         if self._progress is None:
             self._progress = dict(off)
-        self._trace(f"initialOffset -> {off}")
+        if self._trace_path:
+            self._trace(f"initialOffset -> {off}")
         return off
 
     def _end_offsets(self) -> dict[str, int]:
@@ -605,15 +608,27 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
             # authoritative start) — the documented admission-control
             # restart caveat.
             end = self._end_offsets()
+            # clamp UP to the configured start (earliest=0 makes this a
+            # no-op): startingOffsets JSON/latest can sit ahead of the
+            # physical log end, and committed offsets inherit that floor
+            # through the max() guard below — returning the raw log end
+            # would regress below both.  A clamp can only RAISE end, so
+            # the log-only-grows safety argument is unaffected.
+            initial = _kafka_initial_offsets(self.dir, self.topic, self.starting)
+            end = {p: max(hi, initial.get(p, 0)) for p, hi in end.items()}
+            for p, lo in initial.items():
+                end.setdefault(p, lo)
             self._progress = dict(end)
-            self._trace(f"latestOffset (uncapped restart) -> {end}")
+            if self._trace_path:
+                self._trace(f"latestOffset (uncapped restart) -> {end}")
             return end
         start = self._progress
         end = _kafka_apportion(start, self._end_offsets(), self.max_per_trigger)
         # never move an offset backward (same contract as the simple reader)
         end = {p: max(hi, start.get(p, 0)) for p, hi in end.items()}
         self._progress = end
-        self._trace(f"latestOffset start={start} -> {end}")
+        if self._trace_path:
+            self._trace(f"latestOffset start={start} -> {end}")
         return end
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
@@ -661,10 +676,11 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
                         base_line, base_byte,
                     )
                 )
-        self._trace(
-            f"partitions start={start} end={end} -> "
-            f"{[(sl.part, sl.lo, sl.hi) for sl in out]}"
-        )
+        if self._trace_path:
+            self._trace(
+                f"partitions start={start} end={end} -> "
+                f"{[(sl.part, sl.lo, sl.hi) for sl in out]}"
+            )
         return out
 
     def read(self, partition: _KafkaSlice):
@@ -681,7 +697,8 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
         )
 
     def commit(self, end) -> None:
-        self._trace(f"commit {end}")
+        if self._trace_path:
+            self._trace(f"commit {end}")
         # the checkpoint owns offsets (reference K5: no hand-commit);
         # prune seek anchors below the committed start, keeping the
         # newest at-or-below so the next batch still has its anchor

@@ -251,18 +251,9 @@ def streaming_lsh_index_maintenance(
         )
         # progressive hot-bucket cap (see docstring): filtering the PROBE
         # side is enough — delta rows in a capped bucket find no partner.
-        # The window runs on the join's own keys over only the pruned
-        # partitions, so it adds no new exchange shape.
-        from pyspark.sql.window import Window
+        import clickhouse_sinker_nali_spark.operators.dedup as _D
 
-        from ..operators.dedup import LSH_MAX_BUCKET
-
-        wb = Window.partitionBy("band", "key")
-        all_bands = (
-            all_bands.withColumn("_bn", F.count(F.lit(1)).over(wb))
-            .filter(F.col("_bn") <= LSH_MAX_BUCKET)
-            .drop("_bn")
-        )
+        all_bands = _D._cap_hot_buckets(all_bands, _D.LSH_MAX_BUCKET)
         d, s = banded_delta.alias("d"), all_bands.alias("s")
         cand = (
             d.join(

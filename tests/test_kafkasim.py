@@ -347,6 +347,34 @@ def test_kafkasim_partition_growth_mid_stream(spark, tmp_path, parallel):
     }
 
 
+def test_kafkasim_parallel_uncapped_first_latest_respects_configured_start(
+    tmp_path,
+):
+    """The admission-uncapped first latestOffset must clamp UP to the
+    CONFIGURED startingOffsets: a JSON start ahead of the physical log end
+    (and any committed offset inheriting that floor) would otherwise be
+    regressed past, re-emitting rows the user configured to skip."""
+    from clickhouse_sinker_nali_spark.sources.datasources import (
+        KafkaSimParallelStreamReader,
+    )
+
+    root = str(tmp_path / "logs")
+    _write_topic(root, n_per_part=50, parts=1)
+    r = KafkaSimParallelStreamReader(
+        {
+            "path": root,
+            "subscribe": TOPIC,
+            "startingOffsets": json.dumps({TOPIC: {"0": 100}}),
+            "maxOffsetsPerTrigger": "8",
+        }
+    )
+    # Spark 4.1 calls latestOffset BEFORE initialOffset
+    end = r.latestOffset()
+    assert end == {"0": 100}, f"regressed below configured start: {end}"
+    assert r.initialOffset() == {"0": 100}
+    assert r.partitions({"0": 100}, end) == []  # nothing to emit yet
+
+
 def test_kafkasim_parallel_mid_append_partial_line(tmp_path):
     """A producer caught mid-append leaves a trailing line without its
     newline; the incremental end-offset counter must not count it (a read

@@ -125,6 +125,45 @@ def test_parallel_layout_fails_open(tmp_path):
     assert _parallel_layout(missing, 8) == missing
 
 
+def test_parallel_layout_empty_source_and_dangling_hit(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # 0-row source: no repair (a zero-file materialized dir would be
+    # unreadable AND cached) — the original path comes back
+    empty = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.table({"x": pa.array([], type=pa.int64())}), empty)
+    assert _parallel_layout(empty, 8) == empty
+
+    # dangling in-memory hit: if something removed the cached copy from
+    # disk (another session's GC across a regeneration), the next call
+    # must rebuild instead of serving a path that no longer exists
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({"x": list(range(64))}), src)
+    out = _parallel_layout(src, 8)
+    assert os.path.isdir(out)
+    shutil.rmtree(out)
+    out2 = _parallel_layout(src, 8)
+    assert os.path.isdir(out2)
+    shutil.rmtree(out2, ignore_errors=True)
+
+
+def test_parallel_layout_targets_coexist(tmp_path):
+    # two parallelism targets of the same source (two sessions in one
+    # process, e.g. the matched-core bench) must not GC each other
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({"x": list(range(64))}), src)
+    out8 = _parallel_layout(src, 8)
+    out4 = _parallel_layout(src, 4)
+    assert out8 != out4
+    assert os.path.isdir(out8) and os.path.isdir(out4)
+    shutil.rmtree(out8, ignore_errors=True)
+    shutil.rmtree(out4, ignore_errors=True)
+
+
 def test_pushdown_survives_layout_repair(spark):
     df = (
         load_table(spark, SF_DIR, "documents")

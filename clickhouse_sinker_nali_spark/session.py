@@ -115,7 +115,7 @@ def sql_on_views(spark: SparkSession, sf_dir: str, tables: list, sql: str):
 # per core) is exactly what a real 100 TB input looks like — where the
 # split-count condition is false and none of this runs.
 _REBALANCE_TABLES = {"documents", "embeddings"}
-_SPLITS_CACHE: dict[str, int] = {}
+_SPLITS_CACHE: dict[tuple, int] = {}
 _LAYOUT_CACHE: dict[tuple, str] = {}
 
 
@@ -134,7 +134,11 @@ def _scan_splits(path: str) -> int:
     parallel — at 100 TB real inputs carry ~10^6 row groups and the
     rebalance below is a no-op by construction.
     """
-    cached = _SPLITS_CACHE.get(path)
+    # keyed on (path, freshness signature): a regenerated source with a
+    # different physical split count must not serve the stale probe (the
+    # same staleness rule as the layout and SCD2 caches)
+    key = (path, source_signature(path))
+    cached = _SPLITS_CACHE.get(key)
     if cached is not None:
         return cached
     try:
@@ -144,7 +148,7 @@ def _scan_splits(path: str) -> int:
         splits = sum(pq.ParquetFile(f).num_row_groups for f in files)
     except Exception:
         splits = 1 << 30
-    _SPLITS_CACHE[path] = splits
+    _SPLITS_CACHE[key] = splits
     return splits
 
 

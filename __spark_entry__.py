@@ -282,6 +282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cell-blocked embedding dedup with the same hier assignment (the
         # dedup axis of the flat-assignment quadratic fix)
         "dedup_embedding_cosine_cells_hier": D.dedup_embedding_cosine_cells_hier,
+        # r6: hot-bucket-cap observability (the recall dial's first read)
+        "lsh_bucket_stats": D.lsh_bucket_stats,
     }
 
 
@@ -466,4 +468,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_arrow": S.ANN_IVFPQ_SQL,
         "ann_ivf_hier_arrow": S.ANN_IVF_HIER_SQL,
         "dedup_embedding_cosine_cells_hier": D._dedup_cells_hier_sql(),
+        "lsh_bucket_stats": D.LSH_BUCKET_STATS_SQL,
     }

@@ -390,7 +390,9 @@ def _band_key_sql(b: int) -> str:
 
 # CTE chain shared by DEDUP_MINHASH_SQL and DEDUP_CLUSTERS_SQL (no leading
 # WITH so callers can prepend WITH / WITH RECURSIVE as needed).
-_MINHASH_PAIR_CTES = (
+# sh → based → sigs → banded: the banding prefix shared by the pair
+# CTEs below and the bucket-stats oracle
+_BANDED_CTES = (
     "sh AS (" + word_shingles_sql("documents", "doc_id", "text", 3) + "),\n"
     f"based AS (SELECT doc_id, {_HA_SQL} AS ha, {_HB_SQL} AS hb FROM sh),\n"
     "sigs AS (SELECT doc_id, "
@@ -401,7 +403,11 @@ _MINHASH_PAIR_CTES = (
         f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS key FROM sigs"
         for b in range(MINHASH_BANDS)
     )
-    + "),\n"
+    + ")"
+)
+
+_MINHASH_PAIR_CTES = (
+    _BANDED_CTES + ",\n"
     "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
     "         FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key\n"
     "          AND a.doc_id < b.doc_id),\n"
@@ -416,6 +422,58 @@ _MINHASH_PAIR_CTES = (
     f"    WHERE n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) >= {JACCARD_THRESHOLD}\n"
     ")"
 )
+
+def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket distribution + hot-bucket accounting — the
+    observability query behind the ``LSH_MAX_BUCKET`` recall dial: how
+    many buckets exist, how big the worst is, how many candidate pairs
+    the band join WOULD emit, and exactly what the cap removes
+    (buckets / member docs / pairs).  On a real crawl this is the first
+    thing an operator reads before tuning the cap; at sf10 it is the
+    query form of the smoke's ΣC(bucket,2) budget probe.
+
+    One groupBy per level (bucket count, then per-band rollup) — two
+    narrow shuffles, no joins; pair counts use integer arithmetic
+    (``div``) so the oracle comparison is exact at any bucket size.
+    """
+    banded = _banded_sigs(_shingle_df(spark, sf_dir))
+    buckets = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    pairs = F.expr("n * (n - 1) div 2")
+    hot = F.col("n") > F.lit(LSH_MAX_BUCKET)
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.sum(pairs).alias("candidate_pairs"),
+            F.sum(F.when(hot, 1).otherwise(0)).alias("n_hot_buckets"),
+            F.sum(F.when(hot, F.col("n")).otherwise(0)).alias(
+                "docs_in_hot_buckets"
+            ),
+            F.sum(F.when(hot, pairs).otherwise(F.lit(0))).alias(
+                "pairs_dropped_by_cap"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+LSH_BUCKET_STATS_SQL = (
+    "WITH " + _BANDED_CTES + ",\n"
+    "buckets AS (SELECT band, key, COUNT(*) AS n FROM banded GROUP BY band, key)\n"
+    "SELECT band,\n"
+    "       COUNT(*) AS n_buckets,\n"
+    "       MAX(n) AS max_bucket,\n"
+    "       CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs,\n"
+    f"      CAST(SUM(CASE WHEN n > {LSH_MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS n_hot_buckets,\n"
+    f"      CAST(SUM(CASE WHEN n > {LSH_MAX_BUCKET} THEN n ELSE 0 END) AS BIGINT)"
+    " AS docs_in_hot_buckets,\n"
+    f"      CAST(SUM(CASE WHEN n > {LSH_MAX_BUCKET} THEN n * (n - 1) // 2"
+    " ELSE 0 END) AS BIGINT) AS pairs_dropped_by_cap\n"
+    "FROM buckets GROUP BY band ORDER BY band"
+)
+
 
 DEDUP_MINHASH_SQL = (
     "WITH " + _MINHASH_PAIR_CTES + "\n"

@@ -77,9 +77,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": S.ann_lsh_topk,
         "ann_ivf_topk": S.ann_ivf_topk,
         "ann_ivf_persisted": S.ann_ivf_persisted,
-        # rows-only check by design: Lloyd means amplify float summation
-        # order, so a bit-exact SQL oracle would be flaky; pinned instead by
-        # test_kmeans_refine_monotone_and_matches_numpy
+        # oracle-checked since r7: fixed-point (integer-sum) Lloyd update
+        # makes each sweep bit-reproducible, so the DuckDB twin replays the
+        # full refinement chain (was rows-only through r6)
         "ann_ivf_kmeans_topk": S.ann_ivf_kmeans_topk,
         "embedding_quantize": S.embedding_quantize,
         "ann_int8_topk": S.ann_int8_topk,
@@ -325,6 +325,8 @@ def oracle_sql() -> dict[str, str]:
         # identical results to ann_ivf_topk; the difference is the physical
         # plan (persisted cell-partitioned index + static partition pruning)
         "ann_ivf_persisted": S.ANN_IVF_SQL,
+        # full Lloyd-refinement replay (3 chained sweeps, fixed-point update)
+        "ann_ivf_kmeans_topk": S.ANN_IVF_KMEANS_SQL,
         "embedding_quantize": S.EMBEDDING_QUANTIZE_SQL,
         "ann_int8_topk": S.ANN_INT8_SQL,
         "lang_id": T.LANG_ID_SQL,

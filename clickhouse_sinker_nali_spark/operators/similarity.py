@@ -1250,10 +1250,22 @@ ORDER BY query_id, rank
 # --------------------------------------------------------------------------
 
 
+# Fixed-point scale for the Lloyd centroid update: per-dimension values are
+# quantized to round(x * SCALE) BIGINTs before summation, so the cell sum is
+# an exact integer — independent of partition/summation order — and the new
+# centroid dimension is the IEEE double  s / (n * SCALE), identical in Spark,
+# Python, and DuckDB.  This is the `approx_distinct_users` playbook (r6):
+# reformulate the unstable float reduction as an integer one so the operator
+# becomes oracle-checkable.  The ~5e-7 per-dim quantization is far below the
+# float32 input precision, so cell quality is unaffected.
+KMEANS_FP_SCALE = 1_000_000
+KMEANS_ITERATIONS = 3
+
+
 def kmeans_refine(
     emb: DataFrame,
     cents: list[tuple[int, list[float]]],
-    iterations: int = 3,
+    iterations: int = KMEANS_ITERATIONS,
 ) -> tuple[list[tuple[int, list[float]]], list[float]]:
     """Refine IVF centroids with distributed Lloyd sweeps; returns the new
     centroids and the per-iteration inertia trace (sum of 1 - cos to the
@@ -1262,14 +1274,19 @@ def kmeans_refine(
 
     Each sweep: (1) map-side assignment — the same argmax-cosine expression
     the IVF query uses, no shuffle; (2) centroid update — posexplode to
-    (cid, dim, value) then a two-level mean, shuffling only K×d aggregate
-    cells; (3) the tiny K×d result returns to the driver to become the next
+    (cid, dim, value), quantize each value to a KMEANS_FP_SCALE fixed-point
+    BIGINT, and SUM exactly per (cid, dim) — shuffling only K×d aggregate
+    cells; (3) the tiny K×d (sum, count) result returns to the driver where
+    the new centroid dimension is computed as the exact-integer division
+    s / (n·SCALE) (correctly-rounded IEEE double) and becomes the next
     sweep's literal (exactly how every production distributed k-means
     syncs — the data never leaves the cluster, the centroids always do).
-    No DuckDB oracle on purpose: float mean summation order is
-    engine-specific and Lloyd amplifies knife-edge assignment flips; the
-    pinning tests assert monotone inertia + agreement with a local NumPy
-    reference on the inertia value instead.
+
+    The integer sum makes every sweep bit-reproducible across engines and
+    partitionings, so the full refinement chain has a DuckDB oracle
+    (``ANN_IVF_KMEANS_SQL``) — a float ``avg`` here would be summation-order
+    dependent, which Lloyd then amplifies through knife-edge assignment
+    flips (the reason this query was rows-only through r6).
     """
     trace: list[float] = []
     for _ in range(iterations):
@@ -1278,34 +1295,41 @@ def kmeans_refine(
             "embedding",
             F.array_max(_cell_scores(cents, "embedding")).alias("best"),
         )
-        stats = assigned.select(
-            F.col("best").getField("cid").alias("cid"),
-            (F.lit(1.0) - F.col("best").getField("cos")).alias("dist"),
-            F.posexplode(F.col("embedding")),
-        )
         inertia = assigned.agg(
             F.sum(F.lit(1.0) - F.col("best").getField("cos"))
         ).collect()[0][0]
         trace.append(float(inertia))
-        dims = (
-            stats.groupBy("cid", "pos")
-            .agg(F.avg(F.col("col").cast("double")).alias("m"))
-            .groupBy("cid")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("m")))
-                    ),
-                    lambda s: s.getField("m"),
-                ).alias("centroid")
-            )
+        stats = assigned.select(
+            F.col("best").getField("cid").alias("cid"),
+            F.posexplode(F.col("embedding")),
         )
-        new_cents = {
-            int(r.cid): [float(x) for x in r.centroid] for r in dims.collect()
-        }
+        cells = (
+            stats.groupBy("cid", "pos")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("col").cast("double") * F.lit(float(KMEANS_FP_SCALE))
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                ).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in cells:
+            # exact-int Python division: correctly-rounded IEEE double,
+            # bit-identical to DuckDB's s::DOUBLE / (n * SCALE)
+            by_cid.setdefault(int(r.cid), {})[int(r.pos)] = r.s / (
+                r.n * KMEANS_FP_SCALE
+            )
         # empty cells keep their previous centroid (standard Lloyd fallback)
         cents = sorted(
-            (cid, new_cents.get(cid, vec)) for cid, vec in cents
+            (
+                cid,
+                [d[p] for p in sorted(d)] if (d := by_cid.get(cid)) else vec,
+            )
+            for cid, vec in cents
         )
     return cents, trace
 
@@ -1313,7 +1337,13 @@ def kmeans_refine(
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over k-means-refined centroids: identical plan shape to
     ``ann_ivf_topk``, better-balanced cells (lower inertia ⇒ tighter
-    candidate lists at the same nprobe)."""
+    candidate lists at the same nprobe).
+
+    Oracle-checkable since r7: the fixed-point Lloyd update makes every
+    refinement sweep bit-reproducible, so ``ANN_IVF_KMEANS_SQL`` replays
+    the full 3-sweep chain (seed → assign → integer-sum update ×3 → probe
+    → re-rank) inside DuckDB and the value hashes match.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
     cents, _ = kmeans_refine(emb, _centroids(emb))
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
@@ -1322,6 +1352,96 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(_cell_scores(cents, "embedding")).getField("cid").alias("cid"),
     )
     return _rank_probed(corpus, _probed_queries(emb, cents))
+
+
+def _kmeans_oracle_sql() -> str:
+    """Build the DuckDB twin of ``ann_ivf_kmeans_topk``: the seeded
+    centroids, ``KMEANS_ITERATIONS`` chained Lloyd sweeps (each one an
+    argmax-cosine assignment + exact fixed-point integer-sum centroid
+    update — the same arithmetic ``kmeans_refine`` runs, so the refined
+    centroid doubles are bit-identical), then the standard IVF probe +
+    exact re-rank tail over the final centroids."""
+    fp = f"{KMEANS_FP_SCALE}.0"
+    parts = [
+        f"WITH kk AS ({_IVF_K_SQL}),",
+        # one row per dimension index (1-based, DuckDB list indexing)
+        "dims AS (",
+        "    SELECT UNNEST(range(1, (SELECT MAX(len(embedding)) FROM embeddings)"
+        " + 1)) AS pos",
+        "),",
+        "cent0 AS (",
+        f"    SELECT vec_id - {N_QUERIES} AS cid,"
+        " list_transform(embedding, x -> x::DOUBLE) AS ce",
+        "    FROM embeddings, kk",
+        f"    WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES} + kk.k",
+        "),",
+    ]
+    for i in range(1, KMEANS_ITERATIONS + 1):
+        cos_ct = _cos_pair("c.embedding", "t.ce")
+        parts += [
+            f"assign{i} AS (",
+            "    SELECT vec_id, embedding, cid FROM (",
+            "        SELECT c.vec_id, c.embedding, t.cid,",
+            "               ROW_NUMBER() OVER (PARTITION BY c.vec_id",
+            f"                    ORDER BY {cos_ct} DESC, t.cid DESC) AS rn",
+            f"        FROM embeddings c, cent{i - 1} t",
+            f"        WHERE c.vec_id >= {N_QUERIES}",
+            "    ) WHERE rn = 1",
+            "),",
+            f"sums{i} AS (",
+            "    SELECT a.cid, d.pos,",
+            "           SUM(CAST(floor(a.embedding[d.pos]::DOUBLE * "
+            f"{fp} + 0.5) AS BIGINT)) AS s,",
+            "           COUNT(*) AS n",
+            f"    FROM assign{i} a, dims d",
+            "    GROUP BY a.cid, d.pos",
+            "),",
+            f"cent{i} AS (",
+            # empty cells keep the previous centroid (Lloyd fallback)
+            "    SELECT p.cid, COALESCE(nc.ce, p.ce) AS ce",
+            f"    FROM cent{i - 1} p LEFT JOIN (",
+            f"        SELECT cid, list(s::DOUBLE / (n * {fp}) ORDER BY pos) AS ce",
+            f"        FROM sums{i} GROUP BY cid",
+            "    ) nc ON p.cid = nc.cid",
+            "),",
+        ]
+    last = f"cent{KMEANS_ITERATIONS}"
+    cos_ct = _cos_pair("c.embedding", "t.ce")
+    cos_qt = _cos_pair("q.embedding", "t.ce")
+    parts += [
+        "corpus AS (",
+        "    SELECT neighbor_id, embedding, cid FROM (",
+        "        SELECT c.vec_id AS neighbor_id, c.embedding, t.cid,",
+        "               ROW_NUMBER() OVER (PARTITION BY c.vec_id",
+        f"                    ORDER BY {cos_ct} DESC, t.cid DESC) AS rn",
+        f"        FROM embeddings c, {last} t",
+        f"        WHERE c.vec_id >= {N_QUERIES}",
+        "    ) WHERE rn = 1",
+        "),",
+        "probes AS (",
+        "    SELECT query_id, qe, cid FROM (",
+        "        SELECT q.vec_id AS query_id, q.embedding AS qe, t.cid,",
+        "               ROW_NUMBER() OVER (PARTITION BY q.vec_id",
+        f"                    ORDER BY {cos_qt} DESC, t.cid DESC) AS rn",
+        f"        FROM embeddings q, {last} t",
+        f"        WHERE q.vec_id < {N_QUERIES}",
+        "    ) WHERE rn <= {nprobe}".format(nprobe=NPROBE),
+        ")",
+        "SELECT query_id, rank, neighbor_id, cid, cos_sim",
+        "FROM (",
+        "    SELECT p.query_id, c.neighbor_id, c.cid,",
+        f"           {_COS_PC} AS cos_sim,",
+        "           ROW_NUMBER() OVER (PARTITION BY p.query_id",
+        f"                ORDER BY {_COS_PC} DESC, c.neighbor_id) AS rank",
+        "    FROM probes p JOIN corpus c ON p.cid = c.cid",
+        ")",
+        f"WHERE rank <= {TOP_K}",
+        "ORDER BY query_id, rank",
+    ]
+    return "\n".join(parts)
+
+
+ANN_IVF_KMEANS_SQL = _kmeans_oracle_sql()
 
 
 # --------------------------------------------------------------------------

@@ -31,10 +31,10 @@ def test_every_query_key_has_matching_oracle_or_is_documented_rows_only():
     o = set(entry.oracle_sql())
     assert o <= q, f"orphan oracles: {o - q}"
     rows_only = q - o
-    # the one remaining rows-only op (float-sum-order in k-means, documented);
-    # approx_distinct_users flipped to a full oracle in r6 via the grouped
-    # deterministic HLL
-    assert rows_only == {"ann_ivf_kmeans_topk"}
+    # zero rows-only queries since r7: ann_ivf_kmeans_topk (the last one)
+    # flipped to a full oracle via the fixed-point Lloyd reformulation, the
+    # same playbook that fixed approx_distinct_users in r6
+    assert rows_only == set()
 
 
 def test_oracle_sql_strings_are_self_contained():

@@ -823,7 +823,10 @@ def test_kmeans_refine_monotone_and_matches_numpy(spark):
         np_trace.append(float((1.0 - sims[np.arange(len(X)), best]).sum()))
         for k in range(len(C)):
             if (best == k).any():
-                C[k] = X[best == k].mean(axis=0)
+                # the engine's fixed-point update: exact integer sums of
+                # round(x * SCALE), one division — order-free by design
+                q = np.floor(X[best == k] * S.KMEANS_FP_SCALE + 0.5)
+                C[k] = q.sum(axis=0) / (len(q) * S.KMEANS_FP_SCALE)
     for got, want in zip(trace, np_trace):
         assert abs(got - want) / max(abs(want), 1e-12) < 1e-6
 

@@ -192,8 +192,12 @@ def streaming_lsh_index_maintenance(
     pruning (:func:`probe_band_store`); exactly-once append comes from the
     checkpointed epoch.
 
-    The batch path's hot-bucket cap (``dedup.LSH_MAX_BUCKET``) applies
-    PROGRESSIVELY here: once a bucket's total membership (store + delta)
+    The hot-bucket cap applies PROGRESSIVELY here, at the STATIC floor
+    (``dedup.LSH_MAX_BUCKET``) rather than the batch path's data-derived
+    p99.9 cap: a per-micro-batch quantile over the whole store would add
+    a full store aggregation to every batch, and a cap that drifts as
+    the corpus grows would make the progressive-emission semantics
+    below time-dependent.  Once a bucket's total membership (store + delta)
     exceeds the cap, it stops producing new candidate pairs — without
     this, one boilerplate bucket accumulating over a long-lived stream
     makes every later batch that touches it pay |delta|×|store| in that

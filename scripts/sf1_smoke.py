@@ -104,32 +104,35 @@ def generate(spark, dst: str = DST, replicas: int = REPLICAS,
         ).parquet(f"{dst}/{table}.parquet")
 
 
-def lsh_candidate_volume(spark, sf_dir: str) -> tuple[int, int]:
-    """(raw, capped) sums of C(bucket, 2) over all LSH band buckets — the
-    exact number of candidate pairs the band join will emit before
-    dedup/verify, uncapped and under the production LSH_MAX_BUCKET
-    hot-bucket drop.  One narrow aggregation; lets the sf10 run account
-    output volume BEFORE committing to a possibly output-bound pair join,
-    and shows how much of it the cap removes."""
+def lsh_candidate_volume(spark, sf_dir: str) -> tuple[int, int, int]:
+    """(raw, capped, cap) sums of C(bucket, 2) over all LSH band buckets —
+    the exact number of candidate pairs the band join will emit before
+    dedup/verify, uncapped and under the data-derived hot-bucket cap
+    (r7: ``derive_bucket_cap`` — p99.9 bucket size clamped to
+    [LSH_MAX_BUCKET, LSH_CAP_CEIL], the same cap dedup_minhash_lsh
+    applies).  One narrow aggregation; lets the sf10 run account output
+    volume BEFORE committing to a possibly output-bound pair join, and
+    shows how much of it the cap removes."""
     from clickhouse_sinker_nali_spark.operators.dedup import (
-        LSH_MAX_BUCKET,
         _banded_sigs,
         _shingle_df,
+        derive_bucket_cap,
     )
 
-    buckets = (
-        _banded_sigs(_shingle_df(spark, sf_dir))
-        .groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    pairs = F.col("n") * (F.col("n") - 1) / 2
-    row = buckets.agg(
-        F.sum(pairs).alias("raw"),
-        F.sum(F.when(F.col("n") <= LSH_MAX_BUCKET, pairs).otherwise(F.lit(0))).alias(
-            "capped"
-        ),
-    ).collect()[0]
-    return int(row.raw or 0), int(row.capped or 0)
+    banded = _banded_sigs(_shingle_df(spark, sf_dir)).persist()
+    try:
+        cap = derive_bucket_cap(banded)
+        buckets = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+        pairs = F.col("n") * (F.col("n") - 1) / 2
+        row = buckets.agg(
+            F.sum(pairs).alias("raw"),
+            F.sum(F.when(F.col("n") <= cap, pairs).otherwise(F.lit(0))).alias(
+                "capped"
+            ),
+        ).collect()[0]
+    finally:
+        banded.unpersist()
+    return int(row.raw or 0), int(row.capped or 0), cap
 
 
 # full-pair-join budget for the sf10 minhash run: past this the join is
@@ -172,11 +175,11 @@ def run_sf10(spark) -> None:
         print(f"{name:32s} {timings[name]:8.2f}s  rows={rows[name]}", flush=True)
 
     t0 = time.perf_counter()
-    raw_volume, capped_volume = lsh_candidate_volume(spark, DST10)
+    raw_volume, capped_volume, derived_cap = lsh_candidate_volume(spark, DST10)
     probe_s = round(time.perf_counter() - t0, 2)
     print(
         f"lsh candidate volume: {raw_volume:,} raw / {capped_volume:,} after "
-        f"the hot-bucket cap (probe {probe_s}s)",
+        f"the derived hot-bucket cap ({derived_cap}) (probe {probe_s}s)",
         flush=True,
     )
     if capped_volume <= SF10_LSH_PAIR_BUDGET:
@@ -203,6 +206,7 @@ def run_sf10(spark) -> None:
         "sf": 10, "timings": timings, "rows": rows,
         "lsh_candidate_pairs": raw_volume,
         "lsh_candidate_pairs_capped": capped_volume,
+        "lsh_derived_cap": derived_cap,
     }))
 
 

@@ -107,6 +107,39 @@ def test_minhash_lsh_hot_bucket_cap(spark, tmp_path):
     assert sum(1 for a, b in got_uncapped if a < 100 and b < 100) > 0
 
 
+def test_derive_bucket_cap_quantile_and_clamps(spark):
+    """The data-derived hot-bucket cap (r7): exact integer p99.9 of the
+    bucket-size distribution, clamped to [LSH_MAX_BUCKET, LSH_CAP_CEIL].
+    The floor keeps small corpora effectively uncapped; the ceiling
+    bounds the worst kept bucket's C(n,2) verify cost."""
+
+    def banded_of(sizes):
+        rows, k = [], 0
+        for i, n in enumerate(sizes):
+            for _ in range(n):
+                rows.append((k, 0, f"key{i}"))
+                k += 1
+        return spark.createDataFrame(
+            rows, "doc_id: bigint, band: int, key: string"
+        )
+
+    # tiny distributions clamp up to the floor
+    assert D.derive_bucket_cap(banded_of([1, 2, 3])) == D.LSH_MAX_BUCKET
+    # empty input: floor
+    empty = spark.createDataFrame([], "doc_id: bigint, band: int, key: string")
+    assert D.derive_bucket_cap(empty) == D.LSH_MAX_BUCKET
+    # one outlier bucket above the ceiling clamps down to the ceiling
+    assert D.derive_bucket_cap(banded_of([2000])) == D.LSH_CAP_CEIL
+    # a genuine p99.9 between the clamps is returned as-is: 1999 buckets
+    # of size 1 put the quantile threshold (ceil(0.999*2000)=1998) inside
+    # the size-1 mass, so the 100-doc boilerplate bucket is ABOVE the cap
+    sizes = [1] * 1999 + [100]
+    assert D.derive_bucket_cap(banded_of(sizes)) == D.LSH_MAX_BUCKET  # p=1 -> floor
+    # mid-range quantile: 10 buckets of 96 and 1990 of 1 -> p99.9 = 96
+    sizes = [1] * 1990 + [96] * 10
+    assert D.derive_bucket_cap(banded_of(sizes)) == 96
+
+
 def test_connected_components_chain_and_singleton(spark):
     # pairs a~b, b~c, c~d must collapse into ONE cluster (transitivity the
     # pair list alone can't express); untouched nodes stay singletons

@@ -233,37 +233,76 @@ LSH_CAP_CEIL = 1024      # cap ceiling: ≤ C(1024,2) ≈ 524K pairs per bucket
 LSH_CAP_QUANTILE = 0.999 # keep buckets up to the p99.9 size
 
 
-def derive_bucket_cap(banded: DataFrame) -> int:
-    """Data-derived hot-bucket cap: the smallest bucket size n such that
-    ≥ ceil(Q · #buckets) buckets have size ≤ n (an exact integer p99.9 —
-    no interpolation, so Spark and DuckDB agree bit-for-bit), clamped to
+def _bucket_sizes(banded: DataFrame) -> DataFrame:
+    """(band, key, n) bucket membership counts — shared by the cap
+    derivation, the capped filter join, and the stats rollup."""
+    return banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _derived_cap_df(bstats: DataFrame) -> DataFrame:
+    """1-row (cap BIGINT) DataFrame: the data-derived hot-bucket cap —
+    the smallest bucket size n such that ≥ ceil(Q · #buckets) buckets
+    have size ≤ n (an exact integer p99.9, no interpolation, so Spark
+    and DuckDB agree bit-for-bit), clamped to
     [LSH_MAX_BUCKET, LSH_CAP_CEIL].
 
-    Cost: one count-only aggregation over the (already persisted) band
-    rows — the same narrow (band, key) shuffle the candidate join runs,
-    with a map-side partial count; the collected histogram has one row
-    per DISTINCT bucket size (≤ max-bucket rows, KBs even at 100 TB).
+    Computed entirely IN-PLAN from the bucket-size histogram (one row
+    per DISTINCT bucket size — a few KB even at 100 TB, so the
+    single-partition cumulative window below is free) and broadcast into
+    the capped filter: no driver action, so deriving the cap adds no
+    blocking round-trip between the band build and the candidate join.
+    The aggregate over an empty histogram still yields one row (NULL →
+    the floor), so an empty corpus derives LSH_MAX_BUCKET.
     """
-    import math
+    from pyspark.sql.window import Window
 
-    hist = (
-        banded.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
+    hist = bstats.groupBy("n").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.orderBy("n").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    if not hist:
-        return LSH_MAX_BUCKET
-    thr = math.ceil(LSH_CAP_QUANTILE * sum(r.c for r in hist))
-    cum = 0
-    p = max(r.n for r in hist)
-    for r in sorted(hist, key=lambda r: r.n):
-        cum += r.c
-        if cum >= thr:
-            p = r.n
-            break
-    return max(LSH_MAX_BUCKET, min(LSH_CAP_CEIL, int(p)))
+    w_all = Window.orderBy("n").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "n",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.ceil(F.lit(LSH_CAP_QUANTILE) * F.sum("c").over(w_all)).alias("thr"),
+    )
+    return (
+        cum.filter(F.col("cum") >= F.col("thr"))
+        .agg(F.min("n").alias("p"))
+        .select(
+            F.greatest(
+                F.lit(LSH_MAX_BUCKET),
+                F.least(
+                    F.lit(LSH_CAP_CEIL),
+                    F.coalesce(F.col("p"), F.lit(LSH_MAX_BUCKET)),
+                ),
+            )
+            .cast("bigint")
+            .alias("cap")
+        )
+    )
+
+
+def derive_bucket_cap(banded: DataFrame) -> int:
+    """Scalar form of :func:`_derived_cap_df` for callers that need the
+    number itself (smoke probes, tests); query paths use the in-plan
+    DataFrame form to avoid the blocking collect."""
+    return int(_derived_cap_df(_bucket_sizes(banded)).collect()[0].cap)
+
+
+def _cap_hot_buckets_derived(banded: DataFrame) -> DataFrame:
+    """Drop band buckets larger than the data-derived cap, all in one
+    plan: bucket sizes join back on (band, key) — the same keys every
+    downstream join shuffles on — and the 1-row cap is broadcast."""
+    bstats = _bucket_sizes(banded)
+    return (
+        banded.join(bstats, ["band", "key"])
+        .join(F.broadcast(_derived_cap_df(bstats)))
+        .filter(F.col("n") <= F.col("cap"))
+        .drop("n", "cap")
+    )
 
 
 def _cap_hot_buckets(banded: DataFrame, cap: int) -> DataFrame:
@@ -316,11 +355,13 @@ def dedup_minhash_lsh(
     sh = registered_persist(
         _shingle_df(spark, sf_dir), _SHINGLE_CACHE, StorageLevel.DISK_ONLY
     )
-    # band rows are persisted (tiny: |docs| × MINHASH_BANDS) because the
-    # cap derivation is an action over them before the candidate join
+    # band rows are persisted (tiny: |docs| × MINHASH_BANDS): the cap
+    # derivation, its filter join, and both self-join sides reuse them
     banded = registered_persist(_banded_sigs(sh), _BANDED_CACHE)
-    banded = _cap_hot_buckets(
-        banded, derive_bucket_cap(banded) if max_bucket is None else max_bucket
+    banded = (
+        _cap_hot_buckets_derived(banded)
+        if max_bucket is None
+        else _cap_hot_buckets(banded, max_bucket)
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -403,7 +444,7 @@ def minhash_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingle_df(spark, sf_dir), _SHINGLE_CACHE, StorageLevel.DISK_ONLY
     )
     banded = registered_persist(_banded_sigs(sh), _BANDED_CACHE)
-    banded = _cap_hot_buckets(banded, derive_bucket_cap(banded))
+    banded = _cap_hot_buckets_derived(banded)
     delta = banded.filter(F.col("doc_id") % DELTA_MOD == 0)
     d, s = delta.alias("d"), banded.alias("s")
     cand = (
@@ -512,17 +553,17 @@ def lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = registered_persist(
         _banded_sigs(_shingle_df(spark, sf_dir)), _BANDED_CACHE
     )
-    cap = derive_bucket_cap(banded)
-    buckets = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    buckets = _bucket_sizes(banded)
+    with_cap = buckets.join(F.broadcast(_derived_cap_df(buckets)))
     pairs = F.expr("n * (n - 1) div 2")
-    hot = F.col("n") > F.lit(cap)
+    hot = F.col("n") > F.col("cap")
     return (
-        buckets.groupBy("band")
+        with_cap.groupBy("band")
         .agg(
             F.count(F.lit(1)).alias("n_buckets"),
             F.max("n").alias("max_bucket"),
             F.sum(pairs).alias("candidate_pairs"),
-            F.lit(cap).cast("bigint").alias("derived_cap"),
+            F.max("cap").alias("derived_cap"),
             F.sum(F.when(hot, 1).otherwise(0)).alias("n_hot_buckets"),
             F.sum(F.when(hot, F.col("n")).otherwise(0)).alias(
                 "docs_in_hot_buckets"

@@ -70,7 +70,19 @@ def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS,
     # rank update), and persist() makes the second use a cache hit while
     # CacheManager substitution keeps downstream plans shallow, without
     # paying one eager materialization job per sweep.
-    sym = sym.repartition("src").localCheckpoint(eager=True)
+    #
+    # Partitioned AND sorted on src before the checkpoint: a checkpointed
+    # Dataset keeps its physical outputPartitioning/outputOrdering, so
+    # every sweep's sort-merge contribution join reuses both — the edge
+    # side (the big one on a real link graph) pays zero exchange and zero
+    # per-sweep re-sort; only the |nodes|-row rank side is exchanged+sorted
+    # each iteration (r6 VERDICT task 6: the sweeps were re-sorting the
+    # checkpointed edges every iteration).
+    sym = (
+        sym.repartition("src")
+        .sortWithinPartitions("src")
+        .localCheckpoint(eager=True)
+    )
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
     n1 = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = deg.crossJoin(F.broadcast(n1)).select(

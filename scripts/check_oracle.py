@@ -108,8 +108,12 @@ def main():
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata is one file per table; the sf1/sf10 smoke corpora
+        # are Spark-written directories — glob those for DuckDB
+        p = f"{sf_dir}/{t}.parquet"
+        pat = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
         )
 
     qs = mod.queries()

@@ -73,20 +73,38 @@ def get_spark(
     return builder.getOrCreate()
 
 
+import threading as _threading
+
+_PERSIST_LOCK = _threading.Lock()  # one lock guards every registry
+
+
 def registered_persist(df, registry: list, level=None):
     """Persist ``df`` after releasing every frame in ``registry`` — the
     one policy behind per-call persisted intermediates (dedup shingles,
     warehouse twice-read aggregates).  The queries() contract returns an
     unexecuted plan, so there is no post-action unpersist hook; releasing
     the PREVIOUS call's frames on re-entry bounds a bench loop or oracle
-    sweep to one live cache per registry instead of one per invocation."""
-    while registry:
+    sweep to one live cache per registry instead of one per invocation.
+
+    Contract (r6 ADVICE #4): only the MOST RECENTLY CONSTRUCTED query
+    keeps its cache.  Building query B before executing query A's plan
+    unpersists A's intermediates — A still returns CORRECT results (an
+    unpersisted frame recomputes from lineage), it just re-derives the
+    shared work; callers that interleave construction and execution
+    (capped/uncapped comparisons, concurrent sweeps) should execute each
+    plan before building the next, or pass their own private registry.
+    Registry mutation is serialized under a module lock so plans built
+    from multiple threads can't corrupt the list or double-unpersist —
+    the cache-eviction policy itself remains last-writer-wins.
+    """
+    out = df.persist(level) if level is not None else df.persist()
+    with _PERSIST_LOCK:
+        victims, registry[:] = list(registry), [out]
+    for v in victims:
         try:
-            registry.pop().unpersist()
+            v.unpersist()
         except Exception:
             pass
-    out = df.persist(level) if level is not None else df.persist()
-    registry.append(out)
     return out
 
 
@@ -255,16 +273,29 @@ def _parallel_layout(path: str, target: int) -> str:
             # GC superseded copies of THIS (source, target) — older
             # signatures from before a regeneration, crashed tmp dirs:
             # without this, every regeneration leaks one full copy.
+            # AGE-GATED (r6 ADVICE #1): an in-flight DataFrame in this or a
+            # sibling process may still hold a plan bound to the old copy's
+            # file list — deleting it mid-action fails that job with a
+            # missing-path error.  Only copies older than the grace window
+            # are swept; younger ones go on the next regeneration pass once
+            # any plan bound to them has long since finished.
             import shutil
+            import time as _time
 
+            grace_s = float(os.environ.get("SPARK_GRAFT_LAYOUT_GC_S", "600"))
+            now = _time.time()
             for name in os.listdir(cache_root):
                 if (
                     name.startswith(f"{src_tag}-")
                     and name != os.path.basename(out)
                 ):
-                    shutil.rmtree(
-                        os.path.join(cache_root, name), ignore_errors=True
-                    )
+                    victim = os.path.join(cache_root, name)
+                    try:
+                        if now - os.path.getmtime(victim) < grace_s:
+                            continue
+                    except OSError:
+                        pass  # vanished under us: nothing to sweep
+                    shutil.rmtree(victim, ignore_errors=True)
         _LAYOUT_CACHE[key] = out
         return out
     except Exception:

@@ -537,6 +537,17 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
         )
         cap = options.get("maxoffsetspertrigger", options.get("maxOffsetsPerTrigger"))
         self.max_per_trigger = int(cap) if cap else None
+        # (r6 ADVICE #3) optional consumer-group id: enables the sidecar
+        # rate baseline so even the FIRST batch after a clean restart is
+        # admission-capped.  Like real Kafka group ids, distinct queries
+        # reading one topic must use distinct groups — a shared sidecar
+        # would let one query's baseline steer another's.
+        group = options.get(
+            "groupid", options.get("groupId", options.get("group.id"))
+        )
+        self._baseline_path = (
+            _os.path.join(self.dir, f".baseline-{group}.json") if group else None
+        )
         self._progress: dict | None = None
         # part -> (bytes_counted, lines_counted): incremental tail state
         self._tail: dict[str, tuple[int, int]] = {}
@@ -553,6 +564,36 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
     def _trace(self, msg: str) -> None:
         with open(self._trace_path, "a") as f:
             f.write(f"{id(self) % 100000} {msg}\n")
+
+    def _save_baseline(self, planned: dict) -> None:
+        """Persist the high-water PLANNED offsets (atomic tmp+rename).
+
+        Written BEFORE every latestOffset return and on every partitions()
+        re-baseline, so the sidecar is always >= any end Spark's offset
+        log can hold as a committed start — which is what makes capping a
+        restarted query's first batch from it regression-safe (the r5
+        offset-regression bug was capping from an EARLIEST baseline, which
+        could fall below the committed start).  Purely advisory: a failed
+        write just means the next restart's first batch is uncapped, the
+        documented pre-sidecar behavior."""
+        if not self._baseline_path:
+            return
+        try:
+            tmp = f"{self._baseline_path}.tmp.{_os.getpid()}"
+            with open(tmp, "w") as f:
+                _json.dump(planned, f)
+            _os.replace(tmp, self._baseline_path)
+        except OSError:
+            pass
+
+    def _load_baseline(self) -> dict | None:
+        if not self._baseline_path:
+            return None
+        try:
+            with open(self._baseline_path) as f:
+                return {str(k): int(v) for k, v in _json.load(f).items()}
+        except (OSError, ValueError):
+            return None
 
     def initialOffset(self) -> dict:
         off = _kafka_initial_offsets(self.dir, self.topic, self.starting)
@@ -596,12 +637,35 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         if self._progress is None:
+            initial = _kafka_initial_offsets(self.dir, self.topic, self.starting)
+            base = self._load_baseline()
+            if base is not None:
+                # Sidecar restart path (r6 ADVICE #3): the persisted
+                # high-water planned offsets are >= any committed start
+                # (see _save_baseline), so apportioning the cap from them
+                # can never regress the offset log — and a deep backlog
+                # after a clean restart drains as CAPPED batches instead
+                # of one unbounded catch-up batch hitting the sink.
+                for p, lo in initial.items():
+                    base[p] = max(base.get(p, 0), lo)
+                true_end = self._end_offsets()
+                for p in base:
+                    true_end.setdefault(p, 0)
+                end = _kafka_apportion(base, true_end, self.max_per_trigger)
+                end = {p: max(hi, base.get(p, 0)) for p, hi in end.items()}
+                self._progress = dict(end)
+                self._save_baseline(end)
+                if self._trace_path:
+                    self._trace(
+                        f"latestOffset (sidecar restart base={base}) -> {end}"
+                    )
+                return end
             # First latestOffset after a CHECKPOINT RESTART with no pending
-            # batch to replay: the committed start lives in Spark's offset
-            # log (handed to partitions(), never to us), so an
-            # earliest-based baseline under maxOffsetsPerTrigger could
-            # return an end BELOW the committed offset — the offset log
-            # would regress and the committed prefix would re-emit as
+            # batch to replay and NO sidecar baseline: the committed start
+            # lives in Spark's offset log (handed to partitions(), never to
+            # us), so an earliest-based baseline under maxOffsetsPerTrigger
+            # could return an end BELOW the committed offset — the offset
+            # log would regress and the committed prefix would re-emit as
             # duplicates.  Return the uncapped true end instead: the log
             # only grows, so end >= any committed start, and rate accuracy
             # resumes one batch later (partitions() re-baselines from the
@@ -614,11 +678,11 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
             # through the max() guard below — returning the raw log end
             # would regress below both.  A clamp can only RAISE end, so
             # the log-only-grows safety argument is unaffected.
-            initial = _kafka_initial_offsets(self.dir, self.topic, self.starting)
             end = {p: max(hi, initial.get(p, 0)) for p, hi in end.items()}
             for p, lo in initial.items():
                 end.setdefault(p, lo)
             self._progress = dict(end)
+            self._save_baseline(end)
             if self._trace_path:
                 self._trace(f"latestOffset (uncapped restart) -> {end}")
             return end
@@ -627,6 +691,7 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
         # never move an offset backward (same contract as the simple reader)
         end = {p: max(hi, start.get(p, 0)) for p, hi in end.items()}
         self._progress = end
+        self._save_baseline(end)
         if self._trace_path:
             self._trace(f"latestOffset start={start} -> {end}")
         return end
@@ -644,9 +709,11 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
             if p not in merged:
                 merged[p] = max(base.get(p, 0), lo)
         self._progress = merged
+        self._save_baseline(merged)
         # Slice granularity: the first batch after a restart is admission-
-        # UNCAPPED (see latestOffset), so a daemon restarting over a deep
-        # backlog gets one huge batch — chunk each Kafka partition's range
+        # UNCAPPED when no sidecar group id is configured (see
+        # latestOffset), so a daemon restarting over a deep backlog gets
+        # one huge batch — chunk each Kafka partition's range
         # into bounded slices so that batch still executes as many small
         # parallel tasks (the real Kafka source's minPartitions shape)
         # instead of one ballooning task per partition.  Chunks after the

@@ -463,6 +463,63 @@ def test_kafkasim_parallel_clean_restart_no_offset_regression(tmp_path):
     assert [(s.part, s.lo, s.hi) for s in slices] == [(0, 20, 28)]
 
 
+def test_kafkasim_parallel_sidecar_caps_first_restart_batch(tmp_path):
+    """ADVICE r6 #3: with a consumer group id, the reader persists its
+    high-water PLANNED offsets in a sidecar next to the log, so after a
+    clean restart over a deep backlog the FIRST latestOffset is already
+    admission-capped — no unbounded catch-up batch — while still never
+    falling below the committed offset (the sidecar is written before
+    every planned end is returned, so it is >= any committed start)."""
+    from clickhouse_sinker_nali_spark.sources.datasources import (
+        KafkaSimParallelStreamReader,
+    )
+
+    root = str(tmp_path / "logs")
+    _write_topic(root, n_per_part=20, parts=1)
+    opts = {
+        "path": root, "subscribe": TOPIC, "maxOffsetsPerTrigger": "8",
+        "groupid": "g1",
+    }
+
+    # session 1: rate-limited drain to 20, committing each batch
+    r1 = KafkaSimParallelStreamReader(opts)
+    committed = r1.initialOffset()
+    while True:
+        end = r1.latestOffset()
+        if end == committed:
+            break
+        r1.partitions(committed, end)
+        r1.commit(end)
+        committed = end
+    assert committed == {"0": 20}
+    assert os.path.exists(os.path.join(root, TOPIC, ".baseline-g1.json"))
+
+    # deep backlog lands while the query is DOWN
+    with open(os.path.join(root, TOPIC, "partition-0.jsonl"), "a") as f:
+        for off in range(20, 120):
+            msg = {"time": "2024-03-01 10:00:59", "name": f"p0m{off}",
+                   "value": off * 0.5}
+            f.write(json.dumps({"key": None, "value": json.dumps(msg)}) + "\n")
+
+    # session 2: clean restart — first latestOffset is CAPPED (8 past the
+    # sidecar high-water) and never below the committed offset
+    r2 = KafkaSimParallelStreamReader(opts)
+    end2 = r2.latestOffset()
+    assert end2 == {"0": 28}
+    assert all(end2[p] >= committed[p] for p in end2)
+    slices = r2.partitions(committed, end2)
+    assert [(s.part, s.lo, s.hi) for s in slices] == [(0, 20, 28)]
+    r2.commit(end2)
+    # and the remaining backlog keeps draining under the cap
+    end3 = r2.latestOffset()
+    assert end3 == {"0": 36}
+
+    # a DIFFERENT group gets no baseline: uncapped restart (the documented
+    # pre-sidecar behavior, still regression-safe)
+    r3 = KafkaSimParallelStreamReader({**opts, "groupid": "g2"})
+    assert r3.latestOffset() == {"0": 120}
+
+
 def test_kafkasim_parallel_rate_limit_and_resume(spark, tmp_path):
     """The parallel reader under maxOffsetsPerTrigger: the log drains
     completely, a checkpoint restart resumes without loss or dups, and —

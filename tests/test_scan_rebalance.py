@@ -94,28 +94,35 @@ def test_parallel_layout_cache_and_refresh(tmp_path):
     assert len([f for f in os.listdir(out1) if f.endswith(".parquet")]) == 8
     # same signature -> same cached copy
     assert _parallel_layout(src, 8) == out1
-    # regenerated source at the same path -> fresh copy (mtime/size key),
-    # and the superseded copy is GC'd (a regenerating fixture must not
-    # leak one full cache copy per generation)
+    # regenerated source at the same path -> fresh copy (mtime/size key);
+    # the superseded copy SURVIVES the GC grace window (r6 ADVICE #1: an
+    # in-flight plan in a sibling process may still be bound to its file
+    # list — deleting it immediately would fail that job mid-action)...
     pq.write_table(pa.table({"x": list(range(200))}), src)
     os.utime(src, (0, 0))
     out2 = _parallel_layout(src, 8)
     assert out2 != out1
-    assert not os.path.exists(out1), "stale layout copy leaked"
+    assert os.path.exists(out1), "young superseded copy swept inside grace"
     total = sum(
         pq.read_table(os.path.join(out2, f)).num_rows
         for f in os.listdir(out2)
         if f.endswith(".parquet")
     )
     assert total == 200
-    # a crashed write's tmp dir is swept by the next materialization too
+    # ...and is swept by the NEXT regeneration once older than the window
+    # (a regenerating fixture still can't leak copies unboundedly); a
+    # crashed write's aged tmp dir goes the same way
+    os.utime(out1, (0, 0))
     tmp_leftover = out2 + ".tmp.99999"
     os.makedirs(tmp_leftover)
+    os.utime(tmp_leftover, (0, 0))
     pq.write_table(pa.table({"x": [1]}), src)  # third generation
     out3 = _parallel_layout(src, 8)
-    assert not os.path.exists(tmp_leftover), "crashed tmp dir leaked"
-    assert not os.path.exists(out2)
+    assert not os.path.exists(out1), "aged stale layout copy leaked"
+    assert not os.path.exists(tmp_leftover), "aged crashed tmp dir leaked"
+    assert os.path.exists(out2)  # young: protected until it ages out
     shutil.rmtree(out3, ignore_errors=True)
+    shutil.rmtree(out2, ignore_errors=True)
 
 
 def test_parallel_layout_fails_open(tmp_path):

@@ -30,16 +30,26 @@ QUALITY_MIN = 0.55
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kept-corpus statistics per language after the full curation chain.
 
-    FUSED single-scan formulation: the naive composition (join the five
-    standalone operator outputs on doc_id) reads the corpus six times; at
-    100 TB that is six passes over the dominant cost.  Here one scan
-    computes every per-doc signal map-side (quality, tokens, content hash,
-    sample gate), one window over ``content_hash`` picks dedup survivors,
-    and contamination is a broadcast-blocklist anti-join — so the corpus
-    is read twice (main pass + the tiny benchmark-subset pass that builds
-    the blocklist) and shuffled once.  Results are identical to the
-    composed operators; the oracle SQL is deliberately written in the
-    composed form to prove it.
+    FUSED formulation: the naive composition (join the five standalone
+    operator outputs on doc_id) reads the corpus six times; at 100 TB
+    that is six passes over the dominant cost.  Here one NARROW scan
+    computes every per-doc signal map-side (quality, tokens, content
+    hash, sample gate), one window over ``content_hash`` picks dedup
+    survivors, and contamination is a broadcast-blocklist probe.
+
+    The document TEXT never crosses a shuffle (r7: it previously rode
+    through the dedup window's exchange, the plan's biggest byte-mover —
+    ~2/3 of the query's wall at sf0.1): the window sees only the narrow
+    signal columns, and the contamination probe explodes n-grams
+    STRAIGHT OFF THE SCAN for every non-benchmark doc (a superset of the
+    survivors — contamination is independent of survivor status, so the
+    result is identical), map-side against the broadcast benchmark-gram
+    set.  The contaminated id set is tiny (benchmark-overlap docs), so
+    the final anti-join broadcasts.  Corpus reads: two text scans (probe
+    + blocklist) and one narrow scan — scans are the cheap part; shuffled
+    bytes are the narrow window columns and the gram-hit ids only.
+    Results are identical to the composed operators; the oracle SQL is
+    deliberately written in the composed form to prove it.
     """
     from pyspark.sql.window import Window
 
@@ -56,9 +66,6 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_hash64("text").alias("content_hash"),
         A.sample_gate().alias("sampled"),
         is_bench.alias("is_bench"),
-        # raw text rides along (shingled only AFTER the survivor filter —
-        # shingling first would shuffle a ~5× payload through the window)
-        "text",
     )
     w = Window.partitionBy("content_hash")
     survivors = base.withColumn("min_id", F.min("doc_id").over(w)).filter(
@@ -73,14 +80,15 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     contaminated = (
-        survivors.select(
+        docs.filter(~is_bench)
+        .select(
             "doc_id", F.explode(word_shingles("text", T._CONTAM_K)).alias("gram")
         )
         .join(F.broadcast(bench_grams), "gram")
         .select("doc_id")
         .distinct()
     )
-    kept = survivors.join(contaminated, "doc_id", "left_anti")
+    kept = survivors.join(F.broadcast(contaminated), "doc_id", "left_anti")
     return (
         kept.groupBy("lang")
         .agg(

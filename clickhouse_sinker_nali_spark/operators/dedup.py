@@ -485,13 +485,18 @@ def _band_key_sql(b: int) -> str:
 # WITH so callers can prepend WITH / WITH RECURSIVE as needed).
 # sh → based → sigs → banded: the banding prefix shared by the pair
 # CTEs below and the bucket-stats oracle
+# AS MATERIALIZED (DuckDB-only hint, harmless to semantics): the multiply-
+# referenced CTEs would otherwise be INLINED at every reference — the
+# iterative doc_pagerank oracle references the edge list 2x per sweep, and
+# re-running the whole shingle→sig→band→join chain 6+ times spilled DuckDB
+# past the container's disk at sf1 (r7 scale sweep finding)
 _BANDED_CTES = (
-    "sh AS (" + word_shingles_sql("documents", "doc_id", "text", 3) + "),\n"
+    "sh AS MATERIALIZED (" + word_shingles_sql("documents", "doc_id", "text", 3) + "),\n"
     f"based AS (SELECT doc_id, {_HA_SQL} AS ha, {_HB_SQL} AS hb FROM sh),\n"
-    "sigs AS (SELECT doc_id, "
+    "sigs AS MATERIALIZED (SELECT doc_id, "
     + ", ".join(f"MIN(ha + {i} * hb) AS h{i}" for i in range(MINHASH_K))
     + " FROM based GROUP BY doc_id),\n"
-    "banded AS ("
+    "banded AS MATERIALIZED ("
     + " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS key FROM sigs"
         for b in range(MINHASH_BANDS)
@@ -512,7 +517,7 @@ _CAPPED_BAND_CTES = (
     "    FROM (SELECT n, SUM(c) OVER (ORDER BY n) AS cum FROM hist)\n"
     f"    WHERE cum >= (SELECT CEIL({LSH_CAP_QUANTILE} * SUM(c)) FROM hist)\n"
     "),\n"
-    "kept AS (SELECT b.doc_id, b.band, b.key\n"
+    "kept AS MATERIALIZED (SELECT b.doc_id, b.band, b.key\n"
     "         FROM banded b JOIN bstats s ON b.band = s.band AND b.key = s.key,"
     " capq\n"
     "         WHERE s.n <= capq.cap)"
@@ -527,7 +532,7 @@ _MINHASH_PAIR_CTES = (
     "inter AS (SELECT doc_a, doc_b, COUNT(*) AS n_common\n"
     "          FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b\n"
     "           AND a.shingle = b.shingle GROUP BY 1, 2),\n"
-    "pairs AS (\n"
+    "pairs AS MATERIALIZED (\n"
     "    SELECT doc_a, doc_b,\n"
     "           n_common * 1.0 / (sa.n_shingles + sb.n_shingles - n_common) AS jaccard\n"
     "    FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id\n"

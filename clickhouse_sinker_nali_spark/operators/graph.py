@@ -152,9 +152,10 @@ def _iter_ctes(iterations: int, damping: float) -> str:
 
 DOC_PAGERANK_SQL = (
     "WITH " + _MINHASH_PAIR_CTES + ",\n"
-    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs\n"
+    "edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs\n"
     "          UNION ALL SELECT doc_b, doc_a FROM pairs),\n"
-    "deg AS (SELECT src AS id, COUNT(*) AS degree FROM edges GROUP BY src),\n"
+    "deg AS MATERIALIZED (SELECT src AS id, COUNT(*) AS degree"
+    " FROM edges GROUP BY src),\n"
     "nn AS (SELECT COUNT(*)::DOUBLE AS n FROM deg),\n"
     "r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM deg),\n"
     + _iter_ctes(PR_ITERATIONS, PR_DAMPING)

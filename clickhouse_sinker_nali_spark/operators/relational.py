@@ -140,7 +140,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 4).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate"), F.col("o_orderkey"))
         .limit(10)
     )
@@ -148,8 +148,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-            * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+            * (1 - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -188,7 +188,7 @@ def q5_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.round(F.sum(_revenue()), 4).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("r_name", "n_name")
@@ -197,8 +197,8 @@ def q5_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q5_SQL = """
 SELECT r_name, n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-            * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+            * (1 - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -712,7 +712,7 @@ def q7_volume_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.year("l_shipdate").alias("ship_year"), "cust_nation", "supp_nation"
         )
-        .agg(F.sum(_revenue()).cast("double").alias("volume"))
+        .agg(F.round(F.sum(_revenue()), 4).cast("double").alias("volume"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .orderBy("ship_year", "cust_nation", "supp_nation")
     )
@@ -722,8 +722,8 @@ Q7_SQL = """
 SELECT EXTRACT(YEAR FROM l_shipdate)::INTEGER AS ship_year,
        n1.n_name AS cust_nation,
        n2.n_name AS supp_nation,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-            * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS volume
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+            * (1 - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE) AS volume
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -759,7 +759,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.round(F.sum(_revenue()), 4).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -769,8 +769,8 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q10_SQL = """
 SELECT c_custkey, c_name, n_name,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-            * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+            * (1 - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey

@@ -73,12 +73,18 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
     joined = salted_join(li, orders, "l_orderkey", F.col("l_linenumber"))
+    # exact-decimal revenue discipline (relational.DEC note): a raw double
+    # SUM is partition-summation-order dependent — it hashed differently
+    # at sf1 (r7 scale sweep); factor-cast decimal products sum exactly,
+    # and ROUND(,4) keeps the decimal→double conversion under 2^53
+    price = F.col("l_extendedprice").cast("decimal(12,4)")
+    disc = F.col("l_discount").cast("decimal(12,4)")
     return (
         joined.groupBy("o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.round(F.sum(price * (F.lit(1).cast("decimal(12,4)") - disc)), 4)
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
         .orderBy("o_orderpriority")
@@ -87,7 +93,8 @@ def skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SKEW_JOIN_SQL = """
 SELECT o_orderpriority,
-       round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+            * (1 - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority

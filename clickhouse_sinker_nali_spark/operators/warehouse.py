@@ -67,14 +67,19 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.sum(price * disc).cast("double").alias("revenue"),
+        # ROUND(,4) before the double cast — identity on the ≤4dp product
+        # values, but it keeps the decimal sum's unscaled value under 2^53
+        # so the decimal→double conversion is bit-identical across engines
+        # at ANY volume (the q1 sum_disc_price note; surfaced for the
+        # single-group revenue queries by the r7 sf1 hash sweep)
+        F.round(F.sum(price * disc), 4).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
 
 Q6_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-         * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+         * CAST(l_discount AS DECIMAL(12,4))), 4) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -234,15 +239,18 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(broadcast(part), li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(
-            F.sum(price * (F.lit(1).cast(DEC) - disc)).cast("double").alias("revenue"),
+            # ROUND(,4)-before-double: see the Q6 note (2^53 class fix)
+            F.round(F.sum(price * (F.lit(1).cast(DEC) - disc)), 4)
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
 
 
 Q19_SQL = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-         * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS revenue,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+         * (1 - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE) AS revenue,
        COUNT(*) AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey

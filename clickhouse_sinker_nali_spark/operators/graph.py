@@ -23,10 +23,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import registered_persist
 from .dedup import _MINHASH_PAIR_CTES, dedup_minhash_lsh
 
 PR_ITERATIONS = 3
 PR_DAMPING = 0.85
+
+# last pagerank call's cached edge relation (released on the next call —
+# the registered_persist policy; see session.registered_persist)
+_PR_EDGE_CACHE: list[DataFrame] = []
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -71,18 +76,23 @@ def pagerank(edges: DataFrame, iterations: int = PR_ITERATIONS,
     # CacheManager substitution keeps downstream plans shallow, without
     # paying one eager materialization job per sweep.
     #
-    # Partitioned AND sorted on src before the checkpoint: a checkpointed
-    # Dataset keeps its physical outputPartitioning/outputOrdering, so
-    # every sweep's sort-merge contribution join reuses both — the edge
-    # side (the big one on a real link graph) pays zero exchange and zero
-    # per-sweep re-sort; only the |nodes|-row rank side is exchanged+sorted
-    # each iteration (r6 VERDICT task 6: the sweeps were re-sorting the
-    # checkpointed edges every iteration).
-    sym = (
-        sym.repartition("src")
-        .sortWithinPartitions("src")
-        .localCheckpoint(eager=True)
+    # The edges are then partitioned+sorted on src and CACHED (r6 VERDICT
+    # task 6: every sweep was re-exchanging and re-sorting the edge
+    # relation).  A checkpointed RDD alone won't do — under AQE the
+    # LogicalRDD surfaces UnknownPartitioning, so each sweep's SMJ
+    # re-plans the exchange+sort; an InMemoryRelation ADVERTISES its
+    # child's hashpartitioning(src) and sort order, so the sweeps' joins
+    # and the degree aggregation all reuse one exchange and one sort
+    # (verified in the executed plan: the cached edge side has neither).
+    # On a real link graph the edge side is the big one — this is the
+    # difference between 1 and ``iterations`` full-edge shuffles.
+    sym = registered_persist(
+        sym.localCheckpoint(eager=True)
+        .repartition("src")
+        .sortWithinPartitions("src"),
+        _PR_EDGE_CACHE,
     )
+    sym.count()  # materialize: every sweep must hit the cache, not race it
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
     n1 = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = deg.crossJoin(F.broadcast(n1)).select(

@@ -48,10 +48,11 @@ COMMENTARY = {
         "via BroadcastHashJoin."
     ),
     "curation_pipeline": (
-        "Fused curation: one corpus scan computes quality/tokens/hash/gate "
-        "map-side, one window over content_hash picks dedup survivors, "
-        "decontamination is a broadcast anti-join — corpus is read twice "
-        "total, shuffled once."
+        "Fused curation (r7 shape): the dedup window shuffles only NARROW "
+        "signal columns (quality/tokens/hash/gate — no text), the "
+        "contamination n-gram probe explodes straight off the scan against "
+        "the broadcast blocklist, and the tiny contaminated id set "
+        "broadcast-anti-joins — document text never crosses a shuffle."
     ),
     "dedup_exact_substring": (
         "Exact-substring: gram document-frequency cap is applied BEFORE the "

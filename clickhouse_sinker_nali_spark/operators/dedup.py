@@ -229,8 +229,19 @@ _BANDED_CACHE: list[DataFrame] = []
 # construction, not by the fixture happening to stay under the constant
 # (r6 ADVICE finding #2).
 LSH_MAX_BUCKET = 64      # cap floor (also the streaming band-store cap)
-LSH_CAP_CEIL = 1024      # cap ceiling: ≤ C(1024,2) ≈ 524K pairs per bucket
+LSH_CAP_CEIL = 1024      # hard ceiling: ≤ C(1024,2) ≈ 524K pairs per bucket
 LSH_CAP_QUANTILE = 0.999 # keep buckets up to the p99.9 size
+# Total-output budget term: the cap is additionally lowered to the largest
+# bucket size whose CUMULATIVE kept-pair total stays within
+# PER_DOC × n_docs candidate pairs.  The quantile alone is blind to
+# corpus-WIDE duplication — on a wall-to-wall replica corpus (the sf10
+# stress: 100 near-copies of everything) the p99.9 bucket is ~1000 because
+# big buckets ARE the distribution, and a p99.9 cap readmits 104M pairs.
+# The budget term is what makes the cap an output bound and not just an
+# outlier filter: ≤32 candidate pairs per corpus document on average
+# (sf0.1: never binds, floor governs; sf1: never binds, p99.9=130
+# governs; sf10 stress: binds at 96 → 14.2M pairs, a completing join).
+LSH_PAIR_BUDGET_PER_DOC = 32
 
 
 def _bucket_sizes(banded: DataFrame) -> DataFrame:
@@ -241,17 +252,23 @@ def _bucket_sizes(banded: DataFrame) -> DataFrame:
 
 def _derived_cap_df(bstats: DataFrame) -> DataFrame:
     """1-row (cap BIGINT) DataFrame: the data-derived hot-bucket cap —
-    the smallest bucket size n such that ≥ ceil(Q · #buckets) buckets
-    have size ≤ n (an exact integer p99.9, no interpolation, so Spark
-    and DuckDB agree bit-for-bit), clamped to
-    [LSH_MAX_BUCKET, LSH_CAP_CEIL].
+
+        cap = clamp( min(p99.9 bucket size, budget cap),
+                     [LSH_MAX_BUCKET, LSH_CAP_CEIL] )
+
+    where the p99.9 is the smallest bucket size n such that
+    ≥ ceil(Q · #buckets) buckets have size ≤ n (exact integer quantile,
+    no interpolation), and the budget cap is the LARGEST size whose
+    cumulative kept-pair total Σ_{m≤n} #buckets(m)·C(m,2) stays within
+    LSH_PAIR_BUDGET_PER_DOC × n_docs (n_docs = band rows / bands — all
+    integer arithmetic, so Spark and DuckDB agree bit-for-bit).
 
     Computed entirely IN-PLAN from the bucket-size histogram (one row
     per DISTINCT bucket size — a few KB even at 100 TB, so the
     single-partition cumulative window below is free) and broadcast into
     the capped filter: no driver action, so deriving the cap adds no
     blocking round-trip between the band build and the candidate join.
-    The aggregate over an empty histogram still yields one row (NULL →
+    The aggregates over an empty histogram still yield one row (NULL →
     the floor), so an empty corpus derives LSH_MAX_BUCKET.
     """
     from pyspark.sql.window import Window
@@ -266,22 +283,29 @@ def _derived_cap_df(bstats: DataFrame) -> DataFrame:
     cum = hist.select(
         "n",
         F.sum("c").over(w_cum).alias("cum"),
+        F.sum(F.col("c") * F.expr("n * (n - 1) div 2")).over(w_cum).alias("cp"),
         F.ceil(F.lit(LSH_CAP_QUANTILE) * F.sum("c").over(w_all)).alias("thr"),
+        F.sum(F.col("n") * F.col("c")).over(w_all).alias("band_rows"),
+    ).withColumn(
+        "budget",
+        F.expr(
+            f"(band_rows div {MINHASH_BANDS}) * {LSH_PAIR_BUDGET_PER_DOC}"
+        ),
     )
-    return (
-        cum.filter(F.col("cum") >= F.col("thr"))
-        .agg(F.min("n").alias("p"))
-        .select(
-            F.greatest(
-                F.lit(LSH_MAX_BUCKET),
-                F.least(
-                    F.lit(LSH_CAP_CEIL),
-                    F.coalesce(F.col("p"), F.lit(LSH_MAX_BUCKET)),
-                ),
-            )
-            .cast("bigint")
-            .alias("cap")
+    pq = cum.filter(F.col("cum") >= F.col("thr")).agg(F.min("n").alias("p"))
+    bq = cum.filter(F.col("cp") <= F.col("budget")).agg(F.max("n").alias("b"))
+    floor = F.lit(LSH_MAX_BUCKET)
+    return pq.join(bq).select(
+        F.greatest(
+            floor,
+            F.least(
+                F.lit(LSH_CAP_CEIL),
+                F.coalesce(F.col("p"), floor),
+                F.coalesce(F.col("b"), floor),
+            ),
         )
+        .cast("bigint")
+        .alias("cap")
     )
 
 
@@ -511,18 +535,27 @@ _BANDED_CTES = (
     + ")"
 )
 
-# SQL twin of derive_bucket_cap + _cap_hot_buckets: same integer bucket
-# histogram, same exact-quantile rule, same [floor, ceil] clamp — so the
-# oracle applies the IDENTICAL hot-bucket drop at any scale instead of
-# silently relying on fixture buckets staying under a constant.
+# SQL twin of derive_bucket_cap + the capped filter: same integer bucket
+# histogram, same exact-quantile + pair-budget rule, same [floor, ceil]
+# clamp — so the oracle applies the IDENTICAL hot-bucket drop at any
+# scale instead of silently relying on fixture buckets staying under a
+# constant.
 _CAPPED_BAND_CTES = (
     "bstats AS (SELECT band, key, COUNT(*) AS n FROM banded GROUP BY band, key),\n"
     "hist AS (SELECT n, COUNT(*) AS c FROM bstats GROUP BY n),\n"
+    "cumq AS (SELECT n, SUM(c) OVER (ORDER BY n) AS cum,\n"
+    "                SUM(c * (n * (n - 1) // 2)) OVER (ORDER BY n) AS cp\n"
+    "         FROM hist),\n"
+    f"histagg AS (SELECT CEIL({LSH_CAP_QUANTILE} * SUM(c)) AS thr,\n"
+    f"                  (CAST(SUM(n * c) AS BIGINT) // {MINHASH_BANDS})"
+    f" * {LSH_PAIR_BUDGET_PER_DOC} AS budget\n"
+    "           FROM hist),\n"
     "capq AS (\n"
-    f"    SELECT GREATEST({LSH_MAX_BUCKET}, LEAST({LSH_CAP_CEIL},"
-    f" COALESCE(MIN(n), {LSH_MAX_BUCKET}))) AS cap\n"
-    "    FROM (SELECT n, SUM(c) OVER (ORDER BY n) AS cum FROM hist)\n"
-    f"    WHERE cum >= (SELECT CEIL({LSH_CAP_QUANTILE} * SUM(c)) FROM hist)\n"
+    f"    SELECT GREATEST({LSH_MAX_BUCKET}, LEAST({LSH_CAP_CEIL},\n"
+    "        COALESCE((SELECT MIN(n) FROM cumq, histagg WHERE cum >= thr),"
+    f" {LSH_MAX_BUCKET}),\n"
+    "        COALESCE((SELECT MAX(n) FROM cumq, histagg WHERE cp <= budget),"
+    f" {LSH_MAX_BUCKET}))) AS cap\n"
     "),\n"
     "kept AS MATERIALIZED (SELECT b.doc_id, b.band, b.key\n"
     "         FROM banded b JOIN bstats s ON b.band = s.band AND b.key = s.key,"

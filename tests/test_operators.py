@@ -107,11 +107,13 @@ def test_minhash_lsh_hot_bucket_cap(spark, tmp_path):
     assert sum(1 for a, b in got_uncapped if a < 100 and b < 100) > 0
 
 
-def test_derive_bucket_cap_quantile_and_clamps(spark):
-    """The data-derived hot-bucket cap (r7): exact integer p99.9 of the
-    bucket-size distribution, clamped to [LSH_MAX_BUCKET, LSH_CAP_CEIL].
-    The floor keeps small corpora effectively uncapped; the ceiling
-    bounds the worst kept bucket's C(n,2) verify cost."""
+def test_derive_bucket_cap_quantile_budget_and_clamps(spark):
+    """The data-derived hot-bucket cap (r7): min(exact integer p99.9,
+    pair-budget cap), clamped to [LSH_MAX_BUCKET, LSH_CAP_CEIL].  The
+    floor keeps small corpora effectively uncapped; the budget term
+    bounds TOTAL candidate-pair output to LSH_PAIR_BUDGET_PER_DOC per
+    corpus doc, which is what tames a wall-to-wall replica corpus the
+    quantile alone would wave through (the sf10 stress)."""
 
     def banded_of(sizes):
         rows, k = [], 0
@@ -128,16 +130,23 @@ def test_derive_bucket_cap_quantile_and_clamps(spark):
     # empty input: floor
     empty = spark.createDataFrame([], "doc_id: bigint, band: int, key: string")
     assert D.derive_bucket_cap(empty) == D.LSH_MAX_BUCKET
-    # one outlier bucket above the ceiling clamps down to the ceiling
-    assert D.derive_bucket_cap(banded_of([2000])) == D.LSH_CAP_CEIL
-    # a genuine p99.9 between the clamps is returned as-is: 1999 buckets
-    # of size 1 put the quantile threshold (ceil(0.999*2000)=1998) inside
-    # the size-1 mass, so the 100-doc boilerplate bucket is ABOVE the cap
+    # all-duplicates degenerate corpus (one 2000-doc bucket): the p99.9 is
+    # 2000, but C(2000,2) ≈ 2M pairs blows the per-doc budget — the budget
+    # term clamps to the floor instead of the quantile waving it through
+    assert D.derive_bucket_cap(banded_of([2000])) == D.LSH_MAX_BUCKET
+    # p99.9 inside the size-1 mass: boilerplate bucket stays above the cap
     sizes = [1] * 1999 + [100]
-    assert D.derive_bucket_cap(banded_of(sizes)) == D.LSH_MAX_BUCKET  # p=1 -> floor
-    # mid-range quantile: 10 buckets of 96 and 1990 of 1 -> p99.9 = 96
-    sizes = [1] * 1990 + [96] * 10
-    assert D.derive_bucket_cap(banded_of(sizes)) == 96
+    assert D.derive_bucket_cap(banded_of(sizes)) == D.LSH_MAX_BUCKET
+    # mid-range cap where BOTH terms agree: 975 singletons fund the budget
+    # (n_docs = 1040/2 bands = 520 -> budget 16,640) and one 65-bucket
+    # costs C(65,2) = 2080 <= budget; the p99.9 of {975x1, 1x65} is 65
+    sizes = [1] * 975 + [65]
+    assert D.derive_bucket_cap(banded_of(sizes)) == 65
+    # same shape but five 65-buckets: cumulative pairs 5*2080 = 10,400 vs
+    # budget (975+325)/2*32 = 20,800 -> still within budget, cap stays 65;
+    # with fifty, 104,000 pairs blow it -> budget clamps to the floor
+    assert D.derive_bucket_cap(banded_of([1] * 975 + [65] * 5)) == 65
+    assert D.derive_bucket_cap(banded_of([1] * 975 + [65] * 50)) == D.LSH_MAX_BUCKET
 
 
 def test_connected_components_chain_and_singleton(spark):

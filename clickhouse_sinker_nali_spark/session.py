@@ -97,14 +97,22 @@ def registered_persist(df, registry: list, level=None):
     from multiple threads can't corrupt the list or double-unpersist —
     the cache-eviction policy itself remains last-writer-wins.
     """
-    out = df.persist(level) if level is not None else df.persist()
+    # Order matters: victims are released BEFORE the new persist.  A repeat
+    # invocation of the same query produces the same canonicalized plan; if
+    # the old entry were still registered, the new persist() would be a
+    # CacheManager no-op ("already cached") and the victim's unpersist
+    # would then evict that shared entry — leaving the returned frame
+    # permanently uncached (found by the r7 self-review).
     with _PERSIST_LOCK:
-        victims, registry[:] = list(registry), [out]
+        victims, registry[:] = list(registry), []
     for v in victims:
         try:
             v.unpersist()
         except Exception:
             pass
+    out = df.persist(level) if level is not None else df.persist()
+    with _PERSIST_LOCK:
+        registry.append(out)
     return out
 
 
@@ -273,12 +281,18 @@ def _parallel_layout(path: str, target: int) -> str:
             # GC superseded copies of THIS (source, target) — older
             # signatures from before a regeneration, crashed tmp dirs:
             # without this, every regeneration leaks one full copy.
-            # AGE-GATED (r6 ADVICE #1): an in-flight DataFrame in this or a
-            # sibling process may still hold a plan bound to the old copy's
-            # file list — deleting it mid-action fails that job with a
-            # missing-path error.  Only copies older than the grace window
-            # are swept; younger ones go on the next regeneration pass once
-            # any plan bound to them has long since finished.
+            # MARK-THEN-SWEEP with a grace window (r6 ADVICE #1, repaired
+            # by the r7 self-review): an in-flight DataFrame in this or a
+            # sibling process may still hold a plan bound to the old
+            # copy's file list — deleting it mid-action fails that job
+            # with a missing-path error.  The directory's own mtime is its
+            # CREATION time, so age-gating on it deletes any long-lived
+            # copy instantly at supersession; instead, the first sweep
+            # that sees a superseded copy stamps a marker inside it
+            # (supersession time), and only a sweep a full grace window
+            # AFTER the stamp deletes — so every copy survives at least
+            # SPARK_GRAFT_LAYOUT_GC_S seconds past losing currency,
+            # whatever its age.
             import shutil
             import time as _time
 
@@ -290,11 +304,20 @@ def _parallel_layout(path: str, target: int) -> str:
                     and name != os.path.basename(out)
                 ):
                     victim = os.path.join(cache_root, name)
+                    marker = os.path.join(victim, ".superseded")
                     try:
-                        if now - os.path.getmtime(victim) < grace_s:
+                        if os.path.isdir(victim) and not os.path.exists(
+                            marker
+                        ):
+                            # first sighting: stamp supersession time (a
+                            # dotfile — Spark/pyarrow scans ignore it)
+                            with open(marker, "w"):
+                                pass
+                            continue
+                        if now - os.path.getmtime(marker) < grace_s:
                             continue
                     except OSError:
-                        pass  # vanished under us: nothing to sweep
+                        pass  # vanished/not-a-dir: fall through to sweep
                     shutil.rmtree(victim, ignore_errors=True)
         _LAYOUT_CACHE[key] = out
         return out

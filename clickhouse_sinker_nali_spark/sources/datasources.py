@@ -573,9 +573,11 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
         log can hold as a committed start — which is what makes capping a
         restarted query's first batch from it regression-safe (the r5
         offset-regression bug was capping from an EARLIEST baseline, which
-        could fall below the committed start).  Purely advisory: a failed
-        write just means the next restart's first batch is uncapped, the
-        documented pre-sidecar behavior."""
+        could fall below the committed start).  Purely advisory: on any
+        write failure the sidecar is REMOVED (never left stale — a
+        stale-low baseline would reintroduce the regression), so the next
+        restart's first batch is uncapped, the documented pre-sidecar
+        behavior."""
         if not self._baseline_path:
             return
         try:
@@ -584,7 +586,19 @@ class KafkaSimParallelStreamReader(DataSourceStreamReader):
                 _json.dump(planned, f)
             _os.replace(tmp, self._baseline_path)
         except OSError:
-            pass
+            # A failed save must not leave a STALE baseline behind: capping
+            # a later restart from a stale-LOW baseline could plan an end
+            # below the committed offset — the r5 offset-regression class
+            # (r7 self-review finding).  Drop the sidecar entirely — a
+            # missing file degrades to the documented uncapped restart; if
+            # even the delete fails, disable the sidecar for this reader's
+            # lifetime so no future save can resurrect the stale file.
+            try:
+                _os.remove(self._baseline_path)
+            except FileNotFoundError:
+                pass
+            except OSError:
+                self._baseline_path = None
 
     def _load_baseline(self) -> dict | None:
         if not self._baseline_path:

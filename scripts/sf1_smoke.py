@@ -108,21 +108,23 @@ def lsh_candidate_volume(spark, sf_dir: str) -> tuple[int, int, int]:
     """(raw, capped, cap) sums of C(bucket, 2) over all LSH band buckets —
     the exact number of candidate pairs the band join will emit before
     dedup/verify, uncapped and under the data-derived hot-bucket cap
-    (r7: ``derive_bucket_cap`` — p99.9 bucket size clamped to
-    [LSH_MAX_BUCKET, LSH_CAP_CEIL], the same cap dedup_minhash_lsh
-    applies).  One narrow aggregation; lets the sf10 run account output
+    (r7: min(p99.9 bucket size, pair-budget cap) clamped to
+    [LSH_MAX_BUCKET, LSH_CAP_CEIL] — ``dedup._derived_cap_df``, the same
+    cap dedup_minhash_lsh applies).  One narrow aggregation; lets the
+    sf10 run account output
     volume BEFORE committing to a possibly output-bound pair join, and
     shows how much of it the cap removes."""
     from clickhouse_sinker_nali_spark.operators.dedup import (
         _banded_sigs,
+        _bucket_sizes,
+        _derived_cap_df,
         _shingle_df,
-        derive_bucket_cap,
     )
 
     banded = _banded_sigs(_shingle_df(spark, sf_dir)).persist()
+    buckets = _bucket_sizes(banded).persist()
     try:
-        cap = derive_bucket_cap(banded)
-        buckets = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+        cap = int(_derived_cap_df(buckets).collect()[0].cap)
         pairs = F.col("n") * (F.col("n") - 1) / 2
         row = buckets.agg(
             F.sum(pairs).alias("raw"),
@@ -131,6 +133,7 @@ def lsh_candidate_volume(spark, sf_dir: str) -> tuple[int, int, int]:
             ),
         ).collect()[0]
     finally:
+        buckets.unpersist()
         banded.unpersist()
     return int(row.raw or 0), int(row.capped or 0), cap
 

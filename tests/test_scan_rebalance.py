@@ -83,7 +83,7 @@ def test_rebalance_opt_out_and_non_heavy_tables(spark):
     assert "Exchange" not in formatted_plan(load_table(spark, SF_DIR, "lineitem"))
 
 
-def test_parallel_layout_cache_and_refresh(tmp_path):
+def test_parallel_layout_cache_and_refresh(tmp_path, monkeypatch):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -95,34 +95,40 @@ def test_parallel_layout_cache_and_refresh(tmp_path):
     # same signature -> same cached copy
     assert _parallel_layout(src, 8) == out1
     # regenerated source at the same path -> fresh copy (mtime/size key);
-    # the superseded copy SURVIVES the GC grace window (r6 ADVICE #1: an
-    # in-flight plan in a sibling process may still be bound to its file
-    # list — deleting it immediately would fail that job mid-action)...
+    # the superseded copy SURVIVES the first sweep regardless of age —
+    # mark-then-sweep stamps supersession time instead of trusting the
+    # dir mtime (creation time), so an in-flight plan in a sibling
+    # process gets a full grace window past losing currency (r6 ADVICE
+    # #1, repaired by the r7 self-review: the mtime form deleted any
+    # copy older than the window IMMEDIATELY at supersession)
     pq.write_table(pa.table({"x": list(range(200))}), src)
     os.utime(src, (0, 0))
     out2 = _parallel_layout(src, 8)
     assert out2 != out1
-    assert os.path.exists(out1), "young superseded copy swept inside grace"
+    assert os.path.exists(out1), "superseded copy swept on first sighting"
+    assert os.path.exists(os.path.join(out1, ".superseded"))
     total = sum(
         pq.read_table(os.path.join(out2, f)).num_rows
         for f in os.listdir(out2)
         if f.endswith(".parquet")
     )
     assert total == 200
-    # ...and is swept by the NEXT regeneration once older than the window
-    # (a regenerating fixture still can't leak copies unboundedly); a
-    # crashed write's aged tmp dir goes the same way
-    os.utime(out1, (0, 0))
+    # ...and is swept by a sweep one grace window AFTER the stamp (grace
+    # forced to 0 here so the next regeneration qualifies); a crashed
+    # write's tmp dir follows the same mark-then-sweep path
+    monkeypatch.setenv("SPARK_GRAFT_LAYOUT_GC_S", "0")
     tmp_leftover = out2 + ".tmp.99999"
     os.makedirs(tmp_leftover)
-    os.utime(tmp_leftover, (0, 0))
     pq.write_table(pa.table({"x": [1]}), src)  # third generation
     out3 = _parallel_layout(src, 8)
-    assert not os.path.exists(out1), "aged stale layout copy leaked"
-    assert not os.path.exists(tmp_leftover), "aged crashed tmp dir leaked"
-    assert os.path.exists(out2)  # young: protected until it ages out
-    shutil.rmtree(out3, ignore_errors=True)
-    shutil.rmtree(out2, ignore_errors=True)
+    assert not os.path.exists(out1), "marked stale layout copy leaked"
+    assert os.path.exists(tmp_leftover)  # first sighting: marked only
+    assert os.path.exists(os.path.join(tmp_leftover, ".superseded"))
+    pq.write_table(pa.table({"x": [2]}), src)  # fourth generation
+    out4 = _parallel_layout(src, 8)
+    assert not os.path.exists(tmp_leftover), "marked crashed tmp dir leaked"
+    for d in (out2, out3, out4):
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def test_parallel_layout_fails_open(tmp_path):

@@ -1909,16 +1909,34 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     an outlier SCAN (mad_outliers flags, winsorizing repairs: ML feature
     pipelines clip rather than drop so row counts survive joins).
 
-    Exact percentiles per group (one shuffle), caps broadcast back, then
-    a second map-side-combined aggregate over the clipped column.  Means
-    are decimal-summed (order-free); caps and means emit as RAW doubles —
-    the exact-percentile pipeline is bit-identical across engines and
-    engine ROUND is not (the mad_outliers lesson).
+    Caps are RANK-BASED order statistics (percentile_disc semantics): the
+    k-th smallest value with k = ceil(q·n) — an actual observed value,
+    identical across engines by construction.  Interpolated percentiles
+    (Spark ``percentile`` vs DuckDB ``quantile_cont``) use different rank
+    conventions; at sf1 volumes the two cuts straddled a tie run and the
+    clipped-row COUNTS diverged by 10 rows (r7 sf1 sweep finding) — a
+    rank cut cannot do that: the value at rank k is invariant to how a
+    sort permutes ties.  One ranking window per group, caps broadcast
+    back, then a map-side-combined aggregate over the clipped column.
+    Means are decimal-summed (order-free); caps and means emit as RAW
+    doubles (engine ROUND is not portable — the mad_outliers lesson).
     """
+    from pyspark.sql.window import Window
+
     ev = load_table(spark, sf_dir, "events")
-    caps = ev.groupBy("event_type").agg(
-        F.expr(f"percentile(value, {_WINSOR_LO})").alias("lo"),
-        F.expr(f"percentile(value, {_WINSOR_HI})").alias("hi"),
+    n_per = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("value")
+    lo_rn = F.ceil(F.lit(_WINSOR_LO) * F.col("n")).cast("bigint")
+    hi_rn = F.ceil(F.lit(_WINSOR_HI) * F.col("n")).cast("bigint")
+    caps = (
+        ev.join(F.broadcast(n_per), "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == lo_rn) | (F.col("rn") == hi_rn))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rn") == lo_rn, F.col("value"))).alias("lo"),
+            F.min(F.when(F.col("rn") == hi_rn, F.col("value"))).alias("hi"),
+        )
     )
     clipped = ev.join(F.broadcast(caps), "event_type").select(
         "event_type", "value", "lo", "hi",
@@ -1951,11 +1969,22 @@ def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINSORIZE_SQL = f"""
-WITH caps AS (
+WITH nn AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+rk AS (
+    SELECT e.event_type, e.value, nn.n,
+           ROW_NUMBER() OVER (PARTITION BY e.event_type ORDER BY e.value) AS rn
+    FROM events e JOIN nn USING (event_type)
+),
+caps AS (
     SELECT event_type,
-           quantile_cont(value, {_WINSOR_LO}) AS lo,
-           quantile_cont(value, {_WINSOR_HI}) AS hi
-    FROM events GROUP BY event_type
+           MIN(CASE WHEN rn = CAST(CEIL({_WINSOR_LO} * n) AS BIGINT)
+                    THEN value END) AS lo,
+           MIN(CASE WHEN rn = CAST(CEIL({_WINSOR_HI} * n) AS BIGINT)
+                    THEN value END) AS hi
+    FROM rk
+    WHERE rn = CAST(CEIL({_WINSOR_LO} * n) AS BIGINT)
+       OR rn = CAST(CEIL({_WINSOR_HI} * n) AS BIGINT)
+    GROUP BY event_type
 )
 SELECT e.event_type,
        COUNT(*) AS n,

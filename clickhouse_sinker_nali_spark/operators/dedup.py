@@ -51,8 +51,18 @@ MINHASH_K = 16  # signature length
 MINHASH_BANDS = 2
 MINHASH_ROWS = MINHASH_K // MINHASH_BANDS
 JACCARD_THRESHOLD = 0.1
-SIMHASH_BITS = 16
-SIMHASH_CHUNKS = 4  # pigeonhole: hamming<=3 → >=1 identical 4-bit chunk
+# 32-bit signatures (r7; was 16).  Signature width sets the RANDOM
+# collision floor: P[hamming(a,b) <= 3] for unrelated docs is
+# ~C(W,<=3)/2^W — at W=16 that is ~1%, which over a 50K-doc corpus
+# manufactures ~13M spurious "near-dup" pairs by birthday alone (found by
+# the r7 sf1 sweep: a 5 GiB result partition), and the 4-bit band chunks
+# give only 64 distinct buckets for the candidate join to spread over.
+# W=32 puts the random floor at ~1.3e-6 (a few thousand pairs even at
+# 500K docs) and the 8-bit chunks give 4×256 buckets; production simhash
+# uses W=64 for web scale — the width is a dial, the plan is unchanged.
+SIMHASH_BITS = 32
+SIMHASH_CHUNKS = 4  # pigeonhole: hamming<=3 → >=1 identical chunk
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
 COSINE_THRESHOLD = 0.4
 
 
@@ -663,11 +673,14 @@ MINHASH_INDEX_DELTA_SQL = (
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per doc over word hashes weighted by occurrence count.
+    """SIMHASH_BITS-bit SimHash per doc over word hashes weighted by
+    occurrence count.
 
     bit b of the signature = sign of Σ_words (±count), + if word-hash bit b
     is set.  Entirely map-reducible: one groupBy(doc_id, word), one
-    groupBy(doc_id) with 16 conditional sums.
+    groupBy(doc_id) with SIMHASH_BITS conditional sums.  The word hash is
+    the portable 60-bit md5 hash (non-negative, so plain div/mod bit
+    extraction agrees between Spark and DuckDB).
     """
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
@@ -713,19 +726,27 @@ SIMHASH_SIG_SQL = (
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: hamming distance ≤ 3 on 16-bit signatures.
+    """SimHash near-dup pairs: hamming distance ≤ 3 on SIMHASH_BITS-bit
+    signatures.
 
-    Pigeonhole banding: split the signature into 4 chunks of 4 bits; any
-    pair within hamming 3 shares ≥ 1 identical chunk, so an equi-join on
-    (chunk_idx, chunk_value) finds ALL such pairs exactly — no quadratic
-    scan.  This is how simhash dedup runs over billions of docs.
+    Pigeonhole banding: split the signature into 4 chunks of
+    SIMHASH_CHUNK_BITS bits; any pair within hamming 3 shares ≥ 1
+    identical chunk, so an equi-join on (chunk_idx, chunk_value) finds
+    ALL such pairs exactly — no quadratic scan.  This is how simhash
+    dedup runs over billions of docs (Manku et al. 2007, at 64 bits).
+    The hamming filter runs BEFORE the pair distinct, so the dedup
+    shuffle carries only qualifying pairs — a pair that shares several
+    chunks is cheap to re-filter, expensive to re-shuffle.
     """
+    cw = 1 << SIMHASH_CHUNK_BITS
     sigs = simhash_signatures(spark, sf_dir)
     chunks = F.array(
         *[
             F.struct(
                 F.lit(c).alias("idx"),
-                F.expr(f"(simhash div {1 << (c * 4)}) % 16").alias("val"),
+                F.expr(
+                    f"(simhash div {1 << (c * SIMHASH_CHUNK_BITS)}) % {cw}"
+                ).alias("val"),
             )
             for c in range(SIMHASH_CHUNKS)
         ]
@@ -746,8 +767,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(F.expr("a.simhash ^ b.simhash")).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= 3)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
     return pairs
@@ -759,7 +780,9 @@ DEDUP_SIMHASH_SQL = (
     + "),\n"
     "banded AS ("
     + " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {c} AS idx, (simhash // {1 << (c * 4)}) % 16 AS val FROM sigs"
+        f"SELECT doc_id, simhash, {c} AS idx,"
+        f" (simhash // {1 << (c * SIMHASH_CHUNK_BITS)})"
+        f" % {1 << SIMHASH_CHUNK_BITS} AS val FROM sigs"
         for c in range(SIMHASH_CHUNKS)
     )
     + ")\n"

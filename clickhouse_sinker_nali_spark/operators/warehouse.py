@@ -701,12 +701,18 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("o_year")
         .agg(
-            F.sum(
-                F.when(F.col("supp_nation") == "NATION_0", F.col("rev")).otherwise(zero)
+            # ROUND(,4)-before-double: the 2^53 class fix (see the Q6 note)
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("supp_nation") == "NATION_0", F.col("rev")
+                    ).otherwise(zero)
+                ),
+                4,
             )
             .cast("double")
             .alias("nation_rev"),
-            F.sum("rev").cast("double").alias("total_rev"),
+            F.round(F.sum("rev"), 4).cast("double").alias("total_rev"),
         )
         .select(
             "o_year",
@@ -725,12 +731,12 @@ SELECT o_year,
        ROUND(total_rev, 6) AS total_rev
 FROM (
     SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-           CAST(SUM(CASE WHEN n2.n_name = 'NATION_0'
+           CAST(ROUND(SUM(CASE WHEN n2.n_name = 'NATION_0'
                     THEN CAST(l_extendedprice AS DECIMAL(12,4))
                          * (1 - CAST(l_discount AS DECIMAL(12,4)))
-                    ELSE CAST(0 AS DECIMAL(25,8)) END) AS DOUBLE) AS nation_rev,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-                * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS DOUBLE) AS total_rev
+                    ELSE CAST(0 AS DECIMAL(25,8)) END), 4) AS DOUBLE) AS nation_rev,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                * (1 - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE) AS total_rev
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey

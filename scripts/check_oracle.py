@@ -105,7 +105,13 @@ def main():
     import __spark_entry__ as mod
     from clickhouse_sinker_nali_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    # the gate COLLECTS full results; pair-list queries over replica-heavy
+    # corpora (sf1 dedup_simhash: ~12M genuine near-dup rows) exceed the
+    # 1g default — at production scale these outputs are written, not
+    # collected, so the ceiling is a checker artifact
+    spark = get_spark(
+        "oracle-check", extra_conf={"spark.driver.maxResultSize": "16g"}
+    )
     con = duckdb.connect()
     for t in TABLES:
         # driver testdata is one file per table; the sf1/sf10 smoke corpora

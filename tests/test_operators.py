@@ -175,7 +175,7 @@ def test_dedup_clusters_cover_all_docs_and_contain_lsh_pairs(spark):
 
 def test_simhash_close_pairs_have_close_signatures(spark):
     sigs = {r.doc_id: r.simhash for r in D.simhash_signatures(spark, SF_DIR).collect()}
-    assert all(0 <= s < (1 << 16) for s in sigs.values())
+    assert all(0 <= s < (1 << D.SIMHASH_BITS) for s in sigs.values())
     for r in D.dedup_simhash(spark, SF_DIR).limit(50).collect():
         assert bin(sigs[r.doc_a] ^ sigs[r.doc_b]).count("1") == r.hamming
         assert r.hamming <= 3
@@ -2823,6 +2823,21 @@ def test_provenance_checksum_is_layout_invariant(spark, tmp_path):
     ).collect()[0]
     assert agg.n == base[0].n_rows
     assert agg.checksum == base[0].content_checksum
+
+    # directory layout: the default label normalizes to the table dir (one
+    # stable lineage row at any file count), per_file=True keeps genuine
+    # file granularity — decimal-summed checksums re-combine to the total
+    table_dir = str(tmp_path / "documents.parquet")
+    docs.repartition(4).write.mode("overwrite").parquet(table_dir)
+    norm = I.ingest_provenance(spark, str(tmp_path)).collect()
+    assert [r.file for r in norm] == ["documents.parquet"]
+    assert norm[0].n_rows == base[0].n_rows
+    assert norm[0].content_checksum == base[0].content_checksum
+    per_file = I.ingest_provenance(spark, str(tmp_path), per_file=True).collect()
+    assert len(per_file) == 4
+    assert sum(r.n_rows for r in per_file) == base[0].n_rows
+    assert all(r.file.endswith(".parquet") and r.file != "documents.parquet"
+               for r in per_file)
 
 
 def test_lang_segments_partition_each_doc_contiguously(spark):

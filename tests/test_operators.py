@@ -149,6 +149,44 @@ def test_derive_bucket_cap_quantile_budget_and_clamps(spark):
     assert D.derive_bucket_cap(banded_of([1] * 975 + [65] * 50)) == D.LSH_MAX_BUCKET
 
 
+def test_derive_bucket_cap_duckdb_twin_matches(spark):
+    """The oracle-side cap CTE chain must derive the SAME integer cap as
+    the Spark rule on identical band rows — this is what makes capped
+    oracle equivalence structural rather than fixture luck.  Exercises
+    floor, quantile-governed, and budget-governed distributions."""
+    import duckdb
+    import pandas as pd
+
+    # the oracle CTE chain verbatim, minus the final kept CTE (which
+    # needs the LSH banded relation; the cap itself only needs bstats)
+    chain = D._CAPPED_BAND_CTES.rsplit(",\nkept AS", 1)[0]
+    for sizes in (
+        [1, 2, 3],
+        [2000],
+        [1] * 1999 + [100],
+        [1] * 975 + [65],
+        [1] * 975 + [65] * 5,
+        [1] * 975 + [65] * 50,
+        [7] * 400 + [90] * 3,
+    ):
+        rows, k = [], 0
+        for i, n in enumerate(sizes):
+            for _ in range(n):
+                rows.append((k, 0, f"key{i}"))
+                k += 1
+        pdf = pd.DataFrame(rows, columns=["doc_id", "band", "key"])
+        con = duckdb.connect()
+        con.register("banded", pdf)
+        duck_cap = con.execute(
+            "WITH " + chain + " SELECT cap FROM capq"
+        ).fetchone()[0]
+        con.close()
+        sdf = spark.createDataFrame(
+            rows, "doc_id: bigint, band: int, key: string"
+        )
+        assert D.derive_bucket_cap(sdf) == int(duck_cap), sizes
+
+
 def test_connected_components_chain_and_singleton(spark):
     # pairs a~b, b~c, c~d must collapse into ONE cluster (transitivity the
     # pair list alone can't express); untouched nodes stay singletons

@@ -206,32 +206,61 @@ ORDER BY c_custkey
 
 
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated median/p90 per order priority.
-
-    ``percentile`` (exact, sort-based) matches DuckDB's ``quantile_cont``
-    definition: linear interpolation a + (b−a)·f over the sorted set — the
-    same IEEE arithmetic in both engines.  At 100 TB you'd swap in
-    ``approx_percentile`` (t-digest sketch, no global sort) and accept the
-    rows-only check, like approx_count_distinct.
+    """Exact p50/p90 of order price per priority, as RANK-BASED order
+    statistics (percentile_disc semantics): the k-th smallest value with
+    k = ceil(q·n) — an actual observed price, identical across engines by
+    construction (the ``winsorize_values`` discipline; interpolated
+    percentiles were the class that diverged at sf1 under tie runs, and
+    Spark's exact ``percentile`` additionally buffers every group value
+    in ONE aggregation buffer — a per-group OOM at 100 TB, where this
+    rank-window form is just a distributed sort).  At petabyte scale
+    you'd swap in ``approx_percentile`` (t-digest, no sort) and accept
+    the rows-only check, like approx_count_distinct.
     """
+    from pyspark.sql.window import Window
+
     orders = load_table(spark, sf_dir, "orders")
+    n_per = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    k50 = F.ceil(F.lit(0.5) * F.col("n")).cast("bigint")
+    k90 = F.ceil(F.lit(0.9) * F.col("n")).cast("bigint")
     return (
-        orders.groupBy("o_orderpriority")
+        orders.join(F.broadcast(n_per), "o_orderpriority")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == k50) | (F.col("rn") == k90))
+        .groupBy("o_orderpriority")
         .agg(
-            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
-            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
-            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.when(F.col("rn") == k50, F.col("o_totalprice")))
+            .alias("p50"),
+            F.min(F.when(F.col("rn") == k90, F.col("o_totalprice")))
+            .alias("p90"),
+            F.max("n").alias("n_orders"),
         )
         .orderBy("o_orderpriority")
     )
 
 
 PERCENTILES_SQL = """
+WITH nn AS (
+    SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority
+),
+rk AS (
+    SELECT o.o_orderpriority, o.o_totalprice, nn.n,
+           ROW_NUMBER() OVER (PARTITION BY o.o_orderpriority
+                              ORDER BY o.o_totalprice) AS rn
+    FROM orders o JOIN nn USING (o_orderpriority)
+)
 SELECT o_orderpriority,
-       quantile_cont(o_totalprice, 0.5) AS p50,
-       quantile_cont(o_totalprice, 0.9) AS p90,
-       COUNT(*) AS n_orders
-FROM orders
+       MIN(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                THEN o_totalprice END) AS p50,
+       MIN(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                THEN o_totalprice END) AS p90,
+       MAX(n) AS n_orders
+FROM rk
+WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
+   OR rn = CAST(CEIL(0.9 * n) AS BIGINT)
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
@@ -1830,25 +1859,40 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     hides its neighbors; median/MAD are 50%-breakdown estimators, so the
     scan still flags them).
 
-    Exact medians via ``percentile(0.5)`` (sort-based, deterministic
-    averaging of middle pairs in both engines — no t-digest
-    approximation); MAD needs a second pass over |x−median|, so the plan
-    is two shuffles keyed on event_type with the per-type constants
-    broadcast back.  At 100 TB swap ``percentile`` for the bottom-k
-    sketch nearby if two exact sorts are too dear; the contract columns
-    stay identical.
+    Both medians are RANK-BASED order statistics (the value at rank
+    k = ceil(n/2) — the lower median under the ``winsorize_values``
+    discipline): an actual observed value, identical across engines by
+    construction.  Interpolated medians (Spark ``percentile`` vs DuckDB
+    ``median``) average the middle pair with formulas that can differ by
+    an ulp, and Spark's exact ``percentile`` buffers every group value
+    in ONE aggregation buffer — a per-group OOM at 100 TB, where this
+    rank-window form is a distributed sort.  MAD needs a second pass
+    over |x−median|, so the plan is two window shuffles keyed on
+    event_type with the per-type constants broadcast back.  At 100 TB
+    swap the rank window for the bottom-k sketch nearby if two exact
+    sorts are too dear; the contract columns stay identical.
     """
+    from pyspark.sql.window import Window
+
+    def _rank_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        n_per = df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        w = Window.partitionBy("event_type").orderBy(col)
+        k = F.ceil(F.lit(0.5) * F.col("n")).cast("bigint")
+        return (
+            df.join(F.broadcast(n_per), "event_type")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == k)
+            .groupBy("event_type")
+            .agg(F.min(col).alias(out))
+        )
+
     ev = load_table(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
-    )
+    med = _rank_median(ev.select("event_type", "value"), "value", "med")
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "event_id", "value", "med",
         F.abs(F.col("value") - F.col("med")).alias("adev"),
     )
-    mad = dev.groupBy("event_type").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad")
-    )
+    mad = _rank_median(dev.select("event_type", "adev"), "adev", "mad")
     # all outputs are RAW doubles, no in-SQL ROUND: the exact-percentile
     # pipeline is bit-identical across engines, and engine ROUND is NOT —
     # DuckDB rounds the shortest decimal repr (3.8522499999999997 prints
@@ -1874,16 +1918,35 @@ def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MAD_OUTLIERS_SQL = f"""
-WITH med AS (
-    SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+WITH nn AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+vrk AS (
+    SELECT e.event_type, e.value, nn.n,
+           ROW_NUMBER() OVER (PARTITION BY e.event_type ORDER BY e.value)
+               AS rn
+    FROM events e JOIN nn USING (event_type)
 ),
-dev AS (
+med AS (
+    SELECT event_type, MIN(value) AS med
+    FROM vrk
+    WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
+    GROUP BY event_type
+),
+dev AS MATERIALIZED (
     SELECT e.event_type, e.event_id, e.value, m.med,
            ABS(e.value - m.med) AS adev
     FROM events e JOIN med m USING (event_type)
 ),
+ark AS (
+    SELECT d.event_type, d.adev, nn.n,
+           ROW_NUMBER() OVER (PARTITION BY d.event_type ORDER BY d.adev)
+               AS rn
+    FROM dev d JOIN nn USING (event_type)
+),
 mad AS (
-    SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    SELECT event_type, MIN(adev) AS mad
+    FROM ark
+    WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
+    GROUP BY event_type
 )
 SELECT d.event_type, d.event_id, d.value,
        d.med AS median,

@@ -1873,3 +1873,100 @@ IR_EVAL_SQL = (
     .replace("{tri_shingles}", word_shingles_sql("documents", "doc_id", "text", 2))
     .replace("{shingles}", word_shingles_sql("documents", "doc_id", "text", _CONTAM_K))
 )
+
+
+# --------------------------------------------------------------------------
+# C4 line-level cleaning cascade (the T5 corpus rules)
+# --------------------------------------------------------------------------
+
+_C4_MIN_LINE_WORDS = 5   # C4: "retained lines that contained at least 5 words"
+_C4_MIN_KEPT_LINES = 3   # C4: "discarded pages with fewer than 3 sentences"
+
+
+def c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 (T5-corpus) line-level cleaning cascade, complementing the
+    doc-level ``gopher_quality_filter``: a line survives only if it ends
+    in terminal punctuation, has ≥5 words, and does not mention
+    "javascript"; a doc survives only if ≥3 lines survive and the page
+    mentions neither "lorem ipsum" nor a curly brace (the code marker).
+    Per-doc audit columns for every rule plus the conjunction ``keep`` —
+    line filtering is where web-scrape curation removes most of its
+    boilerplate mass, and it is pure per-row column algebra here.
+
+    Higher-order array functions over one ``split`` — no shuffle, no
+    UDF: at 100 TB this runs at parquet-scan speed like the Gopher pass.
+    Reference has no curation layer (it is an ingest engine,
+    input/kafka_sarama.go); this extends the repo's training-data
+    pipeline family.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+
+    def _line_words(line):
+        return F.filter(F.split(line, "[ \\t]+"), lambda w: w != "")
+
+    # terminal-punctuation test via right(t, 1), not a '$'-anchored regex:
+    # Java's '$' matches BEFORE a final line terminator (a trailing '\r'
+    # from CRLF text would pass) where RE2/DuckDB's does not — the last
+    # character test is definitional in both engines
+    _TERMINAL = ('.', '!', '?', '"')
+
+    def _line_ok(line):
+        t = F.rtrim(line)
+        return (
+            F.right(t, F.lit(1)).isin(*_TERMINAL)
+            & (F.size(_line_words(t)) >= _C4_MIN_LINE_WORDS)
+            & ~F.lower(line).contains("javascript")
+        )
+
+    kept = F.filter(lines, _line_ok)
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    kept_words = F.aggregate(
+        kept,
+        F.lit(0),
+        lambda acc, line: acc + F.size(_line_words(F.rtrim(line))),
+    ).cast("bigint")
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    keep = (n_kept >= _C4_MIN_KEPT_LINES) & ~has_lorem & ~has_brace
+    return docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        kept_words.alias("kept_words"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+C4_FILTERS_SQL = f"""
+WITH base AS (
+    SELECT doc_id, text, lower(text) AS lt,
+           string_split(text, chr(10)) AS ls
+    FROM documents
+), k AS (
+    SELECT doc_id, len(ls) AS n_lines,
+           list_filter(ls, l ->
+               right(rtrim(l), 1) IN ('.', '!', '?', '"')
+               AND len(list_filter(
+                       regexp_split_to_array(rtrim(l), '[ \\t]+'),
+                       w -> w <> '')) >= {_C4_MIN_LINE_WORDS}
+               AND NOT contains(lower(l), 'javascript')) AS kept,
+           contains(lt, 'lorem ipsum') AS has_lorem_ipsum,
+           contains(text, '{{') AS has_brace
+    FROM base
+)
+SELECT doc_id, n_lines,
+       len(kept) AS n_kept_lines,
+       CAST(COALESCE(list_sum(list_transform(kept, l ->
+            len(list_filter(regexp_split_to_array(rtrim(l), '[ \\t]+'),
+                            w -> w <> '')))), 0) AS BIGINT) AS kept_words,
+       has_lorem_ipsum,
+       has_brace,
+       len(kept) >= {_C4_MIN_KEPT_LINES}
+           AND NOT has_lorem_ipsum AND NOT has_brace AS keep
+FROM k
+ORDER BY doc_id
+"""

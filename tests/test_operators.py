@@ -3153,3 +3153,73 @@ def test_event_transitions_rows_are_distributions(spark):
         if a.user_id == b.user_id:
             expect[(a.event_type, b.event_type)] += 1
     assert {(r.cur, r.nxt): r.n for r in rows} == dict(expect)
+
+
+def test_c4_filters_rules_on_planted_lines(spark, tmp_path):
+    # the synthetic corpus is single-line word salad (every rule vacuously
+    # false there), so the rules are pinned on a planted multi-line corpus
+    # that exercises each one — and the DuckDB oracle must agree row-for-row
+    import duckdb
+
+    texts = [
+        # 0: clean — 3 lines, each ≥5 words ending in terminal punct → keep
+        "one two three four five.\nsix seven eight nine ten!\n"
+        'eleven twelve thirteen fourteen "fifteen?"',
+        # 1: only 2 qualifying lines → drop (min-kept-lines)
+        "one two three four five.\nsix seven eight nine ten.",
+        # 2: lines long enough but no terminal punctuation → 0 kept
+        "one two three four five\nsix seven eight nine ten\n"
+        "a b c d e\nf g h i j",
+        # 3: javascript mention kills its line → only 2 survive
+        "enable javascript one two three four.\n"
+        "one two three four five.\nsix seven eight nine ten.",
+        # 4: lorem ipsum page-level kill despite 3 clean lines
+        "one two three four five.\nsix seven eight nine ten.\n"
+        "Lorem Ipsum dolor sit amet.",
+        # 5: curly brace page-level kill
+        "one two three four five.\nsix seven eight nine ten.\n"
+        "function() { return 1; } extra words here.",
+        # 6: short lines (<5 words) never qualify
+        "one two.\nthree four!\nfive six?",
+        # 7: trailing spaces after punctuation still qualify (rtrim)
+        "one two three four five.   \nsix seven eight nine ten.  \n"
+        "eleven twelve thirteen fourteen fifteen!  ",
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["planted"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    planted = str(tmp_path / "c4")
+    os.makedirs(planted)
+    pdf.to_parquet(f"{planted}/documents.parquet", index=False)
+
+    rows = {r.doc_id: r for r in T.c4_filters(spark, planted).collect()}
+    assert [rows[i].keep for i in range(8)] == [
+        True, False, False, False, False, False, False, True,
+    ]
+    assert rows[0].n_kept_lines == 3 and rows[0].kept_words == 15
+    assert rows[1].n_kept_lines == 2
+    assert rows[2].n_kept_lines == 0 and rows[2].kept_words == 0
+    assert rows[3].n_kept_lines == 2  # javascript line dropped
+    assert rows[4].has_lorem_ipsum and rows[4].n_kept_lines == 3
+    assert rows[5].has_brace
+    assert rows[6].n_kept_lines == 0
+    assert rows[7].n_kept_lines == 3
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{planted}/documents.parquet')"
+    )
+    oracle = con.sql(T.C4_FILTERS_SQL).fetchall()
+    spark_rows = [
+        tuple(rows[i]) for i in range(8)
+    ]
+    assert [tuple(r) for r in oracle] == spark_rows

@@ -135,6 +135,8 @@ def ann_bruteforce_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        if not qmat:  # degenerate corpus: no query vectors -> no output
+            return
         Q = np.asarray(qmat, dtype=np.float64)
         qn = np.sqrt((Q * Q).sum(axis=1))
         ids = np.asarray(qids, dtype=np.int64)
@@ -302,6 +304,14 @@ _IVF_K_SQL = f"""
 """
 
 
+def _dummy_vec() -> list[float]:
+    """Deterministic placeholder vector for degenerate (empty) training
+    windows: e₀, the unit vector — nonzero norm keeps every cosine
+    well-defined.  Only ever used when the corpus side is empty, where
+    results are empty whatever the index contains."""
+    return [1.0] + [0.0] * (DIM - 1)
+
+
 def _centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
     """Deterministic centroid seed pick: first ``ivf_k(N)`` corpus vectors,
     as (cid, vector) sorted by cid.  Tiny (K×d floats) — safe to collect.
@@ -315,6 +325,13 @@ def _centroids(emb: DataFrame) -> list[tuple[int, list[float]]]:
         .select("vec_id", "embedding")
         .collect()
     )
+    if not rows:
+        # degenerate corpus (empty, or every row is a query): substitute one
+        # deterministic dummy centroid so plan construction survives — the
+        # corpus side is empty in exactly this case, so every downstream
+        # join produces the correct empty result regardless of the value
+        # (unit vector, not zeros: cosine against it stays NaN-free)
+        return [(0, _dummy_vec())]
     return sorted(
         (int(r.vec_id) - N_QUERIES, [float(x) for x in r.embedding]) for r in rows
     )
@@ -1084,9 +1101,18 @@ def ann_ivf_query(
     emb = load_table(spark, sf_dir, "embeddings")
     queries = _probed_queries(emb, cents)
     probe_cids = sorted({int(r.cid) for r in queries.select("cid").distinct().collect()})
+    from pyspark.errors import AnalysisException
+
+    try:
+        raw = spark.read.parquet(os.path.join(index_path, "corpus"))
+    except AnalysisException:
+        # a degenerate (empty) corpus writes no data files under corpus/,
+        # so schema inference fails — the index is legitimately empty
+        raw = spark.createDataFrame(
+            [], "neighbor_id bigint, ce array<float>, cid int"
+        )
     corpus = (
-        spark.read.parquet(os.path.join(index_path, "corpus"))
-        .filter(F.col("cid").isin(probe_cids))
+        raw.filter(F.col("cid").isin(probe_cids))
         # the streaming maintainer keys its idempotent-replay partitions on
         # (cid, __epoch); the batch build has no such column — no-op there
         .drop("__epoch")
@@ -1298,7 +1324,8 @@ def kmeans_refine(
         inertia = assigned.agg(
             F.sum(F.lit(1.0) - F.col("best").getField("cos"))
         ).collect()[0][0]
-        trace.append(float(inertia))
+        # SUM over an empty assignment (degenerate corpus) is NULL → 0.0
+        trace.append(float(inertia) if inertia is not None else 0.0)
         stats = assigned.select(
             F.col("best").getField("cid").alias("cid"),
             F.posexplode(F.col("embedding")),
@@ -1837,8 +1864,14 @@ def _pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
         [float(x) for x in r.embedding]
         for r in sorted(rows, key=lambda r: int(r.vec_id))
     ]
-    if len(vecs) != PQ_KSUB:
-        raise ValueError(f"PQ seed window has {len(vecs)} vectors, need {PQ_KSUB}")
+    if len(vecs) < PQ_KSUB:
+        # degenerate corpus (fewer corpus vectors than the seed window —
+        # in practice empty/one-row inputs): pad with the deterministic
+        # dummy so plan construction survives.  Duplicate codes are
+        # harmless (argmin ties break toward the smaller code) and the
+        # oracle never runs at corpora this small; at every oracle scale
+        # the window is full and the codebooks are exactly the seed pick.
+        vecs = vecs + [_dummy_vec()] * (PQ_KSUB - len(vecs))
     return [
         [v[s * PQ_SD:(s + 1) * PQ_SD] for v in vecs] for s in range(PQ_M)
     ]
@@ -1987,6 +2020,8 @@ def ann_pq_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        if not qmat:  # degenerate corpus: no query vectors -> no output
+            return
         CB = np.asarray(cbs, dtype=np.float64)          # M × KSUB × SD
         cc = (CB * CB).sum(axis=-1)                      # M × KSUB
         Q = np.asarray(qmat, dtype=np.float64)
@@ -2333,7 +2368,13 @@ def coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select("vec_id", "embedding")
-    first = corpus.orderBy("vec_id").limit(1).collect()[0]
+    seed = corpus.orderBy("vec_id").limit(1).collect()
+    if not seed:
+        # degenerate corpus: no points to cover → empty coreset, same schema
+        return spark.createDataFrame(
+            [], "center_rank int, center_id bigint, radius double"
+        )
+    first = seed[0]
     centers = [(int(first.vec_id), [float(x) for x in first.embedding])]
     picks = [(1, centers[0][0], None)]
     for _ in range(KCENTER_K - 1):

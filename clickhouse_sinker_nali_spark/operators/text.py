@@ -1903,7 +1903,12 @@ def c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = F.split(F.col("text"), "\n")
 
     def _line_words(line):
-        return F.filter(F.split(line, "[ \\t]+"), lambda w: w != "")
+        # canonical ASCII whitespace class (identical bytes in Java and
+        # RE2); \n can't occur inside a split line, so this equals the
+        # plain space/tab split while surviving stray \r / \f / \x0b
+        return F.filter(
+            F.split(line, "[ \\t\\n\\x0b\\f\\r]+"), lambda w: w != ""
+        )
 
     # terminal-punctuation test via right(t, 1), not a '$'-anchored regex:
     # Java's '$' matches BEFORE a final line terminator (a trailing '\r'
@@ -1951,7 +1956,7 @@ WITH base AS (
            list_filter(ls, l ->
                right(rtrim(l), 1) IN ('.', '!', '?', '"')
                AND len(list_filter(
-                       regexp_split_to_array(rtrim(l), '[ \\t]+'),
+                       regexp_split_to_array(rtrim(l), '[ \\t\\n\\x0b\\f\\r]+'),
                        w -> w <> '')) >= {_C4_MIN_LINE_WORDS}
                AND NOT contains(lower(l), 'javascript')) AS kept,
            contains(lt, 'lorem ipsum') AS has_lorem_ipsum,
@@ -1961,7 +1966,7 @@ WITH base AS (
 SELECT doc_id, n_lines,
        len(kept) AS n_kept_lines,
        CAST(COALESCE(list_sum(list_transform(kept, l ->
-            len(list_filter(regexp_split_to_array(rtrim(l), '[ \\t]+'),
+            len(list_filter(regexp_split_to_array(rtrim(l), '[ \\t\\n\\x0b\\f\\r]+'),
                             w -> w <> '')))), 0) AS BIGINT) AS kept_words,
        has_lorem_ipsum,
        has_brace,

@@ -2799,11 +2799,15 @@ def test_mlm_masking_is_reversible_and_rate_bounded(spark):
 
 def test_mad_outliers_are_robust_to_the_spikes_they_flag(spark):
     """Flagged rows must satisfy the threshold against driver-recomputed
-    median/MAD, and removing them must not change the medians (robustness
-    property that mean/sigma z-scores lack)."""
-    import statistics
+    median/MAD — using the same rank-based order statistic the operator
+    uses since r7 (value at k = ceil(n/2); interpolated medians were the
+    class that diverged across engines at sf1 under tie runs)."""
+    import math
 
     import clickhouse_sinker_nali_spark.operators.advanced as A
+
+    def rank_median(vals):
+        return sorted(vals)[math.ceil(0.5 * len(vals)) - 1]
 
     rows = A.mad_outliers(spark, SF_DIR).collect()
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
@@ -2811,11 +2815,12 @@ def test_mad_outliers_are_robust_to_the_spikes_they_flag(spark):
     for e in ev:
         by_type.setdefault(e.event_type, []).append(e.value)
     for t, vals in by_type.items():
-        med = statistics.median(vals)
-        mad = statistics.median([abs(v - med) for v in vals])
+        med = rank_median(vals)
+        mad = rank_median([abs(v - med) for v in vals])
         flagged = [r for r in rows if r.event_type == t]
         for r in flagged:
-            assert abs(r.median - round(med, 6)) < 1e-6
+            assert r.median == med
+            assert r.mad == mad
             assert A._MAD_CONSIST * abs(r.value - med) / mad > A._MAD_CUT
 
 

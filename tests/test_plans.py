@@ -705,3 +705,28 @@ def test_ir_eval_candidates_come_from_equi_join_not_crossproduct(spark):
     # consumers -> four attaches, all with a 1-row build side
     assert plan.count("BroadcastNestedLoopJoin") <= 4
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)         or ("BroadcastHashJoin" in plan)
+
+
+@pytest.mark.slow
+def test_registry_plans_free_of_cartesian_and_roundrobin(spark):
+    """Registry-wide anti-pattern sweep: no registered query's executed
+    plan may contain CartesianProduct (unconditional cross join — O(N·M)
+    at 100 TB) or RoundRobinPartitioning (a blind repartition(n) AQE can
+    neither prune nor skew-split).  BroadcastNestedLoopJoin is allowed:
+    the repo's instances carry 1-row broadcast sides (PageRank's
+    dangling-mass scalar), a constant-size replicate.  r7 baseline:
+    0 offenders over the full 181-query registry."""
+    import __spark_entry__ as mod
+
+    from clickhouse_sinker_nali_spark.plans import formatted_plan
+
+    offenders = []
+    for name, fn in mod.queries().items():
+        plan = formatted_plan(fn(spark, SF_DIR))
+        hits = [
+            m for m in ("CartesianProduct", "RoundRobinPartitioning")
+            if m in plan
+        ]
+        if hits:
+            offenders.append(f"{name}: {'+'.join(hits)}")
+    assert not offenders, offenders

@@ -3228,3 +3228,47 @@ def test_c4_filters_rules_on_planted_lines(spark, tmp_path):
         tuple(rows[i]) for i in range(8)
     ]
     assert [tuple(r) for r in oracle] == spark_rows
+
+
+def test_rank_percentiles_are_tie_invariant_and_match_duckdb(spark, tmp_path):
+    # the r7 reformulation's whole point: rank-based cuts (k = ceil(q*n))
+    # cannot diverge across engines on tie runs, where interpolated
+    # percentiles did at sf1.  Planted: a tie-heavy orders table whose
+    # p50/p90 land INSIDE tie runs, compared row-for-row against DuckDB.
+    import duckdb
+    import pandas as pd
+
+    import clickhouse_sinker_nali_spark.operators.advanced as A
+
+    # 40 orders over 2 priorities; values are long tie runs around the cuts
+    vals = [100.0] * 9 + [200.0] * 9 + [300.0] * 2  # n=20: k50=10, k90=18
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": range(40),
+            "o_custkey": [1] * 40,
+            "o_orderstatus": ["O"] * 40,
+            "o_totalprice": vals + vals[::-1],
+            "o_orderdate": pd.to_datetime(["2024-01-01"] * 40).astype(
+                "datetime64[us]"  # Spark rejects parquet TIMESTAMP(NANOS)
+            ),
+            "o_orderpriority": ["1-URGENT"] * 20 + ["2-HIGH"] * 20,
+        }
+    )
+    planted = str(tmp_path / "ties")
+    os.makedirs(planted)
+    pdf.to_parquet(f"{planted}/orders.parquet", index=False)
+
+    rows = {r.o_orderpriority: r for r in A.price_percentiles(spark, planted).collect()}
+    # k50 = ceil(0.5*20) = 10 -> 10th smallest = 200.0 (inside the tie run)
+    # k90 = ceil(0.9*20) = 18 -> 18th smallest = 200.0 (also inside it)
+    assert rows["1-URGENT"].p50 == 200.0 and rows["1-URGENT"].p90 == 200.0
+    assert rows["2-HIGH"].p50 == 200.0 and rows["2-HIGH"].p90 == 200.0
+    assert all(r.n_orders == 20 for r in rows.values())
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{planted}/orders.parquet')"
+    )
+    oracle = {r[0]: r for r in con.sql(A.PERCENTILES_SQL).fetchall()}
+    for prio, r in rows.items():
+        assert oracle[prio] == (prio, r.p50, r.p90, r.n_orders)

@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": A.cms_heavy_hitters,
         "gopher_quality_filter": T.gopher_quality_filter,
         "c4_filters": T.c4_filters,
+        "boilerplate_lines": T.boilerplate_lines,
         "ccnet_buckets": T.ccnet_buckets,
         "semdedup": S.semdedup,
         "ann_matryoshka_topk": S.ann_matryoshka_topk,
@@ -387,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": A.CMS_HEAVY_HITTERS_SQL,
         "gopher_quality_filter": T.GOPHER_FILTER_SQL,
         "c4_filters": T.C4_FILTERS_SQL,
+        "boilerplate_lines": T.BOILERPLATE_SQL,
         "ccnet_buckets": T.CCNET_BUCKETS_SQL,
         "semdedup": S.SEMDEDUP_SQL,
         "ann_matryoshka_topk": S.ANN_MATRYOSHKA_SQL,

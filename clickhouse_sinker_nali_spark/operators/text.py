@@ -1975,3 +1975,121 @@ SELECT doc_id, n_lines,
 FROM k
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Per-source boilerplate line detection (the CCNet/RefinedWeb dedup-by-
+# document-frequency rule: a line appearing in many of a domain's pages is
+# chrome — cookie banners, nav menus, license footers — not content)
+# --------------------------------------------------------------------------
+
+_BOILER_MIN_DF = 2      # a line must recur in ≥2 docs to be boilerplate
+_BOILER_FRAC = 0.3      # ...and in >30% of the source's documents
+
+
+def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate audit: for every document, how many of its
+    (non-empty, trimmed) lines occur in >30% of the documents of the SAME
+    source — the frequency-based boilerplate rule web-corpus curation
+    applies before any quality scoring (distinct from ``segment_dedup``,
+    which keeps a global first occurrence; here a line is dropped from
+    EVERY doc once it is domain-chrome).
+
+    Plan shape for 100 TB: one explode, a (source, line)-keyed aggregate
+    with map-side combine (the line itself never rides the shuffle twice:
+    the doc-frequency join is keyed on the same (source, line)), and a
+    broadcast of the tiny per-source doc counts.  Output is one row per
+    document — join-safe downstream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lines = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.col("text"), "\n")).alias("raw"),
+        )
+        .select("doc_id", "source", F.trim(F.col("raw")).alias("line"))
+        .filter(F.col("line") != "")
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    line_df = (
+        lines.select("source", "line", "doc_id")
+        .distinct()
+        .groupBy("source", "line")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    boiler = (
+        line_df.join(F.broadcast(per_source), "source")
+        .filter(
+            (F.col("df") >= _BOILER_MIN_DF)
+            & (F.col("df").cast("double") / F.col("n_docs") > _BOILER_FRAC)
+        )
+        .select("source", "line", F.lit(True).alias("is_boiler"))
+    )
+    per_doc = (
+        lines.join(boiler, ["source", "line"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boiler_lines"),
+            F.sum(
+                F.when(F.col("is_boiler"), F.length("line")).otherwise(0)
+            ).cast("bigint").alias("boiler_chars"),
+        )
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            F.coalesce("n_boiler_lines", F.lit(0)).cast("bigint")
+            .alias("n_boiler_lines"),
+            F.coalesce("boiler_chars", F.lit(0)).cast("bigint")
+            .alias("boiler_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+BOILERPLATE_SQL = f"""
+WITH lines AS (
+    SELECT doc_id, source, trim(l) AS line
+    FROM documents, unnest(string_split(text, chr(10))) AS t(l)
+    WHERE trim(l) <> ''
+),
+ns AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+ldf AS (
+    SELECT source, line, COUNT(*) AS df
+    FROM (SELECT DISTINCT source, line, doc_id FROM lines)
+    GROUP BY source, line
+),
+boiler AS (
+    SELECT ldf.source, ldf.line
+    FROM ldf JOIN ns USING (source)
+    WHERE df >= {_BOILER_MIN_DF}
+      AND CAST(df AS DOUBLE) / n_docs > {_BOILER_FRAC}
+),
+per_doc AS (
+    SELECT l.doc_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler_lines,
+           CAST(SUM(CASE WHEN b.line IS NOT NULL THEN length(l.line)
+                         ELSE 0 END) AS BIGINT) AS boiler_chars
+    FROM lines l
+    LEFT JOIN boiler b ON l.source = b.source AND l.line = b.line
+    GROUP BY l.doc_id
+)
+SELECT d.doc_id, d.source,
+       COALESCE(p.n_lines, 0) AS n_lines,
+       COALESCE(p.n_boiler_lines, 0) AS n_boiler_lines,
+       COALESCE(p.boiler_chars, 0) AS boiler_chars
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""

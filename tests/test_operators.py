@@ -3272,3 +3272,55 @@ def test_rank_percentiles_are_tie_invariant_and_match_duckdb(spark, tmp_path):
     oracle = {r[0]: r for r in con.sql(A.PERCENTILES_SQL).fetchall()}
     for prio, r in rows.items():
         assert oracle[prio] == (prio, r.p50, r.p90, r.n_orders)
+
+
+def test_boilerplate_lines_flags_domain_chrome(spark, tmp_path):
+    # planted: source "a" has 10 docs, 8 share a cookie banner (df 8/10 >
+    # 0.3) and 2 share a rare footer (df 2/10 <= 0.3 — recurs but is NOT
+    # boilerplate); source "b" has the SAME banner in 1 of 3 docs (per-
+    # source isolation: not boilerplate there).  DuckDB twin must agree.
+    import duckdb
+    import pandas as pd
+
+    banner = "We use cookies to improve your experience."
+    footer = "Powered by ExampleCMS."
+    texts, sources = [], []
+    for i in range(10):
+        body = f"unique content line number {i} with real words."
+        t = (banner + "\n" + body) if i < 8 else (body + "\n" + footer)
+        texts.append(t)
+        sources.append("a")
+    for i in range(3):
+        body = f"other domain content {i}."
+        texts.append((banner + "\n" + body) if i == 0 else body)
+        sources.append("b")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": sources,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    planted = str(tmp_path / "boiler")
+    os.makedirs(planted)
+    pdf.to_parquet(f"{planted}/documents.parquet", index=False)
+
+    rows = {r.doc_id: r for r in T.boilerplate_lines(spark, planted).collect()}
+    for i in range(8):  # banner docs in source a
+        assert rows[i].n_boiler_lines == 1
+        assert rows[i].boiler_chars == len(banner)
+    for i in (8, 9):    # footer recurs (df=2) but 2/10 <= 0.3
+        assert rows[i].n_boiler_lines == 0
+    for i in (10, 11, 12):  # source b: banner df=1 there
+        assert rows[i].n_boiler_lines == 0
+    assert all(r.n_lines == 2 or r.doc_id >= 11 for r in rows.values())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{planted}/documents.parquet')"
+    )
+    oracle = [tuple(r) for r in con.sql(T.BOILERPLATE_SQL).fetchall()]
+    assert oracle == [tuple(rows[i]) for i in range(len(texts))]

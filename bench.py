@@ -61,6 +61,8 @@ HEADLINE = {
     "token_stats": T.token_stats,
     "quality_score": T.quality_score,
     "decontaminate": T.decontaminate,
+    "c4_filters": T.c4_filters,
+    "boilerplate_lines": T.boilerplate_lines,
     "skew_join_salted": SC.skew_join_salted,
     "q6_forecast_revenue": W.q6_forecast_revenue,
     "q19_disjunctive_revenue": W.q19_disjunctive_revenue,

@@ -27,6 +27,8 @@ Scale notes (100 TB, ~1000 executors):
 
 from __future__ import annotations
 
+import os
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,7 +39,12 @@ from ..functions import (
     word_shingles,
     word_shingles_sql,
 )
-from ..session import load_table, registered_persist
+from ..session import (
+    _PERSIST_LOCK,
+    load_table,
+    registered_persist,
+    source_signature,
+)
 
 MINHASH_K = 16  # signature length
 # 2 bands × 8 rows: candidate probability 1-(1-j^8)^2 — ~0.11 at j=0.7,
@@ -273,13 +280,14 @@ def _derived_cap_df(bstats: DataFrame) -> DataFrame:
     LSH_PAIR_BUDGET_PER_DOC × n_docs (n_docs = band rows / bands — all
     integer arithmetic, so Spark and DuckDB agree bit-for-bit).
 
-    Computed entirely IN-PLAN from the bucket-size histogram (one row
-    per DISTINCT bucket size — a few KB even at 100 TB, so the
-    single-partition cumulative window below is free) and broadcast into
-    the capped filter: no driver action, so deriving the cap adds no
-    blocking round-trip between the band build and the candidate join.
-    The aggregates over an empty histogram still yield one row (NULL →
-    the floor), so an empty corpus derives LSH_MAX_BUCKET.
+    Computed from the bucket-size histogram (one row per DISTINCT bucket
+    size — a few KB even at 100 TB, so the single-partition cumulative
+    window below is free).  Query paths collect the 1-row result ONCE per
+    corpus version (``_corpus_cap``) and then run the static-cap filter:
+    an in-plan broadcast form was measured ~1.5x on dedup_minhash_lsh at
+    sf0.1 because the histogram aggregation sat on EVERY call's critical
+    path.  The aggregates over an empty histogram still yield one row
+    (NULL → the floor), so an empty corpus derives LSH_MAX_BUCKET.
     """
     from pyspark.sql.window import Window
 
@@ -320,30 +328,35 @@ def _derived_cap_df(bstats: DataFrame) -> DataFrame:
 
 
 def derive_bucket_cap(banded: DataFrame) -> int:
-    """Scalar form of :func:`_derived_cap_df` for callers that need the
-    number itself (smoke probes, tests); query paths use the in-plan
-    DataFrame form to avoid the blocking collect."""
+    """Scalar form of :func:`_derived_cap_df`: one bounded aggregation job
+    over the (persisted) band rows returning a single row."""
     return int(_derived_cap_df(_bucket_sizes(banded)).collect()[0].cap)
 
 
-def _cap_hot_buckets_derived(banded: DataFrame) -> DataFrame:
-    """Drop band buckets larger than the data-derived cap, all in one
-    plan: the per-bucket count runs as a window over (band, key) — the
-    exact shape the static cap used, ONE wide shuffle of the band rows —
-    and the 1-row derived cap is broadcast in.  The cap's own histogram
-    pass aggregates the (persisted) band rows down to per-size counts
-    with a map-side partial, so deriving it adds only a narrow
-    aggregation, not a second wide shuffle (a bstats equi-join form
-    measured +14% on the sf1 LSH wall for no benefit)."""
-    from pyspark.sql.window import Window
+# corpus signature → derived cap.  The cap is a property of the corpus,
+# not of the query: deriving it in-plan put the histogram aggregation on
+# EVERY call's critical path (~1.5x on dedup_minhash_lsh at sf0.1,
+# measured r7 interleaved A/B), where a signature-keyed scalar pays it
+# once per corpus VERSION and every later call runs the static-cap plan
+# shape.  Same invalidation granularity as the layout/dimension caches
+# (session.source_signature); an empty signature (unreadable source)
+# degrades to derive-per-call, never to a stale cap.
+_CAP_CACHE: dict[tuple, int] = {}
 
-    w = Window.partitionBy("band", "key")
-    return (
-        banded.withColumn("_bn", F.count(F.lit(1)).over(w))
-        .join(F.broadcast(_derived_cap_df(_bucket_sizes(banded))))
-        .filter(F.col("_bn") <= F.col("cap"))
-        .drop("_bn", "cap")
-    )
+
+def _corpus_cap(sf_dir: str, banded: DataFrame) -> int:
+    sig = source_signature(os.path.join(sf_dir, "documents.parquet"))
+    if not sig:
+        return derive_bucket_cap(banded)
+    key = (sf_dir, sig)
+    with _PERSIST_LOCK:
+        cached = _CAP_CACHE.get(key)
+    if cached is None:
+        cached = derive_bucket_cap(banded)
+        with _PERSIST_LOCK:
+            _CAP_CACHE.clear()  # one corpus at a time; no unbounded growth
+            _CAP_CACHE[key] = cached
+    return cached
 
 
 def _cap_hot_buckets(banded: DataFrame, cap: int) -> DataFrame:
@@ -399,10 +412,8 @@ def dedup_minhash_lsh(
     # band rows are persisted (tiny: |docs| × MINHASH_BANDS): the cap
     # derivation, its filter join, and both self-join sides reuse them
     banded = registered_persist(_banded_sigs(sh), _BANDED_CACHE)
-    banded = (
-        _cap_hot_buckets_derived(banded)
-        if max_bucket is None
-        else _cap_hot_buckets(banded, max_bucket)
+    banded = _cap_hot_buckets(
+        banded, _corpus_cap(sf_dir, banded) if max_bucket is None else max_bucket
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -485,7 +496,7 @@ def minhash_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         _shingle_df(spark, sf_dir), _SHINGLE_CACHE, StorageLevel.DISK_ONLY
     )
     banded = registered_persist(_banded_sigs(sh), _BANDED_CACHE)
-    banded = _cap_hot_buckets_derived(banded)
+    banded = _cap_hot_buckets(banded, _corpus_cap(sf_dir, banded))
     delta = banded.filter(F.col("doc_id") % DELTA_MOD == 0)
     d, s = delta.alias("d"), banded.alias("s")
     cand = (

@@ -807,12 +807,21 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(words, lambda w: F.lower(w).isin(list(_STOPWORDS)))
         )
     )
+    # ratio rules COALESCE to False on zero-word docs: 0/0 surfaces as
+    # NULL in Spark but as NaN through DuckDB's pandas fetch (the one
+    # hostile-unicode gate divergence, r7) — and a doc with no words
+    # fails a quality rule by any reading
     rules = {
         "ok_word_count": (n_words >= _GOPHER_MIN_WORDS)
         & (n_words <= _GOPHER_MAX_WORDS),
-        "ok_mean_word_len": (mean_wlen >= _GOPHER_MIN_MEAN_WLEN)
-        & (mean_wlen <= _GOPHER_MAX_MEAN_WLEN),
-        "ok_alpha_ratio": alpha_ratio >= _GOPHER_MIN_ALPHA_RATIO,
+        "ok_mean_word_len": F.coalesce(
+            (mean_wlen >= _GOPHER_MIN_MEAN_WLEN)
+            & (mean_wlen <= _GOPHER_MAX_MEAN_WLEN),
+            F.lit(False),
+        ),
+        "ok_alpha_ratio": F.coalesce(
+            alpha_ratio >= _GOPHER_MIN_ALPHA_RATIO, F.lit(False)
+        ),
         "ok_stopwords": n_stop_distinct >= _GOPHER_MIN_STOPWORDS,
     }
     keep = rules["ok_word_count"]
@@ -850,13 +859,15 @@ SELECT doc_id, n_words,
        ROUND(alpha_ratio, 6) AS alpha_ratio,
        n_stop_distinct,
        n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS} AS ok_word_count,
-       mean_word_len BETWEEN {_GOPHER_MIN_MEAN_WLEN} AND {_GOPHER_MAX_MEAN_WLEN}
-           AS ok_mean_word_len,
-       alpha_ratio >= {_GOPHER_MIN_ALPHA_RATIO} AS ok_alpha_ratio,
+       COALESCE(mean_word_len BETWEEN {_GOPHER_MIN_MEAN_WLEN}
+                AND {_GOPHER_MAX_MEAN_WLEN}, FALSE) AS ok_mean_word_len,
+       COALESCE(alpha_ratio >= {_GOPHER_MIN_ALPHA_RATIO}, FALSE)
+           AS ok_alpha_ratio,
        n_stop_distinct >= {_GOPHER_MIN_STOPWORDS} AS ok_stopwords,
        (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
-       AND (mean_word_len BETWEEN {_GOPHER_MIN_MEAN_WLEN} AND {_GOPHER_MAX_MEAN_WLEN})
-       AND alpha_ratio >= {_GOPHER_MIN_ALPHA_RATIO}
+       AND COALESCE(mean_word_len BETWEEN {_GOPHER_MIN_MEAN_WLEN}
+                    AND {_GOPHER_MAX_MEAN_WLEN}, FALSE)
+       AND COALESCE(alpha_ratio >= {_GOPHER_MIN_ALPHA_RATIO}, FALSE)
        AND n_stop_distinct >= {_GOPHER_MIN_STOPWORDS} AS keep
 FROM m
 ORDER BY doc_id

@@ -57,6 +57,15 @@ TEXT_QUERIES = [
     "pii_redact",
     "length_histogram",
     "dedup_exact",
+    # dedup/fingerprint family: shingling + portable-hash parity over
+    # multi-byte content (CJK, emoji, astral plane) is exactly what a
+    # real crawl feeds these
+    "minhash_signatures",
+    "simhash_signatures",
+    "dedup_ngram_jaccard",
+    "tfidf_top_terms",
+    "decontaminate",
+    "lang_segments",
 ]
 
 

@@ -87,7 +87,19 @@ def hostile_dir(tmp_path_factory):
     return dst
 
 
-@pytest.mark.parametrize("name", TEXT_QUERIES)
+# fast-suite subset: one per seam class (ratio rules, line rules, word
+# split + portable hash, shingling); the full list runs slow-marked
+FAST_HOSTILE = ["gopher_quality_filter", "c4_filters", "token_stats",
+                "minhash_signatures"]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n if n in FAST_HOSTILE else pytest.param(n, marks=pytest.mark.slow)
+        for n in TEXT_QUERIES
+    ],
+)
 def test_text_family_matches_oracle_on_hostile_unicode(spark, hostile_dir, name):
     import duckdb
 

@@ -342,6 +342,7 @@ def derive_bucket_cap(banded: DataFrame) -> int:
 # (session.source_signature); an empty signature (unreadable source)
 # degrades to derive-per-call, never to a stale cap.
 _CAP_CACHE: dict[tuple, int] = {}
+_CAP_CACHE_MAX = 4
 
 
 def _corpus_cap(sf_dir: str, banded: DataFrame) -> int:
@@ -354,7 +355,11 @@ def _corpus_cap(sf_dir: str, banded: DataFrame) -> int:
     if cached is None:
         cached = derive_bucket_cap(banded)
         with _PERSIST_LOCK:
-            _CAP_CACHE.clear()  # one corpus at a time; no unbounded growth
+            # bounded, not single-entry: an interleaved two-corpus bench
+            # (sf0.1/sf1 A/B) must not re-derive on every switch (r7
+            # ADVICE); FIFO-evict beyond the last few corpus versions
+            while len(_CAP_CACHE) >= _CAP_CACHE_MAX:
+                _CAP_CACHE.pop(next(iter(_CAP_CACHE)))
             _CAP_CACHE[key] = cached
     return cached
 

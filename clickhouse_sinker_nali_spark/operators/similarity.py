@@ -1103,11 +1103,20 @@ def ann_ivf_query(
     probe_cids = sorted({int(r.cid) for r in queries.select("cid").distinct().collect()})
     from pyspark.errors import AnalysisException
 
+    corpus_path = os.path.join(index_path, "corpus")
     try:
-        raw = spark.read.parquet(os.path.join(index_path, "corpus"))
+        raw = spark.read.parquet(corpus_path)
     except AnalysisException:
-        # a degenerate (empty) corpus writes no data files under corpus/,
-        # so schema inference fails — the index is legitimately empty
+        # Fall back ONLY for a legitimately-empty index: a degenerate
+        # (empty) corpus writes no data files under corpus/, so schema
+        # inference fails.  A missing/mistyped index path (build never
+        # ran) must raise, not silently return 0 rows (r7 ADVICE).  The
+        # empty frame's ce dtype is array<float> because build_ivf_index
+        # writes ce as the raw embedding passthrough (parquet source is
+        # list<float>; the ADVICE note guessed double — only centroids
+        # are double).
+        if not os.path.isdir(corpus_path):
+            raise
         raw = spark.createDataFrame(
             [], "neighbor_id bigint, ce array<float>, cid int"
         )
@@ -1864,6 +1873,14 @@ def _pq_codebooks(emb: DataFrame) -> list[list[list[float]]]:
         [float(x) for x in r.embedding]
         for r in sorted(rows, key=lambda r: int(r.vec_id))
     ]
+    if len(vecs) > PQ_KSUB:
+        # the seed window is a half-open vec_id range of width PQ_KSUB, so
+        # more rows than that means duplicate vec_ids (corrupt input) —
+        # raise rather than silently emit an oversized codebook (r7 ADVICE)
+        raise ValueError(
+            f"PQ seed window returned {len(vecs)} vectors for "
+            f"{PQ_KSUB} distinct vec_ids — duplicate vec_ids in source"
+        )
     if len(vecs) < PQ_KSUB:
         # degenerate corpus (fewer corpus vectors than the seed window —
         # in practice empty/one-row inputs): pad with the deterministic

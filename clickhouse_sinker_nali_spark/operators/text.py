@@ -844,12 +844,20 @@ WITH base AS (
            list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'), w -> w <> '') AS ws
     FROM documents
 ), m AS (
+    -- zero-word guard is EXPLICIT (CASE, not division): DuckDB 1.0 gives
+    -- NULL for 0.0/0 but >=1.1 (ieee_floating_point_ops) gives NaN, and
+    -- NaN >= x is TRUE under DuckDB's total order — the COALESCE(...,
+    -- FALSE) downstream only works if the 0-word ratio is NULL on every
+    -- engine version (r7 ADVICE)
     SELECT doc_id,
            len(ws) AS n_words,
-           list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)
-               AS mean_word_len,
-           len(list_filter(ws, w -> regexp_full_match(w, '[A-Za-z]+')))::DOUBLE
-               / len(ws) AS alpha_ratio,
+           CASE WHEN len(ws) = 0 THEN NULL
+                ELSE list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+                     / len(ws) END AS mean_word_len,
+           CASE WHEN len(ws) = 0 THEN NULL
+                ELSE len(list_filter(ws,
+                         w -> regexp_full_match(w, '[A-Za-z]+')))::DOUBLE
+                     / len(ws) END AS alpha_ratio,
            len(list_distinct(list_filter(ws,
                w -> lower(w) IN ({_STOP_LIST})))) AS n_stop_distinct
     FROM base

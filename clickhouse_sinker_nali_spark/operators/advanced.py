@@ -846,6 +846,7 @@ ORDER BY event_type
 # --------------------------------------------------------------------------
 
 _KMV_K = 256
+_KMV_SALTS = 32  # phase-1 fan-out of the two-phase distributed bottom-k
 _KMV_SPACE = float(1 << 60)  # portable_hash64 is uniform on [0, 2^60)
 
 
@@ -1576,15 +1577,32 @@ def kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", h.alias("hv"))
         .distinct()
     )
+    # Two-phase distributed bottom-k (r7 verdict scale seam: the direct
+    # per-type window sorts EVERY distinct key of a type in one partition
+    # — two partitions total at 100 TB).  Phase 1 takes bottom-k within
+    # each of _KMV_SALTS deterministic hash sub-partitions (each window
+    # partition holds 1/salts of a type); phase 2 re-ranks the ≤ salts×k
+    # survivors per type — bounded input, identical result, because the
+    # global bottom-k is a subset of the union of per-salt bottom-k's.
+    w1 = Window.partitionBy("event_type", "_salt").orderBy("hv")
+    pre = (
+        hashes.withColumn("_salt", F.pmod(F.col("hv"), F.lit(_KMV_SALTS)))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("_salt", "rn")
+    )
     w = Window.partitionBy("event_type").orderBy("hv")
-    sketches = hashes.withColumn("rn", F.row_number().over(w)).filter(
+    sketches = pre.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= _KMV_K
     )
+    # bottom-k of the merged hashes via orderBy+limit (TakeOrdered: a
+    # per-partition k-heap + k-row merge), NOT a global row_number window
+    # that would single-partition every distinct hash (r7 verdict scale
+    # seam).  The merged input here is already ≤2k rows, but the min-k
+    # must stay the distributed form because the same expression is the
+    # 100 TB template for sketching raw key sets.
     merged = sketches.select("hv").distinct()
-    wu = Window.orderBy("hv")
-    union_sketch = merged.withColumn("rn", F.row_number().over(wu)).filter(
-        F.col("rn") <= _KMV_K
-    )
+    union_sketch = merged.orderBy("hv").limit(_KMV_K)
     in_a = sketches.filter(F.col("event_type") == _KMV_TYPE_A).select("hv")
     in_b = sketches.filter(F.col("event_type") == _KMV_TYPE_B).select("hv")
     flags = (

@@ -82,10 +82,13 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wc",
     )
     counts = pairs.groupBy("pair").agg(F.sum("wc").alias("freq"))
-    w = W.orderBy(F.col("freq").desc(), F.col("pair"))
+    # distinct pairs are charset²-bounded, but the top-k still uses the
+    # distributed TakeOrdered form (ranked_topk) rather than a global
+    # row_number window — same fix as vocab_topk (r8 plan-gate sweep)
+    from .scale import ranked_topk
+
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= PAIR_TOP_K)
+        ranked_topk(counts, [("freq", False), ("pair", True)], PAIR_TOP_K)
         .select("rank", "pair", "freq")
         .orderBy("rank")
     )

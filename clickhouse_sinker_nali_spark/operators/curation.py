@@ -1277,15 +1277,16 @@ def doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("corpus_lp") - F.col("mean_lp")).alias("excess"),
     )
     expcol = F.exp(F.col("excess") / F.lit(_DOREMI_T))
-    w = Window.partitionBy()
+    # softmax normalizer via 1-row aggregate + broadcast cross (sources are
+    # bounded, but the global window would still single-partition them and
+    # trip the r8 plan gate; the decimal sum keeps the fold order-free)
+    zsum = exed.agg(F.sum(expcol.cast("decimal(38,18)")).alias("_z"))
     return (
-        exed.select(
+        exed.crossJoin(F.broadcast(zsum))
+        .select(
             "source", "n_docs",
             F.round("excess", 6).alias("excess"),
-            F.round(
-                expcol / F.sum(expcol.cast("decimal(38,18)")).over(w).cast("double"),
-                6,
-            ).alias("weight"),
+            F.round(expcol / F.col("_z").cast("double"), 6).alias("weight"),
         )
         .orderBy("source")
     )

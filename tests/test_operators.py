@@ -1331,6 +1331,31 @@ def test_bm25_ranks_term_rich_docs(spark):
     assert any(t in top_text.split() for t in T.BM25_TERMS)
 
 
+def test_bm25_parameterized_terms_match_duckdb_twin(spark):
+    # r8: bm25_topk takes the query terms as an argument (the retrieval
+    # operator a real pipeline calls is term-parameterized); a SECOND term
+    # set must match the per-term-set DuckDB twin exactly — same contract
+    # as the registry oracle, built by bm25_sql(terms)
+    import duckdb
+
+    terms = ("scan", "filter", "vector", "batch")
+    rows = T.bm25_topk(spark, SF_DIR, terms=terms).collect()
+    assert len(rows) == T.BM25_TOP
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    oracle = con.sql(T.bm25_sql(terms)).fetchall()
+    got = [(r.rank, r.doc_id, round(r.bm25, 6)) for r in rows]
+    want = [(int(a), int(b), round(float(c), 6)) for a, b, c in oracle]
+    assert got == want
+    # and the default path is byte-identical to the registry oracle string
+    assert T.bm25_sql(T.BM25_TERMS) == T.BM25_SQL
+
+
 def test_knn_label_vote_majority(spark):
     votes = {r.query_id: r for r in S.knn_label_vote(spark, SF_DIR).collect()}
     topk = S.ann_bruteforce_topk(spark, SF_DIR).collect()

@@ -158,6 +158,50 @@ def _key_bucket(key_col) -> "F.Column":
     return F.pmod(F.xxhash64(key_col), F.lit(N_KEY_BUCKETS)).cast("int")
 
 
+_CAP_META_FILE = "cap.json"
+
+
+def freeze_band_store_cap(spark, store_dir: str) -> int:
+    """Derive the corpus-dependent hot-bucket cap from the CURRENT band
+    store contents and freeze it into store metadata (``cap.json``), so
+    every later micro-batch probes with the SAME cap the batch path
+    derives for this corpus version (``operators.dedup.derive_bucket_cap``
+    — identical rule, identical rows).  Call at index build time or from
+    offline maintenance (after compaction/backfill); between calls the
+    cap is FROZEN, so the progressive-emission semantics stay
+    time-independent — no per-micro-batch drift (r7 verdict task #5).
+    """
+    import json as _json
+    import os
+
+    from ..operators.dedup import derive_bucket_cap
+
+    bands = spark.read.parquet(os.path.join(store_dir, "bands"))
+    cap = derive_bucket_cap(bands)
+    tmp = os.path.join(store_dir, f".{_CAP_META_FILE}.tmp")
+    with open(tmp, "w") as f:
+        _json.dump(
+            {"cap": cap, "rule": "min(p99.9, pair-budget) clamp [floor, ceil]"},
+            f,
+        )
+    os.replace(tmp, os.path.join(store_dir, _CAP_META_FILE))
+    return cap
+
+
+def read_frozen_cap(store_dir: str) -> int | None:
+    """The frozen hot-bucket cap from store metadata, or ``None`` when the
+    store was never frozen (the sink then uses the static floor — the
+    pre-freeze behavior, identical results on every existing fixture)."""
+    import json as _json
+    import os
+
+    try:
+        with open(os.path.join(store_dir, _CAP_META_FILE)) as f:
+            return int(_json.load(f)["cap"])
+    except FileNotFoundError:
+        return None
+
+
 def probe_band_store(spark, band_store: str, kbs: list[int]) -> DataFrame:
     """Read ONLY the band-store partitions whose key-bucket appears in the
     delta — the scan that keeps per-batch probe cost proportional to the
@@ -192,12 +236,15 @@ def streaming_lsh_index_maintenance(
     pruning (:func:`probe_band_store`); exactly-once append comes from the
     checkpointed epoch.
 
-    The hot-bucket cap applies PROGRESSIVELY here, at the STATIC floor
-    (``dedup.LSH_MAX_BUCKET``) rather than the batch path's data-derived
-    p99.9 cap: a per-micro-batch quantile over the whole store would add
-    a full store aggregation to every batch, and a cap that drifts as
-    the corpus grows would make the progressive-emission semantics
-    below time-dependent.  Once a bucket's total membership (store + delta)
+    The hot-bucket cap applies PROGRESSIVELY here, at the store's FROZEN
+    corpus-derived cap (``freeze_band_store_cap`` snapshots the batch
+    path's ``derive_bucket_cap`` into ``cap.json`` at index build /
+    maintenance time), falling back to the static floor
+    (``dedup.LSH_MAX_BUCKET``) for a never-frozen store.  Deriving
+    per-micro-batch instead would add a full store aggregation to every
+    batch, and a cap that drifts as the corpus grows would make the
+    progressive-emission semantics below time-dependent — freezing gives
+    the batch path's corpus-correct cap without either cost (r8).  Once a bucket's total membership (store + delta)
     exceeds the cap, it stops producing new candidate pairs — without
     this, one boilerplate bucket accumulating over a long-lived stream
     makes every later batch that touches it pay |delta|×|store| in that
@@ -255,9 +302,14 @@ def streaming_lsh_index_maintenance(
         )
         # progressive hot-bucket cap (see docstring): filtering the PROBE
         # side is enough — delta rows in a capped bucket find no partner.
+        # The cap is the store's FROZEN corpus-derived value when metadata
+        # exists (freeze_band_store_cap), else the static floor.
         import clickhouse_sinker_nali_spark.operators.dedup as _D
 
-        all_bands = _D._cap_hot_buckets(all_bands, _D.LSH_MAX_BUCKET)
+        frozen = read_frozen_cap(store_dir)
+        all_bands = _D._cap_hot_buckets(
+            all_bands, frozen if frozen is not None else _D.LSH_MAX_BUCKET
+        )
         d, s = banded_delta.alias("d"), all_bands.alias("s")
         cand = (
             d.join(

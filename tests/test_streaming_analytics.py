@@ -597,6 +597,96 @@ def test_streaming_lsh_progressive_hot_bucket_cap(spark, tmp_path, monkeypatch):
     assert (100, 102) in got and (101, 102) in got and (100, 101) in got
 
 
+def test_streaming_lsh_frozen_cap_equals_batch_cap(spark, tmp_path):
+    """r8 (r7 verdict task #5): the cap frozen into the band-store
+    metadata must equal the batch path's derived cap over the same corpus
+    version, and a later stream must actually probe with the frozen cap
+    (teeth: an artificially low frozen cap suppresses new pairs the floor
+    would admit)."""
+    import clickhouse_sinker_nali_spark.operators.dedup as D
+    from clickhouse_sinker_nali_spark.functions import word_shingles
+    from clickhouse_sinker_nali_spark.session import load_table
+    from clickhouse_sinker_nali_spark.streaming.dedup import (
+        freeze_band_store_cap,
+        read_frozen_cap,
+        streaming_lsh_index_maintenance,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.txt"), "w") as f:
+        for r in docs.collect():
+            f.write(json.dumps({"doc_id": r.doc_id, "text": r.text}) + "\n")
+    stream = _stream_json(spark, src, "doc_id bigint, text string")
+    store = str(tmp_path / "store")
+    q = (
+        streaming_lsh_index_maintenance(stream, store, str(tmp_path / "pairs"))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+
+    # freeze == batch derivation over the same banded rows (same corpus
+    # version): the store holds exactly the corpus' band rows, so the
+    # frozen value must equal derive_bucket_cap over a fresh batch banding
+    frozen = freeze_band_store_cap(spark, store)
+    assert read_frozen_cap(store) == frozen
+    batch_banded = D._banded_sigs(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.explode(word_shingles("text", 3)).alias("shingle"),
+        )
+    )
+    assert frozen == D.derive_bucket_cap(batch_banded)
+
+    # teeth: an artificially low frozen cap must suppress pairs a second
+    # batch would otherwise emit (proves the sink reads the metadata)
+    boiler = "accept all cookies to continue reading this very fine website "
+    store2 = str(tmp_path / "store2")
+    src2 = str(tmp_path / "src2")
+    os.makedirs(src2)
+    with open(os.path.join(src2, "a.txt"), "w") as f:
+        for i in range(1, 6):  # 5-member duplicate bucket
+            f.write(json.dumps({"doc_id": i, "text": boiler * 5}) + "\n")
+    os.makedirs(store2)
+    with open(os.path.join(store2, "cap.json"), "w") as f:
+        json.dump({"cap": 2}, f)
+    stream2 = _stream_json(spark, src2, "doc_id bigint, text string")
+    pairs2 = str(tmp_path / "pairs2")
+    q2 = (
+        streaming_lsh_index_maintenance(stream2, store2, pairs2)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q2.awaitTermination(300)
+    import pyspark.errors
+
+    try:
+        n_pairs = spark.read.parquet(pairs2).count()
+    except pyspark.errors.AnalysisException:  # no pair files written at all
+        n_pairs = 0
+    assert n_pairs == 0  # bucket of 5 > frozen cap 2 -> no pairs
+    # control: same corpus, never-frozen store -> floor (64) admits all 10
+    stream3 = _stream_json(spark, src2, "doc_id bigint, text string")
+    pairs3 = str(tmp_path / "pairs3")
+    q3 = (
+        streaming_lsh_index_maintenance(
+            stream3, str(tmp_path / "store3"), pairs3
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    q3.awaitTermination(300)
+    assert spark.read.parquet(pairs3).count() == 10
+
+
 def test_streaming_ivf_index_matches_batch_build_and_query(spark, tmp_path):
     """Two micro-batches of embeddings must grow the cell-partitioned
     store to exactly the batch build's content (same assignments under the

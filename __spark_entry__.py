@@ -40,7 +40,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return R.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+# The driver's correctness gate hashes the FIRST 50 ``queries()`` entries;
+# r1-r7 all exposed the same 50, leaving 132 registry entries local-sweep-
+# green but never driver-verified (r7 verdict task #3).  This window
+# surfaces 50 previously-unseen names — including every operator the r8
+# unpartitioned-window fixes touched — so the cumulative driver-verified
+# set reaches 100/182.  The full registry stays ordered/grouped in
+# ``_all_queries``; rotation only reorders the returned dict.
+_R8_WINDOW = [
+    # r8-touched (unpartitioned-window family + its oracle dependencies)
+    "vocab_topk", "inverted_index_postings", "bm25_topk", "kmv_set_ops",
+    "perplexity_buckets", "bpe_pair_counts", "unigram_logprob",
+    "dsir_importance", "bigram_kn_logprob", "doremi_weights",
+    # TPC-H shapes never driver-checked
+    "q2_min_cost_supplier", "q6_forecast_revenue", "q8_market_share",
+    "q9_product_profit", "q11_important_stock", "q12_priority_counts",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_counts", "q19_disjunctive_revenue",
+    "q20_excess_suppliers", "q21_waiting_suppliers", "q22_idle_customers",
+    # scale / sketch operators (incl. the two allowlisted bounded windows)
+    "gapfill_daily_locf", "sequence_pack", "lsh_bucket_stats",
+    "kmv_distinct_sketch", "quantile_sketch_bottomk", "cms_heavy_hitters",
+    "hll_distinct_sketch",
+    # dedup / ANN
+    "semdedup", "dedup_lsh_recall", "dedup_jaccard_prefix",
+    "dedup_tfidf_cosine", "dedup_embedding_cosine_cells", "ann_pq_topk",
+    "ann_ivfpq_topk", "ann_ivf_hier_topk", "ann_matryoshka_topk",
+    "knn_label_vote",
+    # text quality / curation / graph
+    "gopher_quality_filter", "c4_filters", "boilerplate_lines",
+    "ccnet_buckets", "normalize_text", "tfidf_top_terms", "decontaminate",
+    "curation_pipeline", "doc_pagerank",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q = _all_queries()
+    rotated = {n: q[n] for n in _R8_WINDOW}
+    rotated.update((n, f) for n, f in q.items() if n not in rotated)
+    return rotated
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational / analytics layer
         "q1_pricing_summary": R.q1_pricing_summary,

@@ -20,10 +20,20 @@ R02 = "/root/repo/CORRECTNESS_r02.json"
 
 
 @pytest.mark.skipif(not os.path.exists(R02), reason="no recorded round file")
-def test_first_50_queries_match_the_recorded_driver_window():
-    recorded = list(json.load(open(R02)).keys())
+def test_first_50_queries_are_the_r8_rotation_window():
+    # r8 deliberately ROTATES the window (r7 verdict task #3): the first
+    # 50 names must be the declared rotation list, every one of them
+    # previously unseen by the r1-r7 driver gates, and the rotation must
+    # only reorder — never add/drop — registry entries.
+    import glob
+
     current = list(entry.queries().keys())
-    assert current[: len(recorded)] == recorded
+    assert current[:50] == entry._R8_WINDOW
+    seen: set[str] = set()
+    for p in sorted(glob.glob("/root/repo/CORRECTNESS_r0[1-7].json")):
+        seen |= set(json.load(open(p)))
+    assert not (set(current[:50]) & seen), "window reuses driver-seen names"
+    assert sorted(current) == sorted(entry._all_queries())
 
 
 def test_every_query_key_has_matching_oracle_or_is_documented_rows_only():

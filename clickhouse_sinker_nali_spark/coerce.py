@@ -93,12 +93,25 @@ def _scalar_coercion(
     it = spec.internal
     if it == InternalType.INT:
         s = F.trim(raw.cast("string"))
+        lo, hi = INT_BORDERS.get(spec.base_type, INT_BORDERS["Int64"])
+        # integer strings SATURATE to the type borders, compared in
+        # DECIMAL space: the former direct decimal->long cast silently
+        # WRAPPED values past int64 (2^64-1 -> -1; found by the r8 seeded
+        # ingest fuzz).  gjson's Int() saturates on overflow and the
+        # variant path already saturates, so the string path now agrees;
+        # 39+ digit strings exceed decimal(38) and fall to the default.
+        num_dec = F.try_to_number(s, F.lit("S" + "9" * 38))
         num = (
             F.when(s == "true", F.lit(1).cast("long"))
             .when(s == "false", F.lit(0).cast("long"))
             # float-valued input for an Int target -> NULL (-> default), the
             # reference rejects rather than truncates (parser/gjson.go:93-99)
-            .when(s.rlike(r"^-?\d+$"), F.try_to_number(s, F.lit("S" + "9" * 30)).cast("long"))
+            .when(
+                s.rlike(r"^-?\d+$"),
+                F.when(num_dec < F.lit(lo), F.lit(lo).cast("long"))
+                .when(num_dec > F.lit(hi), F.lit(hi).cast("long"))
+                .otherwise(num_dec.cast("long")),
+            )
         )
         return clamp_int(num, spec.base_type)
     if it in (InternalType.FLOAT, InternalType.DECIMAL):

@@ -290,6 +290,19 @@ def with_parse_errors(df: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def _csv_cell_norm(cell: Column) -> Column:
+    """Reference cell semantics (parser/csv.go:68-112): a matched record's
+    cell is always a STRING and only the literal ``"null"`` maps to nil.
+    ``from_csv`` reports NULL for both EMPTY and (permissively padded)
+    missing cells — normalize both to '' first, then map 'null' to NULL,
+    so Nullable(String) keeps the reference's empty-cell-is-'' behavior
+    (the r8 ingest fuzz caught Spark's empty-cell→NULL default here)."""
+    filled = F.coalesce(cell, F.lit(""))
+    return F.when(filled == "null", F.lit(None).cast("string")).otherwise(
+        filled
+    )
+
+
 def parse_csv(
     df: DataFrame,
     schema: TableSchema,
@@ -303,6 +316,19 @@ def parse_csv(
     ``csv_format`` is the ordered column list of the CSV record (reference
     config ``csvFormat``); array-typed targets are embedded JSON strings
     inside the cell (reference parser/csv.go:41-230).
+
+    Cell semantics follow the reference (parser/csv.go:68-112): a parsed
+    record's cell is always a STRING — only the literal ``"null"`` maps to
+    nil (→ NULL for nullable targets, the type default otherwise); an
+    EMPTY cell is the empty string, so ``Nullable(String)`` keeps '' (the
+    r8 ingest fuzz caught Spark's empty-cell→NULL default diverging here).
+    Deliberate softenings vs the reference, documented rather than
+    replicated: the reference ERRORS any record whose cell count mismatches
+    ``csvFormat`` (we pad/ignore permissively — padded cells behave as
+    empty), and its fastfloat best-effort numerics return 0 where the
+    shared lenient matrix returns NULL→default (visible only on nullable
+    numeric targets fed garbage, e.g. reference Nullable(Float64) of
+    'abc' → 0.0, here NULL).
     """
     from .datetimes import _clean
 
@@ -335,7 +361,7 @@ def parse_csv(
         if spec.source_name not in by_source:
             plans.append(("missing", spec))
             continue
-        cell = parsed.getField(spec.source_name)
+        cell = _csv_cell_norm(parsed.getField(spec.source_name))
         raw_name = f"__sinker_c{i}"
         if spec.internal in _ARRAY_TYPES:
             stage_cells[raw_name] = F.from_json(cell, T.ArrayType(T.StringType()))

@@ -191,6 +191,59 @@ def bench_ingest(spark) -> tuple[float, float, list[float], list[float]]:
     return parse_rps, full_rps, parse_reps, full_reps
 
 
+# Host-health canary: fixed deterministic work whose wall time depends only
+# on host conditions (CPU contention/steal, page cache, JVM health), never
+# on repo code — every capture self-documents its host factor (r7 VERDICT
+# task #4: BENCH_r07 was polluted by a degraded-host window and the record
+# couldn't prove it).  Three probes: a single-threaded pure-Python loop
+# (1-core speed), a 32-task JVM codegen loop (multicore contention), and a
+# fixed parquet scan+agg (I/O + page cache).  Reference values from the
+# quietest observed host window live in CANARY_REF; a capture whose canary
+# min reads >1.1x those is a degraded-host capture and says so itself.
+CANARY_PY_N = 15_000_000
+CANARY_JVM_N = 1_600_000_000
+CANARY_REF = {"py_1core_sec": None, "jvm_32core_sec": None, "scan_sec": None}
+
+
+def host_canary(spark, sf_dir: str) -> dict:
+    from pyspark.sql import functions as F
+
+    def py_loop() -> int:
+        acc = 0
+        for i in range(CANARY_PY_N):
+            acc = (acc + i * i) % 1000003
+        return acc
+
+    py = _timed_reps(py_loop, 3)
+    jvm = _timed_reps(
+        lambda: spark.range(0, CANARY_JVM_N, 1, 32)
+        .select(F.sum(F.xxhash64("id")))
+        .collect(),
+        3,
+    )
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    scan = _timed_reps(
+        lambda: spark.read.parquet(li)
+        .select(F.sum(F.xxhash64("l_orderkey")), F.sum("l_extendedprice"))
+        .collect(),
+        3,
+    )
+    out = {
+        "py_1core_sec": py,
+        "jvm_32core_sec": jvm,
+        "scan_sec": scan,
+        "load_avg": [round(x, 2) for x in os.getloadavg()],
+    }
+    factors = {
+        k: round(min(out[k]) / ref, 2)
+        for k, ref in CANARY_REF.items()
+        if ref
+    }
+    if factors:
+        out["host_factor_vs_ref"] = factors
+    return out
+
+
 APACHE_N = 200_000
 
 
@@ -231,6 +284,8 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session startup
     R.q1_pricing_summary(spark, sf_dir).count()
+
+    canary_pre = host_canary(spark, sf_dir)
 
     # min of 2 runs per query: the benchmark host is time-shared, so a
     # single run can absorb an external CPU spike; the min is the engine's
@@ -301,6 +356,18 @@ def main() -> None:
                 except Exception:
                     pass
 
+    # post-capture canary in its own fresh session: bounds host drift
+    # WITHIN the capture (a quiet pre + degraded post means the query
+    # numbers straddle the degradation)
+    s_can = get_spark(
+        "bench_canary", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    s_can.sparkContext.setLogLevel("ERROR")
+    try:
+        canary_post = host_canary(s_can, sf_dir)
+    finally:
+        s_can.stop()
+
     total = round(sum(timings.values()), 3)
     result = json.dumps(
         {
@@ -329,6 +396,8 @@ def main() -> None:
             "ingest_apache_log_rows_per_sec_median": round(
                 APACHE_N / statistics.median(apache_reps)
             ),
+            "canary_pre": canary_pre,
+            "canary_post": canary_post,
             **matched,
         }
     )

@@ -950,12 +950,17 @@ cent AS (
     WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES} + kk.k
 ),
 cell AS (
-    SELECT vec_id, cid FROM (
-        SELECT c.vec_id, t.cid,
-               ROW_NUMBER() OVER (PARTITION BY c.vec_id
-                    ORDER BY {_COS_CT} DESC, t.cid DESC) AS rn
-        FROM embeddings c, cent t
-    ) WHERE rn = 1
+    -- argmax(cos, ties to larger cid) as a streaming aggregate: lists
+    -- compare lexicographically, so max([cos, cid]) == the window's
+    -- ORDER BY cos DESC, cid DESC row.  The former ROW_NUMBER form
+    -- materialized the full N x K cross join for the sort (320M rows at
+    -- the sf10 smoke scale -- DuckDB spilled past the disk); this form
+    -- keeps one running pair per vec_id.  cid < 2^53 so the DOUBLE
+    -- round-trip is exact.
+    SELECT c.vec_id,
+           CAST(max([{_COS_CT}, CAST(t.cid AS DOUBLE)])[2] AS BIGINT) AS cid
+    FROM embeddings c, cent t
+    GROUP BY c.vec_id
 )
 SELECT CAST(ca.cid AS BIGINT) AS cell, ca.vec_id AS vec_a, cb.vec_id AS vec_b,
        {cos_ab} AS cos_sim

@@ -113,6 +113,17 @@ def main():
         "oracle-check", extra_conf={"spark.driver.maxResultSize": "16g"}
     )
     con = duckdb.connect()
+    # At smoke scales (data/sf10) DuckDB's default ~80%-of-RAM limit plus
+    # the 48g Spark JVM oversubscribes the host (one sf10 doc_pagerank
+    # oracle was OOM-killed at 78 GB RSS); cap it and give it a real spill
+    # directory so heavy oracles degrade to disk instead of dying.
+    mem = os.environ.get("CHECK_ORACLE_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    tmp = os.environ.get("CHECK_ORACLE_DUCKDB_TMP")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         # driver testdata is one file per table; the sf1/sf10 smoke corpora
         # are Spark-written directories — glob those for DuckDB

@@ -327,6 +327,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_cells_hier": D.dedup_embedding_cosine_cells_hier,
         # r6: hot-bucket-cap observability (the recall dial's first read)
         "lsh_bucket_stats": D.lsh_bucket_stats,
+        # r8: within-page repeated-line cleanup (intra-doc scope — the
+        # missing member of the line family next to boilerplate_lines'
+        # cross-doc df rule and segment_dedup's global first-occurrence)
+        "intradoc_line_dedup": T.intradoc_line_dedup,
+        # r8: hybrid retrieval — reciprocal-rank fusion of bm25_topk and
+        # the exact dense ranking (composition of existing retrievers)
+        "hybrid_retrieval_rrf": T.hybrid_retrieval_rrf,
     }
 
 
@@ -516,4 +523,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_hier_arrow": S.ANN_IVF_HIER_SQL,
         "dedup_embedding_cosine_cells_hier": D._dedup_cells_hier_sql(),
         "lsh_bucket_stats": D.LSH_BUCKET_STATS_SQL,
+        "intradoc_line_dedup": T.INTRADOC_DEDUP_SQL,
+        "hybrid_retrieval_rrf": T.HYBRID_RRF_SQL,
     }

@@ -2177,3 +2177,212 @@ SELECT d.doc_id, d.source,
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Within-document repeated-line removal (intra-doc line dedup)
+# --------------------------------------------------------------------------
+
+
+def intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove REPEATED lines inside each document and reassemble the text
+    in first-occurrence order — the within-page cleanup step web-corpus
+    pipelines apply before any cross-doc treatment (C4 drops pages by
+    repeated content; RefinedWeb/CCNet strip the repeats): navigation
+    chrome, duplicated footers, and scraper stutter repeat INSIDE a page
+    long before they repeat across pages.
+
+    Complements the existing line family: ``boilerplate_lines`` is
+    cross-doc per-source detection (a line frequent across docs),
+    ``segment_dedup`` keeps one global occurrence of a word segment;
+    here identity is the trimmed line and scope is a single document —
+    every doc keeps its own first occurrence.
+
+    Plan shape for 100 TB: one explode, then two doc_id-keyed aggregates
+    (first-occurrence per (doc, line), then ordered reassembly) — the
+    shuffle key is doc_id both times so AQE coalesces them, there is no
+    global window, and no line crosses the wire more than once.  Skew is
+    bounded by the largest single document, never by corpus-wide line
+    frequency (the hot key that makes the CROSS-doc variants need df
+    caps does not exist within one page).
+
+    Determinism: pure string ops + integer positions; the DuckDB twin
+    replays trim/split byte-for-byte (``trim`` strips ASCII spaces only
+    in both engines — the boilerplate_lines convention).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lines = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "\n")).alias("ord", "raw"),
+        )
+        .select("doc_id", "ord", F.trim(F.col("raw")).alias("line"))
+        .filter(F.col("line") != "")
+    )
+    firsts = lines.groupBy("doc_id", "line").agg(
+        F.min("ord").alias("first_ord")
+    )
+    rebuilt = firsts.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("first_ord", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    stats = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        rebuilt.join(stats, "doc_id")
+        .select(
+            "doc_id",
+            "text_dedup",
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            (F.col("n_lines") - F.col("n_kept"))
+            .cast("bigint")
+            .alias("n_dupe_lines"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# 1-based parts[i] vs Spark's 0-based posexplode is order-only (MIN per
+# line compares like for like within each engine).
+INTRADOC_DEDUP_SQL = """
+WITH lines AS (
+    SELECT doc_id, i AS ord, trim(parts[i]) AS line
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+          FROM documents),
+         LATERAL (SELECT UNNEST(generate_series(1, len(parts))) AS i)
+    WHERE trim(parts[i]) <> ''
+),
+firsts AS (
+    SELECT doc_id, line, MIN(ord) AS first_ord
+    FROM lines GROUP BY doc_id, line
+),
+rebuilt AS (
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY first_ord) AS text_dedup,
+           COUNT(*) AS n_kept
+    FROM firsts GROUP BY doc_id
+),
+stats AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT r.doc_id, r.text_dedup,
+       CAST(s.n_lines AS BIGINT) AS n_lines,
+       CAST(s.n_lines - r.n_kept AS BIGINT) AS n_dupe_lines
+FROM rebuilt r JOIN stats s USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and dense ANN rankings
+# --------------------------------------------------------------------------
+
+RRF_K = 60        # the standard fusion constant (Cormack et al.)
+RRF_DEPTH = 20    # per-list depth; fused output is <= 2*RRF_DEPTH rows
+RRF_QUERY_VEC = 0  # the ANN side's query vector (one of the N_QUERIES)
+
+
+def hybrid_retrieval_rrf(
+    spark: SparkSession, sf_dir: str, terms: tuple[str, ...] = BM25_TERMS
+) -> DataFrame:
+    """Reciprocal-rank fusion of the lexical (BM25) and dense (cosine ANN)
+    rankings — the standard hybrid-retrieval combiner (score =
+    Σ 1/(k + rank) over the lists a doc appears in, k = 60): sparse and
+    dense retrievers fail differently, and RRF needs no score
+    calibration between them, only ranks.  Documents and their embedding
+    rows share the id space (vec_id == doc_id in the corpus convention).
+
+    Composition, not reimplementation: the BM25 list IS
+    :func:`bm25_topk` (same ``terms``), the dense list is the exact
+    cosine ranking of the corpus against one query vector.  Both lists
+    arrive as ≤ ``RRF_DEPTH`` rows via ``ranked_topk`` (TakeOrdered — no
+    unpartitioned window anywhere), so the fusion join touches ≤ 2·depth
+    rows regardless of corpus size; at 100 TB the cost is the two
+    retrievals, and the ANN side would swap in any indexed form
+    (``ann_ivf_*``) with the same fused contract.
+
+    Absent-from-list ranks are emitted as 0 (not NULL): both engines
+    then hash integer columns, and 0 is unambiguous (real ranks are
+    1-based).
+    """
+    from ..functions import cosine
+    from .scale import ranked_topk
+    from .similarity import N_QUERIES
+
+    bm25 = bm25_topk(spark, sf_dir, terms).select(
+        F.col("rank").alias("bm25_rank"), "doc_id"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("qe")
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("ce")
+    )
+    scored = corpus.join(F.broadcast(q)).select(
+        "doc_id", cosine("qe", "ce").alias("cos_sim")
+    )
+    ann = ranked_topk(
+        scored, [("cos_sim", False), ("doc_id", True)], RRF_DEPTH,
+        rank_name="ann_rank",
+    ).select("ann_rank", "doc_id")
+    fused = bm25.join(ann, "doc_id", "full")
+    # fixed addition order (bm25 term first) — bit-reproducible across
+    # engines; each term is 1/(60+rank), an exact-integer division
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("ann_rank")), F.lit(0.0)),
+        6,
+    )
+    return ranked_topk(
+        fused.select(
+            "doc_id",
+            rrf.alias("rrf_score"),
+            F.coalesce("bm25_rank", F.lit(0)).cast("bigint").alias("bm25_rank"),
+            F.coalesce("ann_rank", F.lit(0)).cast("bigint").alias("ann_rank"),
+        ),
+        [("rrf_score", False), ("doc_id", True)],
+        2 * RRF_DEPTH,
+    ).select("rank", "doc_id", "rrf_score", "bm25_rank", "ann_rank")
+
+
+def hybrid_rrf_sql(terms: tuple[str, ...] = BM25_TERMS) -> str:
+    """DuckDB twin of :func:`hybrid_retrieval_rrf` for the same terms."""
+    from .similarity import N_QUERIES
+
+    cos = (
+        "(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))))"
+    )
+    return f"""
+WITH bm25 AS ({bm25_sql(terms)}),
+ann AS (
+    SELECT rank AS ann_rank, doc_id FROM (
+        SELECT c.vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY {cos} DESC, c.vec_id) AS rank
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id = {RRF_QUERY_VEC} AND c.vec_id >= {N_QUERIES}
+    ) WHERE rank <= {RRF_DEPTH}
+),
+fused AS (
+    SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+           b.rank AS bm25_rank, a.ann_rank,
+           ROUND(COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + b.rank), 0.0)
+               + COALESCE(CAST(1 AS DOUBLE) / ({RRF_K} + a.ann_rank), 0.0),
+               6) AS rrf_score
+    FROM bm25 b FULL JOIN ann a ON b.doc_id = a.doc_id
+)
+SELECT ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank,
+       doc_id, rrf_score,
+       COALESCE(bm25_rank, 0) AS bm25_rank,
+       COALESCE(ann_rank, 0) AS ann_rank
+FROM fused
+ORDER BY rank
+"""
+
+
+HYBRID_RRF_SQL = hybrid_rrf_sql(BM25_TERMS)

@@ -3349,3 +3349,74 @@ def test_boilerplate_lines_flags_domain_chrome(spark, tmp_path):
     )
     oracle = [tuple(r) for r in con.sql(T.BOILERPLATE_SQL).fetchall()]
     assert oracle == [tuple(rows[i]) for i in range(len(texts))]
+
+
+def test_intradoc_line_dedup_first_occurrence_order(spark, tmp_path):
+    # planted: doc 0 repeats a nav line 3x around unique content (2 dupes
+    # dropped, first kept IN PLACE); doc 1 has no repeats; doc 2 repeats
+    # only after trimming (identity is the TRIMMED line); doc 3 is
+    # whitespace-only (no kept lines -> absent from output, documented).
+    import duckdb
+    import pandas as pd
+
+    nav = "Home | About | Contact"
+    texts = [
+        nav + "\nfirst body line\n" + nav + "\nsecond body line\n" + nav,
+        "alpha\nbeta\ngamma",
+        "  padded  \npadded\nmiddle",
+        "   \n\n  ",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    planted = str(tmp_path / "intradoc")
+    os.makedirs(planted)
+    pdf.to_parquet(f"{planted}/documents.parquet", index=False)
+
+    rows = {r.doc_id: r for r in T.intradoc_line_dedup(spark, planted).collect()}
+    assert rows[0].text_dedup == nav + "\nfirst body line\nsecond body line"
+    assert rows[0].n_lines == 5 and rows[0].n_dupe_lines == 2
+    assert rows[1].text_dedup == "alpha\nbeta\ngamma"
+    assert rows[1].n_dupe_lines == 0
+    # "  padded  " and "padded" collide after trim; first occurrence wins
+    assert rows[2].text_dedup == "padded\nmiddle"
+    assert rows[2].n_dupe_lines == 1
+    assert 3 not in rows  # no non-empty lines -> no output row
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{planted}/documents.parquet')"
+    )
+    oracle = con.execute(T.INTRADOC_DEDUP_SQL).fetchall()
+    got = sorted(
+        (r.doc_id, r.text_dedup, r.n_lines, r.n_dupe_lines)
+        for r in rows.values()
+    )
+    assert got == sorted(tuple(r) for r in oracle)
+
+
+def test_hybrid_rrf_scores_are_rank_fusion(spark):
+    rows = T.hybrid_retrieval_rrf(spark, SF_DIR).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    # every score is exactly the RRF of its recorded component ranks
+    # (0 = absent from that list)
+    for r in rows:
+        expect = 0.0
+        if r.bm25_rank:
+            expect += 1.0 / (T.RRF_K + r.bm25_rank)
+        if r.ann_rank:
+            expect += 1.0 / (T.RRF_K + r.ann_rank)
+        assert r.rrf_score == pytest.approx(round(expect, 6), abs=1e-9)
+        assert r.bm25_rank or r.ann_rank
+    # scores are non-increasing with rank, ties broken by doc_id
+    for a, b in zip(rows, rows[1:]):
+        assert (a.rrf_score, -a.doc_id) >= (b.rrf_score, -b.doc_id)
+    # both retrievers contributed
+    assert any(r.bm25_rank for r in rows) and any(r.ann_rank for r in rows)

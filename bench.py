@@ -107,6 +107,9 @@ HEADLINE = {
     # round 5: composed hier×Arrow IVF with broadcast centroids (the
     # literal-free web-scale index-build shape)
     "ann_ivf_hier_arrow": S.ann_ivf_hier_arrow,
+    # round 8: within-page line dedup + hybrid lexical/dense retrieval
+    "intradoc_line_dedup": T.intradoc_line_dedup,
+    "hybrid_retrieval_rrf": T.hybrid_retrieval_rrf,
 }
 
 
@@ -202,7 +205,11 @@ def bench_ingest(spark) -> tuple[float, float, list[float], list[float]]:
 # min reads >1.1x those is a degraded-host capture and says so itself.
 CANARY_PY_N = 15_000_000
 CANARY_JVM_N = 1_600_000_000
-CANARY_REF = {"py_1core_sec": None, "jvm_32core_sec": None, "scan_sec": None}
+# Best mins observed across the r8 session's quietest windows (load_avg
+# ~1-7; the py probe still swung 1.17-1.95s within minutes on an "idle"
+# host, so treat factors under ~1.3 as noise and >1.5 as a genuinely
+# degraded capture window).
+CANARY_REF = {"py_1core_sec": 1.17, "jvm_32core_sec": 0.34, "scan_sec": 0.19}
 
 
 def host_canary(spark, sf_dir: str) -> dict:

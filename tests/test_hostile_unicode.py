@@ -66,6 +66,9 @@ TEXT_QUERIES = [
     "tfidf_top_terms",
     "decontaminate",
     "lang_segments",
+    # r8: within-doc line dedup — line split + trim + string_agg
+    # reassembly over multi-byte/zero-width content
+    "intradoc_line_dedup",
 ]
 
 

@@ -59,14 +59,17 @@ _R8_WINDOW = [
     "q16_supplier_part_counts", "q19_disjunctive_revenue",
     "q20_excess_suppliers", "q21_waiting_suppliers", "q22_idle_customers",
     # scale / sketch operators (incl. the two allowlisted bounded windows)
-    "gapfill_daily_locf", "sequence_pack", "lsh_bucket_stats",
+    "gapfill_daily_locf", "sequence_pack",
     "kmv_distinct_sketch", "quantile_sketch_bottomk", "cms_heavy_hitters",
     "hll_distinct_sketch",
-    # dedup / ANN
+    # dedup / ANN (dedup_embedding_cosine_cells and lsh_bucket_stats
+    # ceded their slots to the two r8-born operators below: both are
+    # sf1-hash-green and cells is sf10-hash-proven this round, while the
+    # newborns have never been driver-checked)
     "semdedup", "dedup_lsh_recall", "dedup_jaccard_prefix",
-    "dedup_tfidf_cosine", "dedup_embedding_cosine_cells", "ann_pq_topk",
+    "dedup_tfidf_cosine", "ann_pq_topk",
     "ann_ivfpq_topk", "ann_ivf_hier_topk", "ann_matryoshka_topk",
-    "knn_label_vote",
+    "knn_label_vote", "intradoc_line_dedup", "hybrid_retrieval_rrf",
     # text quality / curation / graph
     "gopher_quality_filter", "c4_filters", "boilerplate_lines",
     "ccnet_buckets", "normalize_text", "tfidf_top_terms", "decontaminate",

@@ -337,6 +337,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8: hybrid retrieval — reciprocal-rank fusion of bm25_topk and
         # the exact dense ranking (composition of existing retrievers)
         "hybrid_retrieval_rrf": T.hybrid_retrieval_rrf,
+        # r8: c-TF-IDF labels for the embedding-space clusters (corpus
+        # exploration — the BERTopic readout over the IVF cells)
+        "topic_clusters": T.topic_clusters,
     }
 
 
@@ -528,4 +531,5 @@ def oracle_sql() -> dict[str, str]:
         "lsh_bucket_stats": D.LSH_BUCKET_STATS_SQL,
         "intradoc_line_dedup": T.INTRADOC_DEDUP_SQL,
         "hybrid_retrieval_rrf": T.HYBRID_RRF_SQL,
+        "topic_clusters": T._topic_clusters_sql(),
     }

@@ -2386,3 +2386,132 @@ ORDER BY rank
 
 
 HYBRID_RRF_SQL = hybrid_rrf_sql(BM25_TERMS)
+
+
+# --------------------------------------------------------------------------
+# Topic clusters: c-TF-IDF labels for the embedding-space clusters
+# --------------------------------------------------------------------------
+
+TOPIC_TERMS = 5  # label terms per cluster
+
+
+def topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label every embedding-space cluster with its most DISTINCTIVE
+    terms — the corpus-exploration readout (BERTopic's c-TF-IDF): assign
+    each document's vector to an IVF cell (documents and embeddings
+    share the id space), pool each cluster's text into one pseudo-doc,
+    and score terms by tf × (ln((K+1)/(cluster_df+1)) + 1) where
+    cluster_df counts CLUSTERS containing the term — high for terms
+    frequent in this cluster and rare across the others.  The top
+    :data:`TOPIC_TERMS` per cluster are its label.
+
+    Reuses the engine's own machinery end to end: the Arrow cell
+    assigner (broadcast centroids, one matmul per batch — the
+    ``ann_ivf_arrow``/``dedup_embedding_cosine_cells`` path) and the
+    tf-idf aggregate shape of :func:`tfidf_top_terms` with cluster in
+    place of document.
+
+    Scale: the explode dominates exactly as in ``tfidf_top_terms``; all
+    aggregates are map-side-combinable on (cluster, term) / term keys;
+    the rank window is PARTITIONED by cluster (cells grow with N, each
+    stays ~128 docs, so no partition outgrows its executor).  Clusters
+    whose documents contain no words do not appear (no label exists).
+    """
+    from .similarity import _centroids, assign_cells_arrow
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+    assigned = assign_cells_arrow(
+        emb.select("vec_id", "embedding"), cents,
+        id_col="vec_id", emb_out="embedding",
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("cid").cast("bigint").alias("cluster"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    dc = docs.join(assigned, "doc_id")
+    terms = dc.select(
+        "cluster", F.explode(_words()).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("cluster", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # one tf row per (cluster, term) -> COUNT(*) per term IS the number
+    # of clusters containing it (no second distinct pass)
+    cdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("cdf"))
+    k = dc.agg(F.count_distinct("cluster").alias("n_clusters"))
+    sizes = dc.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(cdf, "term")
+        .join(F.broadcast(k))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.col("n_clusters") + 1) / (F.col("cdf") + 1)) + F.lit(1.0)),
+        )
+    )
+    w = W.partitionBy("cluster").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPIC_TERMS)
+        .join(sizes, "cluster")
+        .select(
+            "cluster",
+            "n_docs",
+            "rank",
+            "term",
+            F.round("score", 6).alias("ctfidf"),
+        )
+        .orderBy("cluster", "rank")
+    )
+
+
+def _topic_clusters_sql() -> str:
+    """DuckDB twin — replays the argmax cell assignment (the streaming-
+    aggregate form shared with ``_dedup_cells_sql``) then the c-TF-IDF
+    aggregates byte-for-byte."""
+    from .similarity import _COS_CT, _IVF_K_SQL, N_QUERIES
+
+    return f"""
+WITH kk AS ({_IVF_K_SQL}),
+cent AS (
+    SELECT vec_id - {N_QUERIES} AS cid, embedding FROM embeddings, kk
+    WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES} + kk.k
+),
+cell AS (
+    SELECT c.vec_id,
+           CAST(max([{_COS_CT}, CAST(t.cid AS DOUBLE)])[2] AS BIGINT) AS cid
+    FROM embeddings c, cent t
+    GROUP BY c.vec_id
+),
+dc AS (
+    SELECT d.doc_id, d.text, cell.cid AS cluster
+    FROM documents d JOIN cell ON d.doc_id = cell.vec_id
+),
+terms AS (
+    SELECT cluster,
+           unnest(string_split_regex(text, '[ \\t\\n\\x0b\\f\\r]+')) AS term
+    FROM dc
+),
+tf AS (
+    SELECT cluster, term, COUNT(*) AS tf FROM terms
+    WHERE term <> '' GROUP BY cluster, term
+),
+cdf AS (SELECT term, COUNT(*) AS cdf FROM tf GROUP BY term),
+k AS (SELECT COUNT(DISTINCT cluster) AS n_clusters FROM dc),
+sizes AS (SELECT cluster, COUNT(*) AS n_docs FROM dc GROUP BY cluster),
+scored AS (
+    SELECT tf.cluster, tf.term,
+           tf.tf * (ln((k.n_clusters + 1.0) / (cdf.cdf + 1.0)) + 1.0) AS score
+    FROM tf JOIN cdf USING (term) CROSS JOIN k
+)
+SELECT s.cluster, z.n_docs, s.rank, s.term, round(s.score, 6) AS ctfidf
+FROM (
+    SELECT cluster, term, score,
+           ROW_NUMBER() OVER (PARTITION BY cluster
+                              ORDER BY score DESC, term ASC) AS rank
+    FROM scored
+) s JOIN sizes z USING (cluster)
+WHERE s.rank <= {TOPIC_TERMS}
+ORDER BY s.cluster, s.rank
+"""

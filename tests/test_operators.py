@@ -3420,3 +3420,21 @@ def test_hybrid_rrf_scores_are_rank_fusion(spark):
         assert (a.rrf_score, -a.doc_id) >= (b.rrf_score, -b.doc_id)
     # both retrievers contributed
     assert any(r.bm25_rank for r in rows) and any(r.ann_rank for r in rows)
+
+
+def test_topic_clusters_labels_are_ranked_per_cluster(spark):
+    rows = T.topic_clusters(spark, SF_DIR).collect()
+    assert rows, "clusters must exist on the sf0.001 corpus"
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cid, rs in by_cluster.items():
+        # ranks contiguous from 1, at most TOPIC_TERMS, scores non-increasing
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= T.TOPIC_TERMS
+        for a, b in zip(rs, rs[1:]):
+            assert a.ctfidf >= b.ctfidf
+        assert all(r.term for r in rs)
+        assert len({r.n_docs for r in rs}) == 1 and rs[0].n_docs >= 1
+    # cluster sizes cannot exceed the corpus
+    assert sum(rs[0].n_docs for rs in by_cluster.values()) <= 500

@@ -340,6 +340,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r8: c-TF-IDF labels for the embedding-space clusters (corpus
         # exploration — the BERTopic readout over the IVF cells)
         "topic_clusters": T.topic_clusters,
+        # r8: expected S-curve recall of every power-of-two banding of
+        # the signature over the observed pair population (the LSH
+        # tuning readout next to lsh_bucket_stats' cost side)
+        "minhash_band_tuning": D.minhash_band_tuning,
     }
 
 
@@ -532,4 +536,5 @@ def oracle_sql() -> dict[str, str]:
         "intradoc_line_dedup": T.INTRADOC_DEDUP_SQL,
         "hybrid_retrieval_rrf": T.HYBRID_RRF_SQL,
         "topic_clusters": T._topic_clusters_sql(),
+        "minhash_band_tuning": D._band_tuning_sql(),
     }

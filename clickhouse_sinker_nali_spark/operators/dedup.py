@@ -1582,3 +1582,126 @@ JOIN norms nb ON d.doc_b = nb.doc_id
 WHERE ROUND(d.dot / (na.nrm * nb.nrm), 6) >= {_TFIDF_PAIR_MIN_COS}
 ORDER BY doc_a, doc_b
 """
+
+
+# --------------------------------------------------------------------------
+# LSH band tuning: expected S-curve recall per (bands, rows) configuration
+# --------------------------------------------------------------------------
+
+# every (bands, rows_per_band) factorization of the MINHASH_K=16 signature
+# into power-of-two bands; s50 = (1 - 0.5^(1/b))^(1/r), the jaccard where
+# the config catches half the pairs — computed ONCE here in Python so both
+# engines share the literal (pow with fractional exponents is not
+# cross-engine bit-stable; everything evaluated per-row below is built
+# from integer-power squaring chains, which are)
+BAND_CONFIGS = [
+    (1, 16, 0.957603),
+    (2, 8, 0.857706),
+    (4, 4, 0.631568),
+    (8, 2, 0.28809),
+    (16, 1, 0.042397),
+]
+
+
+def _scurve_col(s, r: int, b: int):
+    """P(candidate | jaccard s) = 1 - (1 - s^r)^b via repeated squaring
+    (r, b are powers of two) — the identical multiplication chain as the
+    SQL twin, so per-row values are bit-identical across engines."""
+    x = s
+    rr = 1
+    while rr < r:
+        x = x * x
+        rr *= 2
+    y = F.lit(1.0) - x
+    bb = 1
+    while bb < b:
+        y = y * y
+        bb *= 2
+    return F.lit(1.0) - y
+
+
+def _scurve_sql(s: str, r: int, b: int) -> str:
+    x = s
+    rr = 1
+    while rr < r:
+        x = f"({x} * {x})"
+        rr *= 2
+    y = f"(1.0 - {x})"
+    bb = 1
+    while bb < b:
+        y = f"({y} * {y})"
+        bb *= 2
+    return f"(1.0 - {y})"
+
+
+def minhash_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected recall of every (bands, rows) banding of the 16-hash
+    MinHash signature over THIS corpus's observed near-dup population —
+    the tuning readout an operator consults before trading recall
+    against candidate volume (``lsh_bucket_stats`` shows what the
+    current banding costs; this shows what the alternatives would
+    catch).  For each verified pair with jaccard s, a (b, r) banding
+    catches it with probability 1-(1-s^r)^b; averaging over the verified
+    pairs gives the config's expected recall of the population the
+    current run found.
+
+    Determinism discipline: jaccard values are integer-division doubles
+    (bit-identical cross-engine); the S-curve uses integer-power
+    squaring chains only (no pow); and the cross-pair MEAN accumulates
+    as DECIMAL(38,18) — exact and order-free — before one final double
+    division (the chisq_independence precedent).
+
+    Scale: one narrow aggregation over the pair list (which the LSH run
+    already bounds); 5 aggregate columns, no extra shuffle, output is 5
+    rows.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_pairs")]
+    for b, r, _ in BAND_CONFIGS:
+        aggs.append(
+            F.sum(
+                _scurve_col(F.col("jaccard"), r, b).cast("decimal(38,18)")
+            ).alias(f"s_{b}")
+        )
+    one = pairs.agg(*aggs)
+    parts = []
+    for b, r, s50 in BAND_CONFIGS:
+        parts.append(
+            one.select(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.lit(s50).alias("s50"),
+                F.when(
+                    F.col("n_pairs") > 0,
+                    F.round(
+                        F.col(f"s_{b}").cast("double") / F.col("n_pairs"), 6
+                    ),
+                ).alias("expected_recall"),
+                F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("bands")
+
+
+def _band_tuning_sql() -> str:
+    sums = ",\n           ".join(
+        f"SUM(CAST({_scurve_sql('jaccard', r, b)} AS DECIMAL(38,18))) AS s_{b}"
+        for b, r, _ in BAND_CONFIGS
+    )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {b} AS bands, {r} AS rows_per_band, {s50} AS s50,\n"
+        f"       CASE WHEN n_pairs > 0 THEN\n"
+        f"           ROUND(CAST(s_{b} AS DOUBLE) / n_pairs, 6) END\n"
+        f"           AS expected_recall,\n"
+        f"       CAST(n_pairs AS BIGINT) AS n_pairs FROM agg"
+        for b, r, s50 in BAND_CONFIGS
+    )
+    return (
+        "WITH " + _MINHASH_PAIR_CTES + ",\n"
+        f"agg AS (SELECT COUNT(*) AS n_pairs,\n           {sums}\n"
+        "        FROM pairs)\n"
+        + selects + "\nORDER BY bands"
+    )

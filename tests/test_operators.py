@@ -3438,3 +3438,17 @@ def test_topic_clusters_labels_are_ranked_per_cluster(spark):
         assert len({r.n_docs for r in rs}) == 1 and rs[0].n_docs >= 1
     # cluster sizes cannot exceed the corpus
     assert sum(rs[0].n_docs for rs in by_cluster.values()) <= 500
+
+
+def test_minhash_band_tuning_scurve_monotone(spark):
+    rows = D.minhash_band_tuning(spark, SF_DIR).collect()
+    assert [r.bands for r in rows] == [1, 2, 4, 8, 16]
+    assert all(r.bands * r.rows_per_band == 16 for r in rows)
+    n = {r.n_pairs for r in rows}
+    assert len(n) == 1 and n.pop() > 0
+    # more, shorter bands catch strictly more of any non-degenerate
+    # population (the S-curve threshold s50 falls monotonically)
+    recalls = [r.expected_recall for r in rows]
+    assert all(0.0 <= x <= 1.0 for x in recalls)
+    assert recalls == sorted(recalls)
+    assert rows[0].s50 > rows[-1].s50

@@ -344,6 +344,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the signature over the observed pair population (the LSH
         # tuning readout next to lsh_bucket_stats' cost side)
         "minhash_band_tuning": D.minhash_band_tuning,
+        # r8: per-stage attrition through the quality chain (pure
+        # composition of the filters' own keep booleans)
+        "curation_funnel": T.curation_funnel,
     }
 
 
@@ -537,4 +540,5 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_retrieval_rrf": T.HYBRID_RRF_SQL,
         "topic_clusters": T._topic_clusters_sql(),
         "minhash_band_tuning": D._band_tuning_sql(),
+        "curation_funnel": T._curation_funnel_sql(),
     }

@@ -2515,3 +2515,107 @@ FROM (
 WHERE s.rank <= {TOPIC_TERMS}
 ORDER BY s.cluster, s.rank
 """
+
+
+# --------------------------------------------------------------------------
+# Curation funnel: per-stage attrition through the quality filter chain
+# --------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ("input", "gopher", "c4", "lang_en")
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attrition report for the standard filter chain — how many
+    documents survive each successive gate (input → Gopher quality
+    rules → C4 line rules → language=en), with cumulative survival
+    against the input count.  The first chart anyone draws when tuning
+    a curation recipe: it shows WHICH stage is eating the corpus.
+
+    Pure composition: the per-doc ``keep`` booleans come from
+    :func:`gopher_quality_filter`, :func:`c4_filters` and
+    :func:`lang_id` themselves (no rule is re-implemented, so this can
+    never drift from the filters it reports on).  Three 1:1 joins on
+    doc_id feed ONE aggregate row of conjunction counts; the 4-row
+    funnel is projected from that single row, so the whole readout adds
+    one narrow aggregation to the cost of the filters it audits.
+    """
+    g = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("g_keep")
+    )
+    c = c4_filters(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("c_keep")
+    )
+    lng = lang_id(spark, sf_dir).select(
+        "doc_id", (F.col("pred_lang") == "en").alias("l_keep")
+    )
+    joined = g.join(c, "doc_id").join(lng, "doc_id")
+    survives = [
+        F.lit(True),
+        F.col("g_keep"),
+        F.col("g_keep") & F.col("c_keep"),
+        F.col("g_keep") & F.col("c_keep") & F.col("l_keep"),
+    ]
+    one = joined.agg(
+        *[
+            F.sum(F.when(s, 1).otherwise(0)).cast("bigint").alias(f"n_{i}")
+            for i, s in enumerate(survives)
+        ]
+    )
+    parts = []
+    for i, stage in enumerate(_FUNNEL_STAGES):
+        n_in = F.col(f"n_{i - 1}") if i else F.col("n_0")
+        parts.append(
+            one.select(
+                F.lit(i).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                n_in.alias("n_in"),
+                F.col(f"n_{i}").alias("n_kept"),
+                (n_in - F.col(f"n_{i}")).alias("n_dropped"),
+                F.when(
+                    F.col("n_0") > 0,
+                    F.round(
+                        F.col(f"n_{i}").cast("double") / F.col("n_0"), 6
+                    ),
+                ).alias("survival"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("stage_idx")
+
+
+def _curation_funnel_sql() -> str:
+    """DuckDB twin: the filters' OWN oracle SQL nested as CTEs (DuckDB
+    accepts WITH inside a CTE body), so the funnel's twin composes the
+    same audited definitions it composes in Spark."""
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i} AS stage_idx, '{stage}' AS stage,\n"
+        f"       n_{max(i - 1, 0)} AS n_in, n_{i} AS n_kept,\n"
+        f"       n_{max(i - 1, 0)} - n_{i} AS n_dropped,\n"
+        f"       CASE WHEN n_0 > 0 THEN\n"
+        f"           ROUND(CAST(n_{i} AS DOUBLE) / n_0, 6) END AS survival\n"
+        f"FROM agg"
+        for i, stage in enumerate(_FUNNEL_STAGES)
+    )
+    return f"""
+WITH g AS ({GOPHER_FILTER_SQL}),
+c AS ({C4_FILTERS_SQL}),
+l AS ({LANG_ID_SQL}),
+j AS (
+    SELECT g.doc_id, g.keep AS g_keep, c.keep AS c_keep,
+           (l.pred_lang = 'en') AS l_keep
+    FROM g JOIN c USING (doc_id) JOIN l USING (doc_id)
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_0,
+           CAST(SUM(CASE WHEN g_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+           CAST(SUM(CASE WHEN g_keep AND c_keep THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_2,
+           CAST(SUM(CASE WHEN g_keep AND c_keep AND l_keep THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_3
+    FROM j
+)
+{selects}
+ORDER BY stage_idx
+"""

@@ -3452,3 +3452,19 @@ def test_minhash_band_tuning_scurve_monotone(spark):
     assert all(0.0 <= x <= 1.0 for x in recalls)
     assert recalls == sorted(recalls)
     assert rows[0].s50 > rows[-1].s50
+
+
+def test_curation_funnel_is_monotone_attrition(spark):
+    rows = T.curation_funnel(spark, SF_DIR).collect()
+    assert [r.stage for r in rows] == ["input", "gopher", "c4", "lang_en"]
+    assert rows[0].n_in == rows[0].n_kept == 500  # stage 0 = input count
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_in == a.n_kept          # chained stages
+        assert 0 <= b.n_kept <= b.n_in     # attrition only
+        assert b.n_dropped == b.n_in - b.n_kept
+    assert rows[0].survival == 1.0
+    survs = [r.survival for r in rows]
+    assert survs == sorted(survs, reverse=True)
+    # the composed counts agree with the filters they compose
+    g = {r.doc_id: r.keep for r in T.gopher_quality_filter(spark, SF_DIR).collect()}
+    assert rows[1].n_kept == sum(g.values())

@@ -2219,22 +2219,29 @@ def intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "ord", F.trim(F.col("raw")).alias("line"))
         .filter(F.col("line") != "")
     )
+    # per-(doc, line) first position AND occurrence count in ONE pass, so
+    # the total-line statistic folds into the reassembly aggregate — one
+    # scan, one explode, two chained doc_id-keyed aggregates, no join
+    # (the first cut joined a separate count branch, which re-read and
+    # re-exploded the corpus)
     firsts = lines.groupBy("doc_id", "line").agg(
-        F.min("ord").alias("first_ord")
+        F.min("ord").alias("first_ord"), F.count(F.lit(1)).alias("cnt")
     )
-    rebuilt = firsts.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("first_ord", "line"))),
-                lambda s: s["line"],
-            ),
-            "\n",
-        ).alias("text_dedup"),
-        F.count(F.lit(1)).alias("n_kept"),
-    )
-    stats = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
     return (
-        rebuilt.join(stats, "doc_id")
+        firsts.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("first_ord", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("text_dedup"),
+            F.sum("cnt").alias("n_lines"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
         .select(
             "doc_id",
             "text_dedup",
@@ -2258,20 +2265,14 @@ WITH lines AS (
     WHERE trim(parts[i]) <> ''
 ),
 firsts AS (
-    SELECT doc_id, line, MIN(ord) AS first_ord
+    SELECT doc_id, line, MIN(ord) AS first_ord, COUNT(*) AS cnt
     FROM lines GROUP BY doc_id, line
-),
-rebuilt AS (
-    SELECT doc_id,
-           string_agg(line, chr(10) ORDER BY first_ord) AS text_dedup,
-           COUNT(*) AS n_kept
-    FROM firsts GROUP BY doc_id
-),
-stats AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
-SELECT r.doc_id, r.text_dedup,
-       CAST(s.n_lines AS BIGINT) AS n_lines,
-       CAST(s.n_lines - r.n_kept AS BIGINT) AS n_dupe_lines
-FROM rebuilt r JOIN stats s USING (doc_id)
+)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY first_ord) AS text_dedup,
+       CAST(SUM(cnt) AS BIGINT) AS n_lines,
+       CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS n_dupe_lines
+FROM firsts GROUP BY doc_id
 ORDER BY doc_id
 """
 

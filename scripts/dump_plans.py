@@ -178,6 +178,30 @@ COMMENTARY = {
         "real 100 TB IVF needs).  Ladder: sf10 (K=1.6K) flat-Arrow 29.1s, "
         "hier-fold 182.4s, this form 3.7s."
     ),
+    "intradoc_line_dedup": (
+        "Within-page repeated-line removal: one explode, then BOTH "
+        "aggregates keyed on doc_id (first-occurrence pick, ordered "
+        "reassembly) — the exchanges reuse one partitioning, no global "
+        "window, and skew is bounded by the largest single document "
+        "(the corpus-frequency hot key of the CROSS-doc variants cannot "
+        "occur within one page)."
+    ),
+    "hybrid_retrieval_rrf": (
+        "RRF fusion of the lexical and dense retrievers: both lists "
+        "arrive as <=depth rows via TakeOrderedAndProject (the bm25 side "
+        "prunes to query-term tokens map-side; the dense side scores "
+        "against a 1-row broadcast query), so the full-outer fusion join "
+        "touches <=2*depth rows at ANY corpus size — the whole fusion "
+        "tail is constant-cost."
+    ),
+    "topic_clusters": (
+        "c-TF-IDF cluster labels: Arrow mapInPandas cell assignment "
+        "(broadcast centroid matrix), doc_id-keyed 1:1 join to text, "
+        "then the tfidf aggregate family on (cluster, term) keys — all "
+        "map-side-combinable; the rank window is PARTITIONED by cluster "
+        "and cells stay ~128 docs at any N, so no partition outgrows an "
+        "executor."
+    ),
 }
 
 
@@ -223,6 +247,10 @@ def main() -> None:
         "ann_ivf_hier_topk": S.ann_ivf_hier_topk,
         # round 5: literal-free composed assignment
         "ann_ivf_hier_arrow": S.ann_ivf_hier_arrow,
+        # round 8: line family, hybrid retrieval, cluster labeling
+        "intradoc_line_dedup": T.intradoc_line_dedup,
+        "hybrid_retrieval_rrf": T.hybrid_retrieval_rrf,
+        "topic_clusters": T.topic_clusters,
     }
 
     spark = get_spark("plans", shuffle_partitions=8)

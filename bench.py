@@ -16,6 +16,17 @@ The two ingest figures map onto the reference's published baseline
   message → typed row, noop sink) — the sinker's CPU-bound stage
 - ``ingest_rows_per_sec``: full streaming pipeline throughput including a
   parquet sink (stands in for the JDBC insert; no ClickHouse here)
+
+Methodology notes:
+- Per-query numbers are min-of-2 with cache hygiene between queries; the
+  LSH family's FIRST rep per corpus additionally pays the one-time
+  corpus-derived hot-bucket-cap derivation + shingle cache fill (~4x the
+  steady state at sf0.1), which the min-of-2 absorbs — a single-rep cold
+  capture of dedup_minhash_lsh is NOT comparable to these numbers.
+- ``canary_pre``/``canary_post`` carry fixed host-health probes and
+  ``host_factor_vs_ref`` against CANARY_REF; read them before comparing
+  captures across rounds (factors <1.3 are host noise, >1.5 marks a
+  degraded window — the BENCH_r07 pollution class).
 """
 
 from __future__ import annotations
